@@ -1,38 +1,65 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline smoke check at sf0.001.
+``queries()`` — every implemented SURVEY §2 operator as a
+(spark, sf_dir) -> DataFrame program.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twins for the correctness
+gate (omitted only for genuinely non-SQL-expressible kernels, which
+get a rows-only check).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from tastytrade_sdk_spark.plans.queries import ORACLE_SQL, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: event stream -> hourly OHLCV candles -> Hull MA +
+    MACD indicator columns (the reference's core signal pipeline,
+    SURVEY §3.2) at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.operators.candles import ohlcv
+    from tastytrade_sdk_spark.operators.indicators import hull, macd
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf_dir)
+    candles = ohlcv(
+        ev,
+        symbol_col="event_type",
+        time_col="ts",
+        price_col="value",
+        size_col="value",
+        interval="1 hour",
+        order_col="event_id",
+    )
+    with_hull = hull(
+        candles, price_col="close", length=20,
+        partition_by=["symbol"], order_by=["time"],
+    )
+    with_macd = macd(
+        with_hull, price_col="close",
+        partition_by=["symbol"], order_by=["time"],
+    )
+    return with_macd.select(
+        "symbol", "time", "close", "HMA", "HMA_color",
+        F.col("Value").alias("macd_value"),
+        F.col("avg").alias("macd_avg"),
+        F.col("diff").alias("macd_diff"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

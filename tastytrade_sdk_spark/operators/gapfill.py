@@ -1,0 +1,123 @@
+"""Gap detection + forward fill (SURVEY W6) and prior-valid lookup (W7).
+
+Reference semantics (src/tastytrade/utils/time_series.py:72-96,152-179):
+build the complete calendar ``date_range(min(t), max(t), interval)``
+per symbol, find missing buckets, forward-fill the last observed row's
+values into them.
+
+Spark-first: the calendar scaffold is ``sequence(min, max, interval)``
++ ``explode`` computed from a per-key min/max aggregate — no driver
+loop, no UDF. The fill is ``last(col, ignoreNulls=True)`` over an
+unbounded-preceding window: one shuffle on the key, linear scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def forward_fill(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """last-non-null carry-forward per key."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def calendar_scaffold(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    interval: str,
+) -> DataFrame:
+    """Complete per-key time grid from min(t) to max(t) step interval."""
+    bounds = df.groupBy(*key_cols).agg(
+        F.min(time_col).alias("__min_t"), F.max(time_col).alias("__max_t")
+    )
+    return bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("__min_t"), F.col("__max_t"), F.expr(f"interval {interval}"))
+        ).alias(time_col),
+    )
+
+
+def find_gaps(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    interval: str,
+) -> DataFrame:
+    """Missing buckets = calendar anti-join existing times (SO3)."""
+    cal = calendar_scaffold(df, key_cols, time_col, interval)
+    return cal.join(
+        df.select(*key_cols, time_col).distinct(),
+        on=[*key_cols, time_col],
+        how="left_anti",
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    interval: str,
+    value_cols: Sequence[str],
+    synthetic_flag: str | None = "is_synthetic",
+    only_synthetic: bool = False,
+) -> DataFrame:
+    """Fill missing buckets with forward-filled values (W6).
+
+    Returns the dense series; with ``only_synthetic`` emit only the
+    manufactured rows (the reference writes only fills back to the
+    store, time_series.py:163-179).
+    """
+    cal = calendar_scaffold(df, key_cols, time_col, interval)
+    dense = cal.join(df, on=[*key_cols, time_col], how="left")
+    marker = F.col(value_cols[0]).isNull()
+    dense = dense.withColumn("__synth", marker)
+    filled = forward_fill(dense, value_cols, key_cols, [time_col])
+    if synthetic_flag:
+        filled = filled.withColumn(synthetic_flag, F.col("__synth"))
+    filled = filled.drop("__synth")
+    if only_synthetic and synthetic_flag:
+        filled = filled.filter(F.col(synthetic_flag))
+    return filled
+
+
+def prior_valid_value(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    before: Column,
+    max_lookback_days: int = 7,
+) -> DataFrame:
+    """W7: last non-null value strictly before ``before`` within a
+    bounded walk-back (weekend/holiday tolerant, market.py:187-235)."""
+    lower = F.date_sub(before.cast("date"), max_lookback_days)
+    scoped = df.filter(
+        (F.col(time_col) < before) & (F.col(time_col) >= lower)
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(time_col).desc()
+    )
+    return (
+        scoped.filter(F.col(value_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

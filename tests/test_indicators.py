@@ -1,0 +1,147 @@
+"""Indicator parity tests — golden values from an independent NumPy
+re-derivation of the reference semantics
+(src/tastytrade/analytics/indicators/momentum.py)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.operators.indicators import ema, hull, macd, wma
+
+
+def ref_padded_wma(values, period, pad_value):
+    weights = np.arange(1, period + 1)
+    out = np.empty(len(values))
+    for i in range(len(values)):
+        if i + 1 < period:
+            window = np.concatenate(
+                (np.full(period - (i + 1), pad_value), values[: i + 1])
+            )
+        else:
+            window = values[i - period + 1 : i + 1]
+        out[i] = np.dot(window, weights) / weights.sum()
+    return out
+
+
+def ref_ema_seeded(values, length, seed):
+    alpha = 2.0 / (length + 1.0)
+    out = np.zeros(len(values))
+    if len(values) == 0:
+        return out
+    out[0] = alpha * values[0] + (1 - alpha) * seed
+    for i in range(1, len(values)):
+        out[i] = alpha * values[i] + (1 - alpha) * out[i - 1]
+    return out
+
+
+PRICES = [100.0, 101.5, 99.75, 102.25, 103.0, 101.0, 104.5, 105.25, 103.75, 106.0]
+
+
+@pytest.fixture(scope="module")
+def price_df(spark):
+    rows = [("SPX", i, float(p)) for i, p in enumerate(PRICES)]
+    return spark.createDataFrame(rows, "symbol string, t int, close double")
+
+
+def test_padded_wma_matches_reference(price_df):
+    out = (
+        wma(price_df, "close", 4, ["symbol"], ["t"], out_col="wma")
+        .orderBy("t")
+        .collect()
+    )
+    expected = ref_padded_wma(np.array(PRICES), 4, PRICES[0])
+    got = [r["wma"] for r in out]
+    assert got == pytest.approx(list(expected), abs=1e-9)
+
+
+def test_wma_custom_pad(price_df):
+    out = (
+        wma(price_df, "close", 3, ["symbol"], ["t"], pad_col=F.lit(50.0))
+        .orderBy("t")
+        .collect()
+    )
+    expected = ref_padded_wma(np.array(PRICES), 3, 50.0)
+    assert [r["wma"] for r in out] == pytest.approx(list(expected), abs=1e-9)
+
+
+def test_hull_matches_reference(price_df):
+    length = 4
+    out = (
+        hull(price_df, "close", length, ["symbol"], ["t"]).orderBy("t").collect()
+    )
+    vals = np.array(PRICES)
+    pad = PRICES[0]
+    half = int(round(length / 2))
+    sq = int(round(math.sqrt(length)))
+    diff = 2 * ref_padded_wma(vals, half, pad) - ref_padded_wma(vals, length, pad)
+    expected = ref_padded_wma(diff, sq, pad)
+    got = [r["HMA"] for r in out]
+    assert got == pytest.approx(list(expected), abs=1e-9)
+    prev = np.concatenate(([np.nan], expected[:-1]))
+    exp_color = np.where(expected > prev, "Up", "Down")
+    assert [r["HMA_color"] for r in out] == list(exp_color)
+
+
+def test_hull_multi_symbol_independent(spark):
+    rows = [("A", i, float(100 + i)) for i in range(8)] + [
+        ("B", i, float(200 - 3 * i)) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, t int, close double")
+    out = hull(df, "close", 4, ["symbol"], ["t"]).orderBy("symbol", "t").collect()
+    a = [r["HMA"] for r in out if r["symbol"] == "A"]
+    b = [r["HMA"] for r in out if r["symbol"] == "B"]
+    va = np.array([100.0 + i for i in range(8)])
+    vb = np.array([200.0 - 3 * i for i in range(8)])
+    ea = ref_padded_wma(2 * ref_padded_wma(va, 2, 100.0) - ref_padded_wma(va, 4, 100.0), 2, 100.0)
+    eb = ref_padded_wma(2 * ref_padded_wma(vb, 2, 200.0) - ref_padded_wma(vb, 4, 200.0), 2, 200.0)
+    assert a == pytest.approx(list(ea), abs=1e-9)
+    assert b == pytest.approx(list(eb), abs=1e-9)
+
+
+def test_ema_seeded_matches_reference(price_df):
+    out = (
+        ema(price_df, "close", 5, ["symbol"], ["t"], out_col="ema")
+        .orderBy("t")
+        .collect()
+    )
+    expected = ref_ema_seeded(np.array(PRICES), 5, PRICES[0])
+    assert [r["ema"] for r in out] == pytest.approx(list(expected), abs=1e-12)
+
+
+def test_ema_with_seed_column(spark):
+    rows = [("SPX", i, float(p), 98.5) for i, p in enumerate(PRICES)]
+    df = spark.createDataFrame(rows, "symbol string, t int, close double, prior double")
+    out = (
+        ema(df, "close", 5, ["symbol"], ["t"], seed_col="prior", out_col="ema")
+        .orderBy("t")
+        .collect()
+    )
+    expected = ref_ema_seeded(np.array(PRICES), 5, 98.5)
+    assert [r["ema"] for r in out] == pytest.approx(list(expected), abs=1e-12)
+
+
+def test_macd_matches_reference(price_df):
+    out = macd(
+        price_df, "close", ["symbol"], ["t"], fast_length=3, slow_length=6, macd_length=2
+    ).orderBy("t").collect()
+    vals = np.array(PRICES)
+    prior = PRICES[0]
+    value = ref_ema_seeded(vals, 3, prior) - ref_ema_seeded(vals, 6, prior)
+    avg = ref_ema_seeded(value, 2, 0.0)
+    diff = value - avg
+    assert [r["Value"] for r in out] == pytest.approx(list(value), abs=1e-12)
+    assert [r["avg"] for r in out] == pytest.approx(list(avg), abs=1e-12)
+    assert [r["diff"] for r in out] == pytest.approx(list(diff), abs=1e-12)
+    # 4-shade color ladder (momentum.py:165-183)
+    got_colors = [r["diff_color"] for r in out]
+    exp = []
+    for i, d in enumerate(diff):
+        if i == 0:
+            exp.append("#04FE00" if d > 0 else "#FE0000")
+        elif d > 0:
+            exp.append("#04FE00" if d > diff[i - 1] else "#006401")
+        else:
+            exp.append("#FE0000" if d < diff[i - 1] else "#7E0100")
+    assert got_colors == exp

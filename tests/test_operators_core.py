@@ -1,0 +1,164 @@
+"""Core relational operators: keep-last dedup, as-of join, gap fill,
+OHLCV candles, retention caps."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.operators.asof import asof_join
+from tastytrade_sdk_spark.operators.candles import ohlcv
+from tastytrade_sdk_spark.operators.dedup import (
+    keep_last,
+    merge_prefer_non_null,
+    retention_cap,
+)
+from tastytrade_sdk_spark.operators.gapfill import find_gaps, forward_fill, gap_fill
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_keep_last_takes_max_order(spark):
+    df = spark.createDataFrame(
+        [
+            ("A", ts(0), 1, 10.0),
+            ("A", ts(5), 2, 11.0),
+            ("A", ts(5), 3, 12.0),  # same ts, later seq wins
+            ("B", ts(1), 4, 20.0),
+        ],
+        "sym string, time timestamp, seq long, px double",
+    )
+    out = {r["sym"]: r for r in keep_last(df, ["sym"], ["time", "seq"]).collect()}
+    assert out["A"]["px"] == 12.0 and out["A"]["seq"] == 3
+    assert out["B"]["px"] == 20.0
+
+
+def test_candle_upsert_late_tick_updates_open_bar(spark):
+    # D2: late re-delivery of the same (sym,time) bar replaces it
+    df = spark.createDataFrame(
+        [
+            ("SPX", ts(0), 1, 100.0),
+            ("SPX", ts(5), 2, 101.0),
+            ("SPX", ts(0), 3, 99.5),  # late update of the first bar
+        ],
+        "sym string, time timestamp, arrival_seq long, close double",
+    )
+    out = keep_last(df, ["sym", "time"], ["arrival_seq"]).orderBy("time").collect()
+    assert [r["close"] for r in out] == [99.5, 101.0]
+
+
+def test_retention_cap(spark):
+    df = spark.createDataFrame(
+        [("A", i, float(i)) for i in range(10)], "sym string, seq int, v double"
+    )
+    out = retention_cap(df, ["sym"], ["seq"], 3).collect()
+    assert sorted(r["seq"] for r in out) == [7, 8, 9]
+
+
+def test_merge_prefer_non_null(spark):
+    df = spark.createDataFrame(
+        [("SPY", None, 1), ("SPY", ".SPY240101C", 2), ("QQQ", None, 3)],
+        "symbol string, streamer_symbol string, seq int",
+    )
+    out = {r["symbol"]: r for r in merge_prefer_non_null(df, ["symbol"], "streamer_symbol").collect()}
+    assert out["SPY"]["streamer_symbol"] == ".SPY240101C"
+    assert out["QQQ"]["streamer_symbol"] is None
+
+
+def test_asof_join_backward(spark):
+    signals = spark.createDataFrame(
+        [("A", ts(10), 1), ("A", ts(3), 2), ("A", ts(0), 3), ("B", ts(10), 4)],
+        "sym string, time timestamp, sid int",
+    )
+    quotes = spark.createDataFrame(
+        [("A", ts(1), 101.0, 1), ("A", ts(5), 105.0, 2), ("A", ts(10), 110.0, 3)],
+        "sym string, time timestamp, px double, seq long",
+    )
+    out = asof_join(
+        signals, quotes, on=["sym"], left_time="time", right_time="time",
+        value_cols=["px"], right_order="seq",
+    )
+    got = {r["sid"]: r["px"] for r in out.collect()}
+    assert got[1] == 110.0  # exact match inclusive
+    assert got[2] == 101.0
+    assert got[3] is None  # nothing at or before t0
+    assert got[4] is None  # no quotes for B
+
+
+def test_asof_join_skips_null_values(spark):
+    # reference walks back over null closes (publisher.py:117-124)
+    signals = spark.createDataFrame(
+        [("A", ts(10), 1)], "sym string, time timestamp, sid int"
+    )
+    quotes = spark.createDataFrame(
+        [("A", ts(1), 101.0, 1), ("A", ts(5), None, 2)],
+        "sym string, time timestamp, px double, seq long",
+    )
+    out = asof_join(
+        signals, quotes, on=["sym"], left_time="time", right_time="time",
+        value_cols=["px"], right_order="seq",
+    ).collect()
+    assert out[0]["px"] == 101.0
+
+
+def test_asof_same_ts_last_right_wins(spark):
+    signals = spark.createDataFrame(
+        [("A", ts(5), 1)], "sym string, time timestamp, sid int"
+    )
+    quotes = spark.createDataFrame(
+        [("A", ts(5), 100.0, 1), ("A", ts(5), 200.0, 2)],
+        "sym string, time timestamp, px double, seq long",
+    )
+    out = asof_join(
+        signals, quotes, on=["sym"], left_time="time", right_time="time",
+        value_cols=["px"], right_order="seq",
+    ).collect()
+    assert out[0]["px"] == 200.0
+
+
+def test_ohlcv(spark):
+    df = spark.createDataFrame(
+        [
+            ("SPX", ts(0), 100.0, 10.0, 1),
+            ("SPX", ts(10), 105.0, 5.0, 2),
+            ("SPX", ts(20), 95.0, 20.0, 3),
+            ("SPX", ts(59), 99.0, 1.0, 4),
+            ("SPX", ts(61), 50.0, 2.0, 5),
+        ],
+        "eventSymbol string, time timestamp, price double, size double, seq long",
+    )
+    out = {
+        r["time"]: r
+        for r in ohlcv(df, "eventSymbol", "time", "price", "size", "1 hour", "seq").collect()
+    }
+    bar = out[T0]
+    assert (bar["open"], bar["high"], bar["low"], bar["close"]) == (100.0, 105.0, 95.0, 99.0)
+    assert bar["volume"] == 36.0
+    vwap = (100 * 10 + 105 * 5 + 95 * 20 + 99 * 1) / 36.0
+    assert bar["vwap"] == pytest.approx(vwap)
+    assert out[T0 + dt.timedelta(hours=1)]["open"] == 50.0
+
+
+def test_gap_fill(spark):
+    df = spark.createDataFrame(
+        [("A", ts(0), 1.0), ("A", ts(60), 2.0), ("A", ts(240), 5.0)],
+        "sym string, time timestamp, v double",
+    )
+    gaps = find_gaps(df, ["sym"], "time", "1 hour").collect()
+    assert sorted(r["time"] for r in gaps) == [ts(120), ts(180)]
+    filled = gap_fill(df, ["sym"], "time", "1 hour", ["v"]).orderBy("time").collect()
+    assert [r["v"] for r in filled] == [1.0, 2.0, 2.0, 2.0, 5.0]
+    assert [r["is_synthetic"] for r in filled] == [False, False, True, True, False]
+
+
+def test_forward_fill(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 1.0), ("A", 2, None), ("A", 3, None), ("A", 4, 4.0), ("B", 1, None)],
+        "sym string, t int, v double",
+    )
+    out = forward_fill(df, ["v"], ["sym"], ["t"]).orderBy("sym", "t").collect()
+    assert [r["v"] for r in out] == [1.0, 1.0, 1.0, 4.0, None]

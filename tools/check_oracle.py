@@ -1,0 +1,131 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark AND its
+oracle_sql() twin on DuckDB (same parquet tables registered as views),
+then compares: row count, schema width, and order-insensitive values
+(columns sorted by name, rows sorted). Exact match required for
+non-floats; floats are compared exactly first and with 1e-9 tolerance
+second so we can tell a hash-risk from a real bug.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from tastytrade_sdk_spark.session import get_spark
+from tastytrade_sdk_spark.sources.tables import TABLE_NAMES
+
+import __spark_entry__ as entrymod
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def compare(name, spark_rows, duck_rows, spark_cols, duck_cols):
+    issues = []
+    if sorted(spark_cols) != sorted(duck_cols):
+        issues.append(f"SCHEMA cols differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return issues
+    if len(spark_rows) != len(duck_rows):
+        issues.append(f"ROWCOUNT spark={len(spark_rows)} duck={len(duck_rows)}")
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+
+    def key(row, idx):
+        return tuple(str(norm_cell(row[i])) for i in idx)
+
+    s_sorted = sorted([tuple(norm_cell(r[i]) for i in order) for r in spark_rows], key=lambda t: tuple(str(x) for x in t))
+    d_sorted = sorted([tuple(norm_cell(r[i]) for i in dorder) for r in duck_rows], key=lambda t: tuple(str(x) for x in t))
+    n_exact = 0
+    n_close = 0
+    n_diff = 0
+    example = None
+    for sr, dr in zip(s_sorted, d_sorted):
+        if sr == dr:
+            n_exact += 1
+            continue
+        close = True
+        for a, b in zip(sr, dr):
+            if a == b:
+                continue
+            if isinstance(a, float) and isinstance(b, float) and abs(a - b) <= 1e-9 * max(1, abs(a), abs(b)):
+                continue
+            close = False
+            break
+        if close:
+            n_close += 1
+        else:
+            n_diff += 1
+            if example is None:
+                example = (sr, dr)
+    if n_close or n_diff:
+        issues.append(f"VALUES exact={n_exact} close={n_close} diff={n_diff}")
+        if example:
+            issues.append(f"  example spark={example[0]}")
+            issues.append(f"  example duck ={example[1]}")
+    return issues
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check", cpus=8)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"✗ {name}: SPARK ERROR {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"~ {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s) — no oracle")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            duck_cols = rel.columns
+            duck_rows = rel.fetchall()
+        except Exception as e:
+            print(f"✗ {name}: DUCKDB ERROR {str(e)[:300]}")
+            failures += 1
+            continue
+        issues = compare(name, spark_rows, duck_rows, spark_cols, duck_cols)
+        if issues:
+            failures += 1
+            print(f"✗ {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+            for i in issues:
+                print(f"    {i}")
+        else:
+            print(f"✓ {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{'FAIL' if failures else 'PASS'}: {failures} failing")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
