@@ -81,9 +81,10 @@ def interval_to_ms(interval: Column | str) -> Column:
 def floor_time_to_interval(ts: Column | str, interval_ms: Column) -> Column:
     """Interval flooring (W8): epoch_ms // interval_ms * interval_ms as timestamp."""
     t = F.col(ts) if isinstance(ts, str) else ts
-    epoch_ms = (t.cast("double") * 1000).cast("long")
-    floored = (epoch_ms / interval_ms).cast("long") * interval_ms
-    return F.timestamp_millis(floored)
+    # unix_micros is exact; double-based epoch math loses sub-ms precision
+    epoch_ms = F.floor(F.unix_micros(t) / 1000)
+    floored = F.floor(epoch_ms / interval_ms) * interval_ms
+    return F.timestamp_millis(floored.cast("long"))
 
 
 def parse_occ_symbol(sym: Column | str) -> Column:

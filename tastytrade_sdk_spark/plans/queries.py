@@ -361,3 +361,380 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select(
         "user_id", F.col("bucket").alias("time"), "hour_value", "is_synthetic"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series indicators (W1-W4, W7) over derived candle/daily series
+# ---------------------------------------------------------------------------
+
+_HOURLY_CLOSE_CTE = """
+    WITH b AS (
+      SELECT event_type AS symbol, date_trunc('hour', ts) AS time, value, ts, event_id
+      FROM events
+    ), c AS (
+      SELECT symbol, time, value AS close
+      FROM b
+      QUALIFY row_number() OVER (
+        PARTITION BY symbol, time ORDER BY ts DESC, event_id DESC) = 1
+    )
+"""
+
+_DAILY_CTE = """
+    WITH daily AS (
+      -- CAST: DuckDB date_trunc('day') yields DATE; Spark yields TIMESTAMP
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             round(avg(value), 6) AS day_value
+      FROM events GROUP BY 1, 2
+    )
+"""
+
+
+def _hourly_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared derived series: last value per (event_type, hour) = candle close."""
+    ev = load_table(spark, "events", sf_dir)
+    return keep_last(
+        ev.select(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", F.col("ts")).alias("time"),
+            F.col("value").alias("close"),
+            "ts",
+            "event_id",
+        ),
+        ["symbol", "time"],
+        ["ts", "event_id"],
+    ).select("symbol", "time", "close")
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("day_value"))
+
+
+@_q(
+    "hull_ma_hourly",
+    _HOURLY_CLOSE_CTE
+    + """
+    , p AS (
+      SELECT symbol, time, close,
+             first_value(close) OVER (PARTITION BY symbol ORDER BY time) AS pad
+      FROM c
+    ), w AS (
+      SELECT symbol, time, close, pad,
+        (coalesce(lag(close, 1) OVER win, pad)*1 + close*2) / 3.0 AS wma2,
+        (coalesce(lag(close, 3) OVER win, pad)*1 + coalesce(lag(close, 2) OVER win, pad)*2
+         + coalesce(lag(close, 1) OVER win, pad)*3 + close*4) / 10.0 AS wma4
+      FROM p
+      WINDOW win AS (PARTITION BY symbol ORDER BY time)
+    ), d AS (
+      SELECT symbol, time, close, pad, 2*wma2 - wma4 AS hdiff FROM w
+    ), h AS (
+      SELECT symbol, time, close,
+        (coalesce(lag(hdiff, 1) OVER win, pad)*1 + hdiff*2) / 3.0 AS hma_raw
+      FROM d
+      WINDOW win AS (PARTITION BY symbol ORDER BY time)
+    )
+    SELECT symbol, time, close, round(hma_raw, 8) AS HMA,
+           CASE WHEN hma_raw > lag(hma_raw) OVER (PARTITION BY symbol ORDER BY time)
+                THEN 'Up' ELSE 'Down' END AS HMA_color
+    FROM h
+    """,
+)
+def hull_ma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 Hull MA (length=4 => WMA(2)/WMA(4)/WMA(2) chain) over hourly
+    candle closes, padded with the first close (momentum.py:43-98)."""
+    from tastytrade_sdk_spark.operators.indicators import hull as hull_op
+
+    candles = _hourly_close(spark, sf_dir)
+    out = hull_op(
+        candles, price_col="close", length=4,
+        partition_by=["symbol"], order_by=["time"],
+    )
+    return out.select(
+        "symbol", "time", "close", F.round(F.col("HMA"), 8).alias("HMA"), "HMA_color"
+    )
+
+
+@_q(
+    "ema_seeded_daily",
+    _DAILY_CTE
+    + """
+    , s AS (
+      SELECT user_id, day, day_value,
+             list(day_value) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr,
+             first_value(day_value) OVER (PARTITION BY user_id ORDER BY day) AS seed
+      FROM daily
+    )
+    SELECT user_id, day, day_value,
+           round(list_reduce(list_prepend(seed, arr),
+             (acc, x) -> acc*(1.0 - 2.0/13.0) + x*(2.0/13.0)), 8) AS ema
+    FROM s
+    """,
+)
+def ema_seeded_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 seeded EMA (n=12, seed = first value) over the per-user daily
+    series. The oracle replays the identical recurrence via
+    list_reduce — bit-identical to the Arrow kernel."""
+    from tastytrade_sdk_spark.operators.indicators import ema as ema_op
+
+    daily = _daily_series(spark, sf_dir)
+    out = ema_op(daily, "day_value", 12, ["user_id"], ["day"], out_col="ema")
+    return out.select(
+        "user_id", "day", "day_value", F.round(F.col("ema"), 8).alias("ema")
+    )
+
+
+@_q(
+    "macd_daily",
+    _DAILY_CTE
+    + """
+    , s AS (
+      SELECT user_id, day, day_value,
+             list(day_value) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr,
+             first_value(day_value) OVER (PARTITION BY user_id ORDER BY day) AS prior
+      FROM daily
+    ), v AS (
+      SELECT user_id, day, day_value,
+        list_reduce(list_prepend(prior, arr), (acc, x) -> acc*(1.0 - 2.0/13.0) + x*(2.0/13.0))
+        - list_reduce(list_prepend(prior, arr), (acc, x) -> acc*(1.0 - 2.0/27.0) + x*(2.0/27.0))
+          AS value
+      FROM s
+    ), v2 AS (
+      SELECT *, list(value) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS varr
+      FROM v
+    ), m AS (
+      SELECT user_id, day, day_value, value,
+        list_reduce(list_prepend(0.0, varr), (acc, x) -> acc*(1.0 - 2.0/10.0) + x*(2.0/10.0)) AS sig
+      FROM v2
+    ), d AS (
+      -- color ladder on the ROUNDED histogram: sub-epsilon fp noise in
+      -- value-sig must not flip a color
+      SELECT user_id, day, day_value, value, sig,
+             round(value - sig, 8) AS rdiff,
+             lag(round(value - sig, 8)) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      FROM m
+    )
+    SELECT user_id, day, day_value,
+           round(value, 8) AS macd_value, round(sig, 8) AS macd_avg,
+           rdiff AS macd_diff,
+           CASE WHEN rdiff > 0
+                THEN CASE WHEN prev IS NULL OR rdiff > prev THEN '#04FE00' ELSE '#006401' END
+                ELSE CASE WHEN prev IS NULL OR rdiff < prev THEN '#FE0000' ELSE '#7E0100' END
+           END AS diff_color
+    FROM d
+    """,
+)
+def macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 MACD(12,26,9): fast/slow EMAs seeded with the first value,
+    signal seeded 0.0, 4-shade histogram colors (momentum.py:116-193)."""
+    from tastytrade_sdk_spark.operators.indicators import macd as macd_op
+
+    daily = _daily_series(spark, sf_dir)
+    out = macd_op(
+        daily, price_col="day_value",
+        partition_by=["user_id"], order_by=["day"],
+    )
+    # recompute the color ladder from the ROUNDED histogram so an
+    # eps-scale residue (ema_fast - ema_slow when both seed from x0)
+    # cannot flip a shade
+    rdiff = F.round(F.col("diff"), 8)
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag(rdiff).over(w)
+    color = F.when(
+        rdiff > 0,
+        F.when(prev.isNull() | (rdiff > prev), "#04FE00").otherwise("#006401"),
+    ).otherwise(
+        F.when(prev.isNull() | (rdiff < prev), "#FE0000").otherwise("#7E0100")
+    )
+    return out.select(
+        "user_id", "day", "day_value",
+        F.round(F.col("Value"), 8).alias("macd_value"),
+        F.round(F.col("avg"), 8).alias("macd_avg"),
+        rdiff.alias("macd_diff"),
+        color.alias("diff_color"),
+    )
+
+
+@_q(
+    "prior_day_value",
+    _DAILY_CTE
+    + """
+    SELECT user_id, day AS prior_day, day_value AS prior_value
+    FROM daily
+    WHERE day < TIMESTAMP '2024-01-25' AND day >= TIMESTAMP '2024-01-18'
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY day DESC) = 1
+    """,
+)
+def prior_day_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 prior-day lookup with bounded walk-back (market.py:187-235):
+    last non-null daily value strictly before 2024-01-25, <=7 days back."""
+    from tastytrade_sdk_spark.operators.gapfill import prior_valid_value
+
+    daily = _daily_series(spark, sf_dir)
+    out = prior_valid_value(
+        daily, ["user_id"], "day", "day_value",
+        before=F.lit("2024-01-25").cast("timestamp"), max_lookback_days=7,
+    )
+    return out.select(
+        "user_id",
+        F.col("day").alias("prior_day"),
+        F.col("day_value").alias("prior_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (P4, P8, P9) and bucketing (W8)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "session_gated_activity",
+    """
+    WITH et AS (
+      SELECT user_id, value,
+             (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS ts_et
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS session_value
+    FROM et
+    WHERE hour(ts_et)*60 + minute(ts_et) >= 600
+      AND hour(ts_et)*60 + minute(ts_et) < 900
+    GROUP BY user_id
+    """,
+)
+def session_gated_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 session-time gating: only events between 10:00-15:00 ET
+    (hull_macd.py:119-133), aggregated per key."""
+    from tastytrade_sdk_spark.functions.scalar import in_session
+
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.filter(in_session("ts"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+    )
+
+
+@_q(
+    "bitmask_flag_filter",
+    """
+    WITH k AS (
+      SELECT event_id, user_id, event_type,
+             try_cast(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS flag
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, flag
+    FROM k WHERE (flag & 24) > 0
+    """,
+)
+def bitmask_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 eventFlags bitmask predicate (SNAPSHOT_END|SNIP = 0x18):
+    rows whose props flag has bit 0x08 or 0x10 set."""
+    ev = load_table(spark, "events", sf_dir)
+    flag = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    return (
+        ev.withColumn("flag", flag)
+        .filter(F.col("flag").bitwiseAND(24) > 0)
+        .select("event_id", "user_id", "event_type", "flag")
+    )
+
+
+@_q(
+    "interval_floor_5m",
+    """
+    SELECT event_type,
+           make_timestamp(((epoch_ms(ts) // 300000) * 300000) * 1000) AS bucket,
+           count(*) AS n, round(sum(value), 6) AS bucket_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def interval_floor_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 interval flooring: epoch_ms // interval * interval
+    (messages.py:189-203), here 5-minute buckets."""
+    from tastytrade_sdk_spark.functions.scalar import floor_time_to_interval
+
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.withColumn("bucket", floor_time_to_interval("ts", F.lit(300_000)))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("bucket_value"),
+        )
+    )
+
+
+@_q(
+    "weekday_order_counts",
+    """
+    SELECT dayname(o_orderdate) AS weekday,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE dayofweek(o_orderdate) BETWEEN 1 AND 5
+    GROUP BY 1
+    """,
+)
+def weekday_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 trading-day filter (skip weekends) + per-weekday rollup."""
+    from tastytrade_sdk_spark.functions.scalar import is_trading_day
+
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.filter(is_trading_day("o_orderdate"))
+        .groupBy(F.date_format("o_orderdate", "EEEE").alias("weekday"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@_q(
+    "closest_order_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_orderdate,
+           abs(date_diff('day', DATE '1997-06-15', CAST(o_orderdate AS DATE))) AS days_off
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY abs(date_diff('day', DATE '1997-06-15', CAST(o_orderdate AS DATE))), o_orderkey) = 1
+    """,
+)
+def closest_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/O6 closest-match rank: per group, the row minimizing
+    |date - target| (DTE nearest-expiration semantics,
+    option_chains.py:144-172)."""
+    orders = load_table(spark, "orders", sf_dir)
+    days_off = F.abs(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1997-06-15").cast("date")))
+    w = Window.partitionBy("o_orderpriority").orderBy(days_off.asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("days_off", days_off)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_orderpriority", "o_orderkey", "o_orderdate", "days_off")
+    )
+
+
+@_q(
+    "viewers_without_purchase",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def viewers_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 subscription diff (current - subscribed) as a left-anti join."""
+    ev = load_table(spark, "events", sf_dir)
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return viewers.join(buyers, "user_id", "left_anti")
