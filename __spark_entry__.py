@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from tastytrade_sdk_spark.plans.queries import ORACLE_SQL, QUERIES
+from tastytrade_sdk_spark.plans import ORACLE_SQL, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:

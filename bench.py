@@ -1,0 +1,93 @@
+"""Benchmark harness: runs the headline query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() materializes the whole
+plan; results are not collected to the driver). A warm-up pass of the
+cheapest query absorbs JVM/codegen startup so per-query numbers
+reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tastytrade_sdk_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: every operator family from SURVEY §2 is represented.
+HEADLINE = [
+    "pricing_summary",
+    "nation_revenue",
+    "supplier_weighted_price",
+    "latest_event_per_user",
+    "keep_last_upsert",
+    "top3_values_per_user",
+    "ohlcv_hourly",
+    "asof_entry_price",
+    "gap_fill_hourly",
+    "hull_ma_hourly",
+    "ema_seeded_daily",
+    "macd_daily",
+    "prior_day_value",
+    "session_gated_activity",
+    "bitmask_flag_filter",
+    "interval_floor_5m",
+    "weekday_order_counts",
+    "closest_order_per_priority",
+    "viewers_without_purchase",
+    "dedup_exact_text",
+    "text_quality_stats",
+    "langid_heuristic",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "knn_cosine_topk",
+    "ann_lsh_cosine",
+    "multimodal_payload_meta",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    def run(df) -> None:
+        # noop sink: fully materializes every column (count() would let
+        # Catalyst prune computed projections and fake the numbers)
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up: JVM + codegen + parquet footer caches
+    run(queries["pricing_summary"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        run(queries[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_suite_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

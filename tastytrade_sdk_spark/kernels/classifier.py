@@ -1,0 +1,477 @@
+"""Multi-leg option strategy classification (SURVEY §2.10).
+
+Greedy combinatorial pattern matcher re-expressed from the reference
+(src/tastytrade/analytics/strategies/patterns.py:48-704,
+classifier.py:104-163). Semantics preserved exactly — matcher priority
+order, greedy leg consumption, combination order — but decomposed
+differently: the iron-family and butterfly-family matchers here are
+single parameterized helpers instead of four near-identical functions.
+
+Deterministic by construction: legs are processed in input order
+(pass an ordered frame), combinations() follows that order, and the
+matcher list is fixed. Runs per-underlying via applyInPandas — groups
+are position portfolios (dozens of rows), so the O(C(n,4)) scan is
+trivial per group and parallelism is per-underlying.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from decimal import Decimal
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STOCK_TYPES = {"Equity", "Future", "Cryptocurrency"}
+
+
+@dataclass(frozen=True)
+class Leg:
+    symbol: str
+    underlying: str
+    instrument_type: str
+    signed_quantity: float
+    option_type: str | None = None  # 'C'/'P'
+    strike: Decimal | None = None
+    expiration: object | None = None  # datetime.date
+
+    @property
+    def is_long(self) -> bool:
+        return self.signed_quantity > 0
+
+    @property
+    def is_short(self) -> bool:
+        return self.signed_quantity < 0
+
+    @property
+    def is_option(self) -> bool:
+        return self.option_type in ("C", "P")
+
+    @property
+    def is_call(self) -> bool:
+        return self.option_type == "C"
+
+    @property
+    def is_put(self) -> bool:
+        return self.option_type == "P"
+
+    @property
+    def is_stock(self) -> bool:
+        return not self.is_option and self.instrument_type in STOCK_TYPES
+
+    @property
+    def abs_quantity(self) -> float:
+        return abs(self.signed_quantity)
+
+
+def _same_exp(legs) -> bool:
+    exps = {l.expiration for l in legs if l.expiration is not None}
+    return len(exps) == 1
+
+
+def _same_qty(legs) -> bool:
+    return len({l.abs_quantity for l in legs}) == 1
+
+
+def _split_pc(combo):
+    puts = sorted((l for l in combo if l.is_put), key=lambda x: x.strike or 0)
+    calls = sorted((l for l in combo if l.is_call), key=lambda x: x.strike or 0)
+    return puts, calls
+
+
+def _match_iron_family(legs, want: str):
+    """Iron condor / iron butterfly / iron BWB share one skeleton:
+    4 options, same exp+qty, long-low-put/short-high-put/
+    short-low-call/long-high-call; they differ only in the strike
+    relation (patterns.py:48-135,201-246)."""
+    options = [l for l in legs if l.is_option]
+    if len(options) < 4:
+        return None
+    for combo in combinations(options, 4):
+        combo = list(combo)
+        if not _same_exp(combo) or not _same_qty(combo):
+            continue
+        puts, calls = _split_pc(combo)
+        if len(puts) != 2 or len(calls) != 2:
+            continue
+        if not (puts[0].is_long and puts[1].is_short and calls[0].is_short and calls[1].is_long):
+            continue
+        if any(l.strike is None for l in combo):
+            continue
+        if want == "condor":
+            if puts[1].strike < calls[0].strike:
+                return "Iron Condor", combo
+        else:
+            if puts[1].strike != calls[0].strike:
+                continue
+            put_w = puts[1].strike - puts[0].strike
+            call_w = calls[1].strike - calls[0].strike
+            if want == "butterfly" and put_w == call_w:
+                return "Iron Butterfly", combo
+            if want == "bwb" and put_w != call_w:
+                return "Iron Broken Fly", combo
+    return None
+
+
+def _match_butterfly_family(legs, opt_type: str | None, broken: bool):
+    """1:2:1 butterflies (patterns.py:137-199,248-279): 3 same-type
+    options, same exp, long-short2x-long; equal wing spacing for the
+    regular fly, unequal for the broken wing. opt_type None => try
+    calls then puts (BWB definition)."""
+    for ot in ([opt_type] if opt_type else ["C", "P"]):
+        options = [l for l in legs if l.is_option and l.option_type == ot]
+        if len(options) < 3:
+            continue
+        for combo in combinations(options, 3):
+            trio = sorted(combo, key=lambda x: x.strike or 0)
+            if not _same_exp(trio):
+                continue
+            low, mid, high = trio
+            if any(l.strike is None for l in trio):
+                continue
+            equal_spacing = (mid.strike - low.strike) == (high.strike - mid.strike)
+            if broken == equal_spacing:
+                continue
+            if (
+                low.is_long
+                and mid.is_short
+                and high.is_long
+                and low.abs_quantity == high.abs_quantity
+                and mid.abs_quantity == 2 * low.abs_quantity
+            ):
+                if broken:
+                    return "Broken Fly", trio
+                return ("Call Butterfly" if ot == "C" else "Put Butterfly"), trio
+    return None
+
+
+def _match_covered_jade_lizard(legs):
+    stocks = [l for l in legs if l.is_stock and l.is_long]
+    options = [l for l in legs if l.is_option]
+    if not stocks or len(options) < 3:
+        return None
+    for combo in combinations(options, 3):
+        combo = list(combo)
+        if not _same_exp(combo):
+            continue
+        sp = [l for l in combo if l.is_put and l.is_short]
+        sc = [l for l in combo if l.is_call and l.is_short]
+        lc = [l for l in combo if l.is_call and l.is_long]
+        if len(sp) == 1 == len(sc) == len(lc):
+            if sc[0].strike is not None and lc[0].strike is not None and sc[0].strike < lc[0].strike:
+                return "Covered Jade Lizard", [stocks[0]] + combo
+    return None
+
+
+def _match_big_lizard(legs):
+    options = [l for l in legs if l.is_option]
+    if len(options) < 3:
+        return None
+    for combo in combinations(options, 3):
+        combo = list(combo)
+        if not _same_exp(combo):
+            continue
+        sc = [l for l in combo if l.is_call and l.is_short]
+        sp = [l for l in combo if l.is_put and l.is_short]
+        lc = [l for l in combo if l.is_call and l.is_long]
+        if len(sc) == 1 == len(sp) == len(lc):
+            if sc[0].strike != sp[0].strike:
+                continue
+            if lc[0].strike is not None and sc[0].strike is not None and lc[0].strike > sc[0].strike:
+                return "Big Lizard", combo
+    return None
+
+
+def _match_jade_lizard(legs):
+    options = [l for l in legs if l.is_option]
+    if len(options) < 3:
+        return None
+    for combo in combinations(options, 3):
+        combo = list(combo)
+        if not _same_exp(combo) or not _same_qty(combo):
+            continue
+        sp = [l for l in combo if l.is_put and l.is_short]
+        sc = [l for l in combo if l.is_call and l.is_short]
+        lc = [l for l in combo if l.is_call and l.is_long]
+        lp = [l for l in combo if l.is_put and l.is_long]
+        # variant A: short put + bear call spread
+        if len(sp) == 1 == len(sc) == len(lc):
+            if sc[0].strike is not None and lc[0].strike is not None and sc[0].strike < lc[0].strike:
+                return "Jade Lizard", combo
+        # variant B: short call + bull put spread
+        if len(sc) == 1 == len(sp) == len(lp):
+            if lp[0].strike is not None and sp[0].strike is not None and lp[0].strike < sp[0].strike:
+                return "Jade Lizard", combo
+    return None
+
+
+def _match_collar(legs):
+    stocks = [l for l in legs if l.is_stock and l.is_long]
+    options = [l for l in legs if l.is_option]
+    if not stocks or len(options) < 2:
+        return None
+    for combo in combinations(options, 2):
+        combo = list(combo)
+        if not _same_exp(combo):
+            continue
+        lp = [l for l in combo if l.is_put and l.is_long]
+        sc = [l for l in combo if l.is_call and l.is_short]
+        if len(lp) == 1 == len(sc):
+            return "Collar", [stocks[0]] + combo
+    return None
+
+
+def _match_covered_call(legs):
+    stocks = [l for l in legs if l.is_stock and l.is_long]
+    scs = [l for l in legs if l.is_option and l.is_call and l.is_short]
+    if stocks and scs:
+        return "Covered Call", [stocks[0], scs[0]]
+    return None
+
+
+def _match_protective_put(legs):
+    stocks = [l for l in legs if l.is_stock and l.is_long]
+    lps = [l for l in legs if l.is_option and l.is_put and l.is_long]
+    if stocks and lps:
+        return "Protective Put", [stocks[0], lps[0]]
+    return None
+
+
+def _match_vertical(legs):
+    options = [l for l in legs if l.is_option]
+    for a, b in combinations(options, 2):
+        if (
+            a.option_type != b.option_type
+            or a.expiration != b.expiration
+            or a.expiration is None
+            or a.strike == b.strike
+            or a.strike is None
+            or b.strike is None
+            or a.abs_quantity != b.abs_quantity
+        ):
+            continue
+        low, high = (a, b) if a.strike < b.strike else (b, a)
+        if a.is_call:
+            if low.is_long and high.is_short:
+                return "Bull Call Spread", [low, high]
+            if low.is_short and high.is_long:
+                return "Bear Call Spread", [low, high]
+        else:
+            if low.is_long and high.is_short:
+                return "Bear Put Spread", [low, high]
+            if low.is_short and high.is_long:
+                return "Bull Put Spread", [low, high]
+    return None
+
+
+def _match_ratio(legs):
+    options = [l for l in legs if l.is_option]
+    for a, b in combinations(options, 2):
+        if (
+            a.option_type != b.option_type
+            or a.expiration != b.expiration
+            or a.expiration is None
+            or a.strike == b.strike
+            or a.strike is None
+            or b.strike is None
+            or a.abs_quantity == b.abs_quantity
+        ):
+            continue
+        if (a.is_long and b.is_short) or (a.is_short and b.is_long):
+            return "Ratio Spread", [a, b]
+    return None
+
+
+def _match_pair_diff_type(legs):
+    """Straddle / strangle / synthetic share the call+put same-exp
+    skeleton (patterns.py:517-604); dispatch on strike/direction."""
+    options = [l for l in legs if l.is_option]
+    for a, b in combinations(options, 2):
+        if (
+            a.option_type == b.option_type
+            or a.expiration != b.expiration
+            or a.expiration is None
+            or a.abs_quantity != b.abs_quantity
+        ):
+            continue
+        same_strike = a.strike == b.strike and a.strike is not None
+        same_dir = a.is_long == b.is_long
+        if same_strike and same_dir:
+            return ("Long Straddle" if a.is_long else "Short Straddle"), [a, b]
+        if (
+            not same_strike
+            and a.strike is not None
+            and b.strike is not None
+            and same_dir
+        ):
+            return ("Long Strangle" if a.is_long else "Short Strangle"), [a, b]
+        if same_strike and not same_dir:
+            call = a if a.is_call else b
+            put = b if a.is_call else a
+            if call.is_long and put.is_short:
+                return "Synthetic Long", [a, b]
+            return "Synthetic Short", [a, b]
+    return None
+
+
+def _match_straddle(legs):
+    r = _match_pair_diff_type(legs)
+    return r if r and "Straddle" in r[0] else None
+
+
+def _match_strangle(legs):
+    r = _match_pair_diff_type(legs)
+    return r if r and "Strangle" in r[0] else None
+
+
+def _match_synthetic(legs):
+    r = _match_pair_diff_type(legs)
+    return r if r and "Synthetic" in r[0] else None
+
+
+def _match_calendar(legs):
+    options = [l for l in legs if l.is_option]
+    for a, b in combinations(options, 2):
+        if (
+            a.option_type == b.option_type
+            and a.strike == b.strike
+            and a.strike is not None
+            and a.expiration != b.expiration
+            and a.expiration is not None
+            and b.expiration is not None
+            and a.abs_quantity == b.abs_quantity
+        ):
+            return "Calendar Spread", [a, b]
+    return None
+
+
+def _match_diagonal(legs):
+    options = [l for l in legs if l.is_option]
+    for a, b in combinations(options, 2):
+        if (
+            a.option_type == b.option_type
+            and a.strike != b.strike
+            and a.strike is not None
+            and b.strike is not None
+            and a.expiration != b.expiration
+            and a.expiration is not None
+            and b.expiration is not None
+            and a.abs_quantity == b.abs_quantity
+        ):
+            return "Diagonal Spread", [a, b]
+    return None
+
+
+def _single_leg_type(leg: Leg) -> str:
+    if leg.instrument_type == "Equity" and not leg.is_option:
+        return "Long Stock" if leg.is_long else "Short Stock"
+    if leg.instrument_type == "Future" and not leg.is_option:
+        return "Long Future" if leg.is_long else "Short Future"
+    if leg.instrument_type == "Cryptocurrency" and not leg.is_option:
+        return "Long Crypto" if leg.is_long else "Short Crypto"
+    if leg.is_call:
+        return "Long Call" if leg.is_long else "Naked Call"
+    if leg.is_put:
+        return "Long Put" if leg.is_long else "Naked Put"
+    return "Custom"
+
+
+# Greedy priority order — mirrors patterns.py:678-704 exactly.
+MATCHERS = [
+    lambda legs: _match_iron_family(legs, "condor"),
+    lambda legs: _match_iron_family(legs, "butterfly"),
+    lambda legs: _match_iron_family(legs, "bwb"),
+    _match_covered_jade_lizard,
+    _match_big_lizard,
+    lambda legs: _match_butterfly_family(legs, "C", broken=False),
+    lambda legs: _match_butterfly_family(legs, "P", broken=False),
+    lambda legs: _match_butterfly_family(legs, None, broken=True),
+    _match_jade_lizard,
+    _match_collar,
+    _match_covered_call,
+    _match_protective_put,
+    _match_vertical,
+    _match_ratio,
+    _match_straddle,
+    _match_strangle,
+    _match_synthetic,
+    _match_calendar,
+    _match_diagonal,
+]
+
+
+def classify_group(legs: list[Leg]) -> list[tuple[str, list[Leg]]]:
+    """Greedy classification of one underlying's legs: each matcher
+    repeats until it stops matching, consuming legs; leftovers become
+    single-leg strategies (classifier.py:128-163)."""
+    remaining = list(legs)
+    out: list[tuple[str, list[Leg]]] = []
+    for matcher in MATCHERS:
+        while remaining:
+            res = matcher(remaining)
+            if res is None:
+                break
+            name, matched = res
+            out.append((name, matched))
+            matched_ids = {id(m) for m in matched}
+            remaining = [l for l in remaining if id(l) not in matched_ids]
+    for leg in remaining:
+        out.append((_single_leg_type(leg), [leg]))
+    return out
+
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("underlying", T.StringType()),
+        T.StructField("strategy_id", T.IntegerType()),
+        T.StructField("strategy_type", T.StringType()),
+        T.StructField("n_legs", T.IntegerType()),
+        T.StructField("leg_symbols", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def classify_strategies(
+    legs_df: DataFrame,
+    underlying_col: str = "underlying",
+    order_col: str = "symbol",
+) -> DataFrame:
+    """Spark entry: one row per detected strategy per underlying.
+
+    ``legs_df`` columns: symbol, underlying, instrument_type,
+    signed_quantity, option_type, strike, expiration. ``order_col``
+    fixes the leg processing order (greedy matching is order-dependent,
+    so determinism requires an explicit order).
+    """
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        legs = [
+            Leg(
+                symbol=r.symbol,
+                underlying=r.underlying,
+                instrument_type=r.instrument_type,
+                signed_quantity=float(r.signed_quantity),
+                option_type=(r.option_type if isinstance(r.option_type, str) else None),
+                strike=(Decimal(str(r.strike)) if pd.notna(r.strike) else None),
+                expiration=(r.expiration if pd.notna(r.expiration) else None),
+            )
+            for r in pdf.itertuples()
+        ]
+        rows = []
+        for i, (name, matched) in enumerate(classify_group(legs)):
+            rows.append(
+                {
+                    "underlying": legs[0].underlying if legs else None,
+                    "strategy_id": i,
+                    "strategy_type": name,
+                    "n_legs": len(matched),
+                    "leg_symbols": [m.symbol for m in matched],
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in RESULT_SCHEMA.fields])
+
+    return legs_df.groupBy(underlying_col).applyInPandas(kernel, RESULT_SCHEMA)

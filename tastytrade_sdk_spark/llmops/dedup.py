@@ -1,0 +1,234 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design (the whole point of these on Spark):
+
+- **exact**: hash-groupBy on md5(text) — one shuffle keyed by a
+  16-byte digest; no text comparison ever crosses the wire.
+- **MinHash + LSH**: per-doc signature (narrow projection, no
+  shuffle), band the signature, shuffle once on (band_id, band_hash),
+  and only docs sharing a band bucket are ever paired. Candidate
+  verification re-joins on doc_id. This is the O(n) path to near-dup
+  detection at 100 TB; brute-force pairing is O(n^2) and never runs.
+- **n-gram Jaccard**: exact verification join — explode distinct
+  shingles, self-join on shingle, count common / union. Used standalone
+  for small corpora or as the LSH verify stage.
+- **SimHash**: 32-bit fingerprint; near-dups = small Hamming distance,
+  found by exact-match on rotated/banded pieces or by distance filter
+  within LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.llmops.textops import (
+    minhash_signature,
+    shingles_expr,
+    simhash32,
+    tokens_expr,
+)
+
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition up to default parallelism when the source arrives in
+    fewer partitions (typical for one small parquet file locally; at
+    lake scale inputs are already wide and this is a no-op). The heavy
+    per-doc hashing work must not run single-task."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df
+
+
+# Deterministic MinHash coefficients (seeded LCG; a < 2^30, odd).
+_A0, _B0 = 1103515245, 12345
+
+
+def default_coeffs(k: int = 16) -> list[tuple[int, int]]:
+    coeffs = []
+    a, b = _A0, _B0
+    for _ in range(k):
+        a = (a * 1103515245 + 12345) % (1 << 30) | 1
+        b = (b * 69069 + 1) % (1 << 30)
+        coeffs.append((a, b))
+    return coeffs
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content digest: one row per distinct text with
+    the canonical (min) id and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as k flat columns sig_0..sig_{k-1}.
+
+    Plan shape: explode distinct shingles -> md5 ONCE per shingle ->
+    one hash-aggregate with k min()s (map-side partial agg). The naive
+    array-expression form (array_min(transform(...)) x k) gets inlined
+    k times by project-collapse and recomputes tokenization + md5 per
+    hash function — ~30x slower at sf0.1.
+    """
+    from tastytrade_sdk_spark.llmops.textops import h32
+
+    toks = tokens_expr(F.col(text_col))
+    sh = _spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_expr(toks, shingle_n))).alias("__sh"),
+    ).withColumn("__h", h32(F.col("__sh")))
+    from tastytrade_sdk_spark.llmops.textops import MERSENNE_PRIME
+
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE_PRIME)).alias(
+            f"sig_{i}"
+        )
+        for i, (a, b) in enumerate(default_coeffs(k))
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    # left join keeps shingle-less docs (NULL signature)
+    return df.select(id_col).join(sigs, id_col, "left")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing >=1 signature band.
+
+    k/bands rows per band; band key = md5 of the joined row values.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    assert k % bands == 0
+    rows = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("-", *parts)).alias("band_hash"),
+            )
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode tokens -> md5 once per token -> 32 conditional-sum
+    aggregates -> fingerprint. Same rationale as minhash_signatures:
+    the pure-expression form (simhash32) recomputes the token hash 32x
+    under project-collapse; the agg form hashes once per token."""
+    from tastytrade_sdk_spark.llmops.textops import h32
+
+    toks = _spread(df, id_col).select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("__tok")
+    ).withColumn("__h", h32(F.col("__tok")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1)
+        ).alias(f"__b{j}")
+        for j in range(32)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(32):
+        fp = fp + F.when(F.col(f"__b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    with_fp = sums.select(F.col(id_col), fp.alias("simhash"))
+    # empty-token docs never explode a row: simhash 0, matching the
+    # expression form (all bit sums 0 -> no bit set)
+    return (
+        df.select(id_col)
+        .join(with_fp, id_col, "left")
+        .select(id_col, F.coalesce("simhash", F.lit(0)).alias("simhash"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs with
+    |A ∩ B| / |A ∪ B| >= threshold (distinct shingles).
+
+    Plan: explode distinct shingles -> self-join on shingle (the only
+    shuffle, keyed by shingle) -> pair-count agg -> jaccard filter.
+    Docs sharing no shingle never meet, so cost tracks true overlap,
+    not n^2.
+    """
+    toks = tokens_expr(F.col(text_col))
+    sh = _spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_expr(toks, shingle_n))).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )

@@ -1,0 +1,161 @@
+"""Text-analysis primitives for training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen'd) — tokenization,
+word-shingling, 32-bit hashing, rolling fingerprints, quality stats,
+n-gram language ID. The exact token/hash definitions are part of the
+cross-engine contract (the DuckDB oracle replays them verbatim), so
+they are deliberately simple and locale-free:
+
+- tokens: lower(text) split on /[^a-z0-9]+/ with empties dropped
+- h32(s): first 8 hex digits of md5(s) as unsigned 32-bit int
+- shingle(i) = tokens[i] + ' ' + tokens[i+1] + ' ' + tokens[i+2]
+
+At 100 TB these are narrow per-row projections — no shuffle, scan-
+bound, and the md5-based hashing is stable across engines, JVM
+versions and cluster sizes (unlike xxhash64/hash which are fine
+within Spark but unusable as cross-system fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_PRIME = 4294967311  # smallest prime > 2^32
+FP_MOD = 1_000_000_007
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """lower + split on non-alphanumeric runs, empties removed."""
+    t = _c(text)
+    return F.filter(
+        F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != ""
+    )
+
+
+def shingles_expr(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined); [] when fewer than n tokens.
+
+    Guarded: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so the
+    short-doc case must short-circuit to an empty array.
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    parts = lambda i: [F.element_at(tokens, i + j) for j in range(n)]  # noqa: E731
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", *parts(i))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def h32(s: Column) -> Column:
+    """First 8 md5 hex digits as unsigned 32-bit integer (cross-engine
+    stable fingerprint hash)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(
+    shingles: Column, coeffs: list[tuple[int, int]]
+) -> list[Column]:
+    """One min-hash per (a, b) coefficient pair:
+    min over shingles of (a*h32(s) + b) mod MERSENNE_PRIME.
+
+    ``a`` must stay below 2^30 so a*h32 fits in a signed 64-bit int.
+    Returns NULL for docs with no shingles.
+    """
+    out = []
+    for a, b in coeffs:
+        assert a < (1 << 30)
+        hashed = F.transform(
+            shingles, lambda s: (F.lit(a) * h32(s) + F.lit(b)) % F.lit(MERSENNE_PRIME)
+        )
+        out.append(F.array_min(hashed))
+    return out
+
+
+def simhash32(tokens: Column) -> Column:
+    """32-bit SimHash over (duplicated) tokens: bit j of the output is
+    set iff sum over tokens of +/-1 (token-hash bit j) is positive."""
+    hashed = F.transform(tokens, h32)
+    fp = F.lit(0).cast("long")
+    for j in range(32):
+        bit_sum = F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << j)) > 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        fp = fp + F.when(bit_sum > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return fp
+
+
+def rolling_fingerprint(tokens: Column) -> Column:
+    """Polynomial rolling hash of the token-hash sequence:
+    acc = (acc*31 + h32(tok)) mod 1e9+7 — an order-sensitive document
+    fingerprint (content AND sequence)."""
+    return F.aggregate(
+        F.transform(tokens, h32),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(FP_MOD),
+    )
+
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une"),
+}
+
+
+def stopword_ratio(tokens: Column, stopwords=STOPWORDS) -> Column:
+    hits = F.size(F.filter(tokens, lambda t: t.isin(*stopwords)))
+    return hits / F.greatest(F.size(tokens), F.lit(1))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    return F.regexp_count(t, F.lit(r"[^a-zA-Z0-9\s]")) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+
+
+def quality_score(tokens: Column, text: Column | str) -> Column:
+    """Deterministic doc-quality heuristic in [0,1]: length saturation,
+    low punctuation, presence of function words (the reference-style
+    length/punct/stopword recipe)."""
+    length_term = F.least(F.size(tokens) / F.lit(100.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
+        + F.lit(0.3) * stopword_ratio(tokens)
+    )
+
+
+def langid_scores(tokens: Column) -> dict[str, Column]:
+    """Stopword-profile match count per language."""
+    return {
+        lang: F.size(F.filter(tokens, lambda t: t.isin(*words)))
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def predicted_lang(tokens: Column) -> Column:
+    """argmax of langid_scores, ties broken alphabetically; 'und'
+    (undetermined) when no profile word matches."""
+    scores = langid_scores(tokens)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        s = scores[lang]
+        # iterate reverse-alphabetically with >= so the alphabetically
+        # first language wins ties
+        cond = (s > 0) & (s >= best_score)
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best

@@ -1,0 +1,212 @@
+"""Kernel-backed correctness queries (SURVEY A5 LIFO, §2.10 classifier).
+
+The driver tables carry no transactions/positions, so deterministic
+fill/leg fixtures are DERIVED from events/part in-query (same
+derivation on both engines).
+
+- ``lifo_open_allocation``: opens-only scenario — LIFO reduces to a
+  reverse-cumulative-sum allocation, which IS SQL-expressible, so the
+  kernel gets a true DuckDB oracle.
+- ``lifo_entry_credit``: full scenario with closes (close-buffer
+  cancellation) — not SQL-expressible; rows-only check, with the
+  close-buffer semantics pinned by unit tests instead.
+- ``strategy_classification``: greedy combinatorial matcher over
+  synthesized option legs — order-dependent, not relational;
+  rows-only check + unit-test coverage of every pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.kernels.classifier import classify_strategies
+from tastytrade_sdk_spark.kernels.lifo import lifo_entry_credits
+from tastytrade_sdk_spark.sources.tables import load_table
+
+KERNEL_QUERIES: dict = {}
+KERNEL_ORACLE_SQL: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        KERNEL_QUERIES[name] = fn
+        if oracle is not None:
+            KERNEL_ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _synth_open_fills(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic opens-only fill synthesis from events:
+    purchase -> Buy to Open (Debit), view -> Sell to Open (Credit);
+    qty = 1 + event_id % 3; value = round(price*qty, 2)."""
+    ev = load_table(spark, "events", sf_dir)
+    f = ev.filter(F.col("event_type").isin("purchase", "view"))
+    qty = (F.lit(1) + F.col("event_id") % 3).cast("decimal(18,6)")
+    price = F.col("value").cast("decimal(18,6)")
+    amount = F.round(F.col("value") * (F.lit(1) + F.col("event_id") % 3), 2).cast(
+        "decimal(18,6)"
+    )
+    effect = F.when(F.col("event_type") == "view", "Credit").otherwise("Debit")
+    action = F.when(
+        F.col("event_type") == "view", "Sell to Open"
+    ).otherwise("Buy to Open")
+    fee = F.lit(0.5).cast("decimal(18,6)")
+    net = F.when(effect == "Credit", amount - fee).otherwise(amount + fee)
+    return f.select(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.col("ts").alias("executed_at"),
+        action.alias("action"),
+        qty.alias("quantity"),
+        price.alias("price"),
+        amount.cast("decimal(18,6)").alias("value"),
+        net.cast("decimal(18,6)").alias("net_value"),
+        effect.alias("value_effect"),
+    )
+
+
+def _synth_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+            ((F.col("user_id") % 7) + 1).cast("double").alias("quantity"),
+        )
+    )
+
+
+_SYNTH_SQL = """
+    fills AS (
+      SELECT 'U' || user_id AS symbol,
+             ts AS executed_at,
+             CASE WHEN event_type = 'view' THEN 'Sell to Open' ELSE 'Buy to Open' END AS action,
+             (1 + event_id % 3) AS qty,
+             value AS price,
+             round(value * (1 + event_id % 3), 2) AS amount,
+             CASE WHEN event_type = 'view' THEN 1 ELSE -1 END AS sign
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), pos AS (
+      SELECT 'U' || user_id AS symbol, (user_id % 7) + 1 AS r
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+"""
+
+
+@_q(
+    "lifo_open_allocation",
+    "WITH "
+    + _SYNTH_SQL
+    + """
+    , alloc AS (
+      SELECT f.symbol, f.qty, f.price, f.amount, f.sign, p.r,
+             coalesce(sum(f.qty) OVER (PARTITION BY f.symbol
+               ORDER BY f.executed_at DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM fills f JOIN pos p ON f.symbol = p.symbol
+    ), takes AS (
+      SELECT symbol, r, qty, price, amount, sign,
+             greatest(0, least(qty, r - cum_prev)) AS take
+      FROM alloc
+    )
+    SELECT t.symbol,
+           CASE WHEN sum(t.take) >= any_value(t.r)
+                THEN round(sum(t.amount * t.sign * t.take / t.qty), 4) END AS entry_credit,
+           CASE WHEN sum(t.take) >= any_value(t.r)
+                THEN round(sum(0.5 * t.take / t.qty), 4) END AS fees,
+           CASE WHEN sum(t.take) >= any_value(t.r)
+                THEN round(sum(t.price * t.take) / sum(t.take), 6) END AS weighted_price,
+           (sum(t.take) >= any_value(t.r)) AS covered
+    FROM takes t
+    GROUP BY t.symbol
+    """,
+)
+def lifo_open_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 LIFO replay, opens-only scenario: the kernel's newest-first
+    allocation equals a reverse cumulative-sum split, giving the
+    Arrow kernel a true SQL oracle."""
+    fills = _synth_open_fills(spark, sf_dir)
+    pos = _synth_positions(spark, sf_dir)
+    out = lifo_entry_credits(fills, pos)
+    return out.select(
+        "symbol",
+        F.round(F.col("entry_credit").cast("double"), 4).alias("entry_credit"),
+        F.round(F.col("fees").cast("double"), 4).alias("fees"),
+        F.round(F.col("weighted_price").cast("double"), 6).alias("weighted_price"),
+        "covered",
+    )
+
+
+@_q("lifo_entry_credit")  # rows-only: close-buffer replay is not SQL-expressible
+def lifo_entry_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 full LIFO replay including close-buffer cancellation
+    (clicks -> Buy to Close). Unit tests pin the buffer semantics;
+    the driver records a rows-only check here."""
+    ev = load_table(spark, "events", sf_dir)
+    f = ev.filter(F.col("event_type").isin("purchase", "view", "click"))
+    qty = (F.lit(1) + F.col("event_id") % 3).cast("decimal(18,6)")
+    amount = F.round(F.col("value") * (F.lit(1) + F.col("event_id") % 3), 2).cast(
+        "decimal(18,6)"
+    )
+    effect = F.when(F.col("event_type") == "view", "Credit").otherwise("Debit")
+    action = (
+        F.when(F.col("event_type") == "view", "Sell to Open")
+        .when(F.col("event_type") == "purchase", "Buy to Open")
+        .otherwise("Buy to Close")
+    )
+    fee = F.lit(0.5).cast("decimal(18,6)")
+    net = F.when(effect == "Credit", amount - fee).otherwise(amount + fee)
+    fills = f.select(
+        F.concat(F.lit("U"), F.col("user_id")).alias("symbol"),
+        F.col("ts").alias("executed_at"),
+        action.alias("action"),
+        qty.alias("quantity"),
+        F.col("value").cast("decimal(18,6)").alias("price"),
+        amount.alias("value"),
+        net.alias("net_value"),
+        effect.alias("value_effect"),
+    )
+    pos = _synth_positions(spark, sf_dir)
+    out = lifo_entry_credits(fills, pos)
+    return out.select(
+        "symbol",
+        F.round(F.col("entry_credit").cast("double"), 4).alias("entry_credit"),
+        F.round(F.col("fees").cast("double"), 4).alias("fees"),
+        F.round(F.col("weighted_price").cast("double"), 6).alias("weighted_price"),
+        "covered",
+    )
+
+
+@_q("strategy_classification")  # rows-only: greedy matcher is order-dependent
+def strategy_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 combinatorial strategy classifier over synthesized option
+    portfolios: each p_brand becomes an underlying whose parts form
+    option legs (strike = p_retailprice bucketed, direction/type from
+    p_size parity). Unit tests pin every pattern; this exercises the
+    distributed per-underlying kernel."""
+    part = load_table(spark, "part", sf_dir)
+    legs = part.select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("symbol"),
+        F.col("p_brand").alias("underlying"),
+        F.lit("Equity Option").alias("instrument_type"),
+        (
+            F.when(F.col("p_size") % 2 == 0, 1.0).otherwise(-1.0)
+            * ((F.col("p_partkey") % 3) + 1)
+        ).alias("signed_quantity"),
+        F.when(F.col("p_size") % 4 < 2, "C").otherwise("P").alias("option_type"),
+        (F.round(F.col("p_retailprice") / 100) * 10).cast("double").alias("strike"),
+        F.to_date(
+            F.concat(F.lit("2024-0"), ((F.col("p_size") % 3) + 1), F.lit("-15"))
+        ).alias("expiration"),
+    )
+    out = classify_strategies(legs)
+    return out.select(
+        "underlying",
+        "strategy_id",
+        "strategy_type",
+        "n_legs",
+        F.concat_ws(",", F.col("leg_symbols")).alias("leg_symbols"),
+    )

@@ -1,0 +1,177 @@
+"""LLM-pipeline operators: dedup family, similarity search, text
+analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.llmops.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from tastytrade_sdk_spark.llmops.multimodal import (
+    attach_payload_meta,
+    decode_image,
+    extract_features,
+    frame_sample_plan,
+)
+from tastytrade_sdk_spark.llmops.similarity import brute_force_topk, lsh_topk
+from tastytrade_sdk_spark.llmops.textops import (
+    predicted_lang,
+    quality_score,
+    rolling_fingerprint,
+    shingles_expr,
+    simhash32,
+    tokens_expr,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (3, "completely different content about spark engines and data"),
+    (4, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("Hello, World! foo-bar 42",)], "text string")
+    toks = df.select(tokens_expr("text").alias("t")).collect()[0]["t"]
+    assert toks == ["hello", "world", "foo", "bar", "42"]
+    sh = df.select(
+        shingles_expr(tokens_expr("text"), 3).alias("s")
+    ).collect()[0]["s"]
+    assert sh == ["hello world foo", "world foo bar", "foo bar 42"]
+    # fewer tokens than n => empty list
+    tiny = spark.createDataFrame([("one two",)], "text string")
+    assert tiny.select(shingles_expr(tokens_expr("text"), 3).alias("s")).collect()[0]["s"] == []
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs).collect()
+    by_count = sorted((r["n_docs"], r["canonical_id"]) for r in out)
+    assert (2, 0) in by_count  # docs 0,1 collapse, canonical = min id
+    assert len(out) == 4
+
+
+def test_minhash_near_dup_similarity(docs):
+    sigs = {r["doc_id"]: [r[f"sig_{i}"] for i in range(16)] for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical docs -> identical signatures
+    agree_near = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    agree_far = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert agree_near > agree_far  # near-dup agrees on more minhashes
+    assert all(s is None for s in sigs[4])  # <3 tokens -> no shingles
+
+
+def test_lsh_candidates_catch_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.4 <= out[(0, 2)] < 1.0
+    assert (0, 3) not in out
+
+
+def test_simhash_hamming(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fp[0] == fp[1]
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_brute_force_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, q, k=3).orderBy("rnk").collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine"] > 0.99
+    assert out[2]["cosine"] == -1.0
+
+
+def test_lsh_topk_recall_on_real_embeddings(spark):
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, k=5, n_planes=16, bands=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4  # banded LSH, 16 planes
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog in the house"), (2, "xyzzy plugh !!!")],
+        "doc_id long, text string",
+    )
+    toks = tokens_expr(F.col("text"))
+    out = df.select(
+        "doc_id",
+        F.round(quality_score(toks, "text"), 6).alias("q"),
+        predicted_lang(toks).alias("lang"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["q"] > rows[2]["q"]
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "und"
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["f"] for r in df.select("doc_id", rolling_fingerprint(tokens_expr(F.col("text"))).alias("f")).collect()}
+    assert out[1] != out[2]
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello world" * 200)), (2, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    meta = attach_payload_meta(df).select("doc_id", "media_meta.*").collect()
+    m = {r["doc_id"]: r for r in meta}
+    assert m[1]["n_bytes"] == 2200
+    assert len(m[1]["content_hash"]) == 32
+
+    feats = {r["doc_id"]: r["features"] for r in extract_features(df).collect()}
+    assert len(feats[1]) == 8 and feats[1][5] == 2200.0
+    assert feats[2] == [0.0] * 8
+
+    frames = frame_sample_plan(df, every_n_bytes=1024).collect()
+    offs = sorted(r["byte_offset"] for r in frames if r["doc_id"] == 1)
+    assert offs == [0, 1024, 2048]
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
