@@ -1,0 +1,77 @@
+"""NumPy indicator kernels shared by the Arrow operators and the
+signal engine (batch AND streaming use the same functions, which is
+what makes replay equivalence exact — SURVEY ST6).
+
+Semantics match src/tastytrade/analytics/indicators/momentum.py
+(re-expressed; see operators/indicators.py for the contract notes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def padded_wma_np(values: np.ndarray, period: int, pad_value: float) -> np.ndarray:
+    """Weighted MA (weights 1..period) with warm-up rows left-padded by
+    ``pad_value``. Vectorized via sliding windows over a padded array."""
+    n = len(values)
+    if n == 0:
+        return np.empty(0)
+    weights = np.arange(1, period + 1, dtype=float)
+    padded = np.concatenate((np.full(period - 1, float(pad_value)), values))
+    windows = np.lib.stride_tricks.sliding_window_view(padded, period)
+    return windows @ weights / weights.sum()
+
+
+def ema_seeded_np(values: np.ndarray, length: int, seed: float) -> np.ndarray:
+    """out[0] = a*x0 + (1-a)*seed; forward recurrence, a = 2/(n+1)."""
+    import pandas as pd
+
+    if len(values) == 0:
+        return np.empty(0)
+    alpha = 2.0 / (length + 1.0)
+    s = pd.Series(np.concatenate(([seed], np.asarray(values, dtype=float))))
+    return s.ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
+
+
+def hull_np(
+    closes: np.ndarray, length: int = 20, pad_value: float | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hull MA values + Up/Down colors (momentum.py:43-98)."""
+    closes = np.asarray(closes, dtype=float)
+    if len(closes) == 0:
+        return np.empty(0), np.empty(0, dtype=object)
+    if pad_value is None:
+        pad_value = float(closes[0])
+    half = int(round(length / 2))
+    sq = int(round(math.sqrt(length)))
+    diff = 2 * padded_wma_np(closes, half, pad_value) - padded_wma_np(
+        closes, length, pad_value
+    )
+    hma = padded_wma_np(diff, sq, pad_value)
+    prev = np.concatenate(([np.nan], hma[:-1]))
+    colors = np.where(hma > prev, "Up", "Down")
+    return hma, colors
+
+
+def macd_np(
+    closes: np.ndarray,
+    prior_close: float | None = None,
+    fast_length: int = 12,
+    slow_length: int = 26,
+    macd_length: int = 9,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(value, avg, diff) per momentum.py:116-163; fast/slow seeded by
+    prior_close (fallback first close), signal seeded 0.0."""
+    closes = np.asarray(closes, dtype=float)
+    if len(closes) == 0:
+        return np.empty(0), np.empty(0), np.empty(0)
+    if prior_close is None:
+        prior_close = float(closes[0])
+    value = ema_seeded_np(closes, fast_length, prior_close) - ema_seeded_np(
+        closes, slow_length, prior_close
+    )
+    avg = ema_seeded_np(value, macd_length, 0.0)
+    return value, avg, value - avg

@@ -210,3 +210,27 @@ def strategy_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_legs",
         F.concat_ws(",", F.col("leg_symbols")).alias("leg_symbols"),
     )
+
+
+@_q("signal_detection")  # rows-only: stateful feedback loop, not SQL-expressible
+def signal_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 Hull+MACD confluence signal engine over hourly candle closes
+    derived from the event stream. Batch form of the shared engine
+    loop; batch==streaming equivalence is pinned by tests
+    (tests/test_streaming.py::test_streaming_equals_batch)."""
+    from tastytrade_sdk_spark.operators.dedup import keep_last
+    from tastytrade_sdk_spark.streaming.signal_engine import detect_signals_batch
+
+    ev = load_table(spark, "events", sf_dir)
+    candles = keep_last(
+        ev.select(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", F.col("ts")).alias("time"),
+            F.col("value").alias("close"),
+            "ts",
+            "event_id",
+        ),
+        ["symbol", "time"],
+        ["ts", "event_id"],
+    ).select("symbol", "time", "close")
+    return detect_signals_batch(candles, hull_length=20)

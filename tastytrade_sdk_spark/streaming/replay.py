@@ -1,0 +1,93 @@
+"""Backtest replay harness (SURVEY ST6/ST8/ST9, K5, J5).
+
+Reference shape (src/tastytrade/backtest/replay.py:26-135,
+backtest/publisher.py:48-128): replay history chronologically through
+the SAME engine code as live, with indicator warm-up prepended before
+the backtest start and signals enriched with an as-of entry price from
+the pricing-interval candles.
+
+Spark form: replay is a batch query in event-time order — the engine
+symmetry is guaranteed because detect_signals_batch and
+detect_signals_streaming share one event loop. Warm-up candles are
+read but emissions before ``start`` are suppressed (ST8); entry
+pricing is the backward as-of join J5.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.operators.asof import asof_join
+from tastytrade_sdk_spark.streaming.signal_engine import detect_signals_batch
+
+# indicator warm-up per interval class (replay.py:26-31)
+WARMUP_DAYS = {"d": 45, "h": 5, "default": 3}
+
+
+def warmup_days_for(interval: str) -> int:
+    if interval.endswith("d"):
+        return WARMUP_DAYS["d"]
+    if interval.endswith("h"):
+        return WARMUP_DAYS["h"]
+    return WARMUP_DAYS["default"]
+
+
+def interleave_timeframes(
+    frames: list[tuple[DataFrame, int]], time_col: str = "time"
+) -> DataFrame:
+    """O5 multi-timeframe chronological interleave: union frames tagged
+    with their interval_ms, ordered (time, interval_ms) so the shorter
+    interval sorts first on ties (replay.py:173-203)."""
+    tagged = [
+        df.withColumn("interval_ms", F.lit(ms)) for df, ms in frames
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t, allowMissingColumns=True)
+    return out.orderBy(time_col, "interval_ms")
+
+
+def run_backtest(
+    signal_candles: DataFrame,
+    pricing_candles: DataFrame,
+    start: dt.datetime,
+    end: dt.datetime,
+    signal_interval: str = "5m",
+    symbol_col: str = "symbol",
+    time_col: str = "time",
+    close_col: str = "close",
+    hull_length: int = 20,
+) -> DataFrame:
+    """Replay signal-interval candles through the engine; suppress
+    warm-up emissions; as-of-enrich with pricing-interval entry price.
+
+    Returns the BacktestSignal-shaped frame (FIXTURES.md §10).
+    """
+    warmup = dt.timedelta(days=warmup_days_for(signal_interval))
+    scoped = signal_candles.filter(
+        (F.col(time_col) >= F.lit(start - warmup)) & (F.col(time_col) <= F.lit(end))
+    )
+    signals = detect_signals_batch(
+        scoped,
+        symbol_col=symbol_col,
+        time_col=time_col,
+        close_col=close_col,
+        hull_length=hull_length,
+    )
+    live = signals.filter(F.col("start_time") >= F.lit(start))  # ST8 suppress
+    pricing = pricing_candles.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(time_col).alias("p_time"),
+        F.col(close_col).alias("p_close"),
+    )
+    return asof_join(
+        live,
+        pricing,
+        on=["symbol"],
+        left_time="start_time",
+        right_time="p_time",
+        value_cols=["p_close"],
+    ).withColumnRenamed("p_close", "entry_price")

@@ -1,0 +1,304 @@
+"""Hull MA + MACD confluence signal engine (SURVEY ST1) — one core
+event loop shared by the batch and streaming forms, which is what
+makes backtest replay equivalence exact (ST6: "same candle sequence in
+batch and streaming must emit identical signal sequences").
+
+State machine re-expressed from the reference
+(src/tastytrade/analytics/engines/hull_macd.py:36-260):
+
+- per-symbol state: hull_direction, macd_position, armed directions,
+  independent bullish/bearish open flags, candle buffer (keep-last on
+  time, capped at CANDLE_CAP).
+- each candle: upsert into buffer; need >=2 candles; hull color of the
+  last row gives hull_dir; macd value>avg gives macd_pos.
+- before 10:00 ET: warm up only. CLOSEs always fire after that; no new
+  OPENs at/after 15:00 ET.
+- CLOSE on a single indicator flip against an open position
+  (hull flip first, else macd flip).
+- OPEN requires confluence: a flip arms its indicator's direction;
+  when both armed directions agree and that side isn't already open,
+  emit OPEN(trigger=confluence) and disarm both. Opposing armed
+  directions discard the older (the one that didn't just change).
+
+Execution: the engine is inherently sequential per symbol, so it runs
+as applyInPandas (batch) / applyInPandasWithState (streaming) keyed by
+symbol — Spark's unit of parallelism is the symbol, exactly like the
+reference's dict-of-states, but distributed.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+from zoneinfo import ZoneInfo
+
+import numpy as np
+
+from tastytrade_sdk_spark.functions.np_kernels import hull_np, macd_np
+
+CANDLE_CAP = 500
+ET = ZoneInfo("America/New_York")
+UTC = dt.timezone.utc
+DEFAULT_EARLIEST_ENTRY = dt.time(10, 0)
+DEFAULT_LATEST_ENTRY = dt.time(15, 0)
+
+SIGNAL_SCHEMA = (
+    "symbol string, start_time timestamp, signal_type string, direction string, "
+    "engine string, trigger string, hull_direction string, hull_value double, "
+    "macd_value double, macd_signal double, macd_histogram double, close_price double"
+)
+
+
+@dataclass
+class EngineState:
+    hull_direction: str | None = None
+    macd_position: str | None = None
+    hull_armed: str | None = None
+    macd_armed: str | None = None
+    bullish_open: bool = False
+    bearish_open: bool = False
+    times: list = field(default_factory=list)  # sorted, unique
+    closes: list = field(default_factory=list)
+    prior_close: float | None = None
+
+
+def _upsert_candle(state: EngineState, t, close: float) -> None:
+    """Keep-last upsert on time + sort + cap (hull_macd.py:140-151)."""
+    times, closes = state.times, state.closes
+    if times and t == times[-1]:
+        closes[-1] = close
+        return
+    if not times or t > times[-1]:
+        times.append(t)
+        closes.append(close)
+    else:
+        import bisect
+
+        i = bisect.bisect_left(times, t)
+        if i < len(times) and times[i] == t:
+            closes[i] = close
+        else:
+            times.insert(i, t)
+            closes.insert(i, close)
+    if len(times) > CANDLE_CAP:
+        del times[:-CANDLE_CAP]
+        del closes[:-CANDLE_CAP]
+
+
+def _et_time(t: dt.datetime) -> dt.time:
+    """Naive timestamps are naive-UTC per the data contract."""
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=UTC)
+    return t.astimezone(ET).time()
+
+
+def process_candle(
+    state: EngineState,
+    t,
+    close: float | None,
+    hull_length: int = 20,
+    earliest_entry: dt.time = DEFAULT_EARLIEST_ENTRY,
+    latest_entry: dt.time = DEFAULT_LATEST_ENTRY,
+) -> list[dict]:
+    """Feed one candle through the state machine; returns emitted
+    signal dicts (0..2 per candle)."""
+    if close is None or (isinstance(close, float) and np.isnan(close)):
+        return []
+    _upsert_candle(state, t, float(close))
+    if len(state.times) < 2:
+        return []
+
+    closes = np.asarray(state.closes, dtype=float)
+    pad = state.prior_close
+    hma, colors = hull_np(closes, hull_length, pad_value=pad)
+    value, avg, diff = macd_np(closes, prior_close=pad)
+    hull_dir = str(colors[-1])
+    macd_pos = "bullish" if value[-1] > avg[-1] else "bearish"
+
+    prev_hull, prev_macd = state.hull_direction, state.macd_position
+    state.hull_direction = hull_dir
+    state.macd_position = macd_pos
+    hull_changed = prev_hull is not None and hull_dir != prev_hull
+    macd_changed = prev_macd is not None and macd_pos != prev_macd
+
+    candle_et = _et_time(t)
+    if candle_et < earliest_entry:
+        return []
+
+    out: list[dict] = []
+
+    def emit(signal_type: str, direction: str, trigger: str) -> None:
+        out.append(
+            {
+                "start_time": t,
+                "signal_type": signal_type,
+                "direction": direction,
+                "engine": "hull_macd",
+                "trigger": trigger,
+                "hull_direction": state.hull_direction or "Unknown",
+                "hull_value": float(hma[-1]),
+                "macd_value": float(value[-1]),
+                "macd_signal": float(avg[-1]),
+                "macd_histogram": float(diff[-1]),
+                "close_price": float(close),
+            }
+        )
+
+    # CLOSEs always allowed in session (hull flip checked before macd)
+    if state.bullish_open:
+        if hull_changed and hull_dir == "Down":
+            emit("CLOSE", "BULLISH", "hull")
+            state.bullish_open = False
+        elif macd_changed and macd_pos == "bearish":
+            emit("CLOSE", "BULLISH", "macd")
+            state.bullish_open = False
+    if state.bearish_open:
+        if hull_changed and hull_dir == "Up":
+            emit("CLOSE", "BEARISH", "hull")
+            state.bearish_open = False
+        elif macd_changed and macd_pos == "bullish":
+            emit("CLOSE", "BEARISH", "macd")
+            state.bearish_open = False
+
+    if candle_et >= latest_entry:
+        return out
+
+    hull_sig = "BULLISH" if hull_dir == "Up" else "BEARISH"
+    macd_sig = "BULLISH" if macd_pos == "bullish" else "BEARISH"
+    if hull_changed:
+        state.hull_armed = hull_sig
+    if macd_changed:
+        state.macd_armed = macd_sig
+
+    if state.hull_armed and state.macd_armed:
+        if state.hull_armed == state.macd_armed:
+            direction = state.hull_armed
+            already_open = (direction == "BULLISH" and state.bullish_open) or (
+                direction == "BEARISH" and state.bearish_open
+            )
+            if not already_open:
+                emit("OPEN", direction, "confluence")
+                if direction == "BULLISH":
+                    state.bullish_open = True
+                else:
+                    state.bearish_open = True
+                state.hull_armed = None
+                state.macd_armed = None
+        else:
+            # opposing armed directions — discard the older
+            if hull_changed and not macd_changed:
+                state.macd_armed = None
+            elif macd_changed and not hull_changed:
+                state.hull_armed = None
+            else:
+                state.hull_armed = None
+                state.macd_armed = None
+    return out
+
+
+def run_engine(
+    events,
+    state: EngineState | None = None,
+    prior_close: float | None = None,
+    **kw,
+) -> tuple[list[dict], EngineState]:
+    """Run a sequence of (time, close) events through the machine.
+    Returns (signals, final_state) so callers can carry state across
+    micro-batches."""
+    state = state or EngineState()
+    if prior_close is not None:
+        state.prior_close = prior_close
+    signals: list[dict] = []
+    for t, close in events:
+        signals.extend(process_candle(state, t, close, **kw))
+    return signals, state
+
+
+# ---------------------------------------------------------------------------
+# Spark entry points
+# ---------------------------------------------------------------------------
+
+
+def detect_signals_batch(
+    candles,
+    symbol_col: str = "symbol",
+    time_col: str = "time",
+    close_col: str = "close",
+    prior_close_col: str | None = None,
+    hull_length: int = 20,
+):
+    """Batch twin: replay each symbol's candles in time order through
+    the identical engine loop (applyInPandas per symbol)."""
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col, kind="mergesort")
+        prior = None
+        if prior_close_col is not None and pdf[prior_close_col].notna().any():
+            prior = float(pdf[prior_close_col].dropna().iloc[0])
+        events = list(zip(pdf[time_col], pdf[close_col]))
+        signals, _ = run_engine(events, prior_close=prior, hull_length=hull_length)
+        sym = pdf[symbol_col].iloc[0]
+        rows = [{"symbol": sym, **s} for s in signals]
+        cols = [f.strip().split(" ")[0] for f in SIGNAL_SCHEMA.split(",")]
+        return pd.DataFrame(rows, columns=cols)
+
+    return candles.groupBy(symbol_col).applyInPandas(kernel, SIGNAL_SCHEMA)
+
+
+STATE_SCHEMA = (
+    "hull_direction string, macd_position string, hull_armed string, "
+    "macd_armed string, bullish_open boolean, bearish_open boolean, "
+    "times array<timestamp>, closes array<double>, prior_close double"
+)
+
+
+def detect_signals_streaming(
+    candle_stream,
+    symbol_col: str = "symbol",
+    time_col: str = "time",
+    close_col: str = "close",
+    hull_length: int = 20,
+):
+    """Streaming form via applyInPandasWithState: per-symbol state
+    carries the candle buffer and machine flags across micro-batches.
+    Feeding the same candles in N micro-batches or 1 batch emits the
+    identical signal sequence (asserted in tests)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def func(key, pdf_iter, group_state):
+        if group_state.exists:
+            (hd, mp, ha, ma, bo, beo, times, closes, pc) = group_state.get
+            state = EngineState(
+                hull_direction=hd, macd_position=mp, hull_armed=ha,
+                macd_armed=ma, bullish_open=bool(bo), bearish_open=bool(beo),
+                times=list(times or []), closes=list(closes or []),
+                prior_close=pc,
+            )
+        else:
+            state = EngineState()
+        all_signals = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(time_col, kind="mergesort")
+            events = list(zip(pdf[time_col], pdf[close_col]))
+            signals, state = run_engine(events, state=state, hull_length=hull_length)
+            all_signals.extend(signals)
+        group_state.update(
+            (
+                state.hull_direction, state.macd_position, state.hull_armed,
+                state.macd_armed, state.bullish_open, state.bearish_open,
+                list(state.times), list(state.closes), state.prior_close,
+            )
+        )
+        cols = [f.strip().split(" ")[0] for f in SIGNAL_SCHEMA.split(",")]
+        rows = [{"symbol": key[0], **s} for s in all_signals]
+        yield pd.DataFrame(rows, columns=cols)
+
+    return candle_stream.groupBy(symbol_col).applyInPandasWithState(
+        func,
+        outputStructType=SIGNAL_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,255 @@
+"""Streaming layer: signal engine state machine, batch/stream replay
+equivalence (ST6), watermarked candles, latest-table, upsert sinks."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.streaming.signal_engine import (
+    EngineState,
+    detect_signals_batch,
+    detect_signals_streaming,
+    run_engine,
+)
+
+# 14:40 UTC == 9:40 ET (EST): first candles warm up before the session
+BASE = dt.datetime(2024, 1, 15, 14, 40, 0)
+
+
+def candle_seq(closes, start=BASE, minutes=5):
+    return [(start + dt.timedelta(minutes=i * minutes), float(c)) for i, c in enumerate(closes)]
+
+
+def trending_series():
+    """Down-leg then strong up-leg then down-leg: produces hull+macd
+    flips and at least one confluence OPEN followed by a CLOSE."""
+    down1 = [100 - 0.8 * i for i in range(10)]
+    up = [down1[-1] + 1.5 * i for i in range(1, 16)]
+    down2 = [up[-1] - 2.0 * i for i in range(1, 11)]
+    return down1 + up + down2
+
+
+class TestStateMachine:
+    def test_no_signals_before_session(self):
+        # all candles before 10:00 ET
+        early = dt.datetime(2024, 1, 15, 13, 0, 0)  # 8:00 ET
+        sigs, _ = run_engine(candle_seq(trending_series(), start=early, minutes=1))
+        assert sigs == []
+
+    def test_confluence_open_then_close(self):
+        sigs, state = run_engine(candle_seq(trending_series()), hull_length=4)
+        types = [(s["signal_type"], s["direction"], s["trigger"]) for s in sigs]
+        assert ("OPEN", "BULLISH", "confluence") in types
+        # the down-leg closes the bullish position via a single flip
+        close_after_open = [
+            t for t in types[types.index(("OPEN", "BULLISH", "confluence")) :]
+            if t[0] == "CLOSE" and t[1] == "BULLISH"
+        ]
+        assert close_after_open, f"no CLOSE after OPEN in {types}"
+        assert close_after_open[0][2] in ("hull", "macd")
+
+    def test_no_duplicate_open_same_direction(self):
+        sigs, _ = run_engine(candle_seq(trending_series()), hull_length=4)
+        opens = [s for s in sigs if s["signal_type"] == "OPEN"]
+        seen = []
+        open_state = {"BULLISH": False, "BEARISH": False}
+        for s in sigs:
+            if s["signal_type"] == "OPEN":
+                assert not open_state[s["direction"]], "OPEN while already open"
+                open_state[s["direction"]] = True
+            else:
+                open_state[s["direction"]] = False
+        assert opens
+
+    def test_late_candle_update_reprocesses(self):
+        state = EngineState()
+        sigs1, state = run_engine(candle_seq([100, 101, 102]), state=state, hull_length=4)
+        # re-deliver the last bar with a new close: buffer upserts, not appends
+        t_last = BASE + dt.timedelta(minutes=10)
+        sigs2, state = run_engine([(t_last, 150.0)], state=state, hull_length=4)
+        assert len(state.times) == 3
+        assert state.closes[-1] == 150.0
+
+    def test_chunked_equals_whole(self):
+        """ST6 core property: state carried across chunks == one pass."""
+        series = candle_seq(trending_series())
+        whole, _ = run_engine(series, hull_length=4)
+        state = EngineState()
+        chunked = []
+        for i in range(0, len(series), 7):
+            sigs, state = run_engine(series[i : i + 7], state=state, hull_length=4)
+            chunked.extend(sigs)
+        assert whole == chunked
+
+
+class TestSparkSignalEngine:
+    def test_batch_detection(self, spark):
+        rows = [("SPX", t, c) for t, c in candle_seq(trending_series())] + [
+            ("NDX", t, c) for t, c in candle_seq([100.0] * 20)  # flat: no signals
+        ]
+        df = spark.createDataFrame(rows, "symbol string, time timestamp, close double")
+        out = detect_signals_batch(df, hull_length=4).collect()
+        by_sym = {}
+        for r in out:
+            by_sym.setdefault(r["symbol"], []).append(r)
+        assert "SPX" in by_sym and by_sym["SPX"]
+        assert "NDX" not in by_sym
+        # matches the pure-python engine exactly
+        expected, _ = run_engine(candle_seq(trending_series()), hull_length=4)
+        got = sorted(by_sym["SPX"], key=lambda r: (r["start_time"], r["signal_type"]))
+        exp = sorted(expected, key=lambda s: (s["start_time"], s["signal_type"]))
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            assert g["signal_type"] == e["signal_type"]
+            assert g["direction"] == e["direction"]
+            assert g["trigger"] == e["trigger"]
+            assert g["close_price"] == e["close_price"]
+
+    def test_streaming_equals_batch(self, spark):
+        """ST6: identical signal sequence from N micro-batches vs batch."""
+        series = candle_seq(trending_series())
+        rows = [("SPX", t, c) for t, c in series]
+        schema = "symbol string, time timestamp, close double"
+
+        src = tempfile.mkdtemp(prefix="cand_src_")
+        ckpt = tempfile.mkdtemp(prefix="cand_ckpt_")
+        try:
+            # two chronological chunks -> two files -> >=2 micro-batches
+            spark.createDataFrame(rows[:18], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = detect_signals_streaming(stream, hull_length=4)
+            q = (
+                out.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("sigs")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            spark.createDataFrame(rows[18:], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+            q.stop()
+            streamed = spark.sql("select * from sigs").collect()
+
+            batch_df = spark.createDataFrame(rows, schema)
+            batched = detect_signals_batch(batch_df, hull_length=4).collect()
+
+            key = lambda r: (r["start_time"], r["signal_type"], r["direction"], r["trigger"])  # noqa: E731
+            assert sorted(map(key, streamed)) == sorted(map(key, batched))
+            assert len(streamed) == len(batched) > 0
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class TestStreamingOps:
+    def test_streaming_ohlcv_and_latest(self, spark):
+        from tastytrade_sdk_spark.streaming.streams import (
+            streaming_latest,
+            streaming_ohlcv,
+        )
+
+        rows = [
+            ("A", BASE + dt.timedelta(minutes=m), 100.0 + m, float(m + 1))
+            for m in range(12)
+        ]
+        schema = "symbol string, time timestamp, price double, size double"
+        src = tempfile.mkdtemp(prefix="str_src_")
+        try:
+            spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+
+            # update mode: every trigger emits the bars it touched; the
+            # watermark bounds state, not emission
+            candles = streaming_ohlcv(
+                stream, interval="5 minutes", size_col="size", order_col="size"
+            )
+            q = (
+                candles.writeStream.outputMode("update")
+                .format("memory")
+                .queryName("cdl")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            got = {r["time"]: r for r in spark.sql("select * from cdl").collect()}
+            first = BASE.replace(minute=40)
+            assert first in got
+            bar = got[first]
+            assert bar["open"] == 100.0 and bar["close"] == 104.0
+            assert bar["volume"] == sum(range(1, 6))
+
+            latest = streaming_latest(stream, ["symbol"], "time")
+            q2 = (
+                latest.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName("lat")
+                .start()
+            )
+            q2.processAllAvailable()
+            q2.stop()
+            lat = spark.sql("select * from lat").collect()
+            assert len(lat) == 1
+            assert lat[0]["price"] == 111.0
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    def test_upsert_sink_absorbs_replay(self, spark):
+        """ST7: re-delivered micro-batch converges (idempotent merge)."""
+        from tastytrade_sdk_spark.streaming.sinks import upsert_parquet_batch
+
+        path = tempfile.mkdtemp(prefix="upsert_") + "/table"
+        b1 = spark.createDataFrame(
+            [("A", 1, 10.0), ("B", 1, 20.0)], "sym string, seq long, px double"
+        )
+        b2 = spark.createDataFrame(
+            [("A", 2, 11.0), ("B", 1, 20.0)], "sym string, seq long, px double"
+        )
+        upsert_parquet_batch(b1, path, ["sym"], ["seq"])
+        upsert_parquet_batch(b2, path, ["sym"], ["seq"])
+        upsert_parquet_batch(b2, path, ["sym"], ["seq"])  # replay
+        out = {r["sym"]: r for r in spark.read.parquet(path).collect()}
+        assert out["A"]["px"] == 11.0 and out["A"]["seq"] == 2
+        assert out["B"]["px"] == 20.0
+        assert len(out) == 2
+
+
+class TestBacktestReplay:
+    def test_backtest_warmup_and_entry_price(self, spark):
+        from tastytrade_sdk_spark.streaming.replay import run_backtest, warmup_days_for
+
+        assert warmup_days_for("d") == 45
+        assert warmup_days_for("h") == 5
+        assert warmup_days_for("5m") == 3
+
+        series = candle_seq(trending_series())
+        sig = spark.createDataFrame(
+            [("SPX", t, c) for t, c in series], "symbol string, time timestamp, close double"
+        )
+        # pricing candles: 1-minute grid with distinct values
+        pricing = spark.createDataFrame(
+            [
+                ("SPX", BASE + dt.timedelta(minutes=m), 1000.0 + m)
+                for m in range(0, 200)
+            ],
+            "symbol string, time timestamp, close double",
+        )
+        start = BASE  # no warmup suppression for this fixture
+        end = BASE + dt.timedelta(hours=4)
+        out = run_backtest(sig, pricing, start, end, signal_interval="5m", hull_length=4).collect()
+        assert out, "backtest produced no signals"
+        for r in out:
+            minutes = int((r["start_time"] - BASE).total_seconds() // 60)
+            assert r["entry_price"] == 1000.0 + minutes  # exact as-of match
