@@ -1,0 +1,562 @@
+"""Domain-semantics correctness queries: the account-analytics
+aggregation contracts (A2-A4), scalar parsing library (§2.9), and the
+remaining filter/window/set-op [Q]s.
+
+Fixtures are derived in-query from the driver tables with the same
+deterministic derivation on both engines (comments note the mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.sources.tables import load_table
+
+DOMAIN_QUERIES: dict = {}
+DOMAIN_ORACLE_SQL: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        DOMAIN_QUERIES[name] = fn
+        if oracle is not None:
+            DOMAIN_ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "strategy_net_greeks",
+    """
+    WITH legs AS (
+      SELECT l_orderkey,
+             CASE WHEN l_linenumber % 5 = 0 THEN NULL
+                  ELSE round(l_discount - 0.05, 4) END AS delta,
+             CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END AS signed_qty
+      FROM lineitem
+    )
+    SELECT l_orderkey,
+           CASE WHEN count(delta) = 0 THEN NULL
+                ELSE round(sum(delta * signed_qty), 4) END AS net_delta,
+           count(*) AS n_legs
+    FROM legs GROUP BY l_orderkey
+    """,
+)
+def strategy_net_greeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 net-Greeks contract: sum(greek*signed_qty) rounded 4dp with
+    the all-legs-null => NULL rule (strategies/models.py:159-215)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    delta = F.when(
+        F.col("l_linenumber") % 5 == 0, F.lit(None)
+    ).otherwise(F.round(F.col("l_discount") - 0.05, 4))
+    signed_qty = F.when(
+        F.col("l_returnflag") == "R", -F.col("l_quantity")
+    ).otherwise(F.col("l_quantity"))
+    legs = li.select("l_orderkey", delta.alias("delta"), signed_qty.alias("signed_qty"))
+    return legs.groupBy("l_orderkey").agg(
+        F.when(F.count("delta") == 0, F.lit(None))
+        .otherwise(F.round(F.sum(F.col("delta") * F.col("signed_qty")), 4))
+        .alias("net_delta"),
+        F.count(F.lit(1)).alias("n_legs"),
+    )
+
+
+@_q(
+    "strategy_rollups",
+    """
+    WITH legs AS (
+      SELECT l_orderkey, l_shipdate,
+             round(l_extendedprice / 100, 0) AS strike
+      FROM lineitem
+    )
+    SELECT l_orderkey,
+           min(l_shipdate) AS min_expiration,
+           round(max(strike) - min(strike), 2) AS width,
+           count(DISTINCT strike) AS n_strikes
+    FROM legs GROUP BY l_orderkey
+    """,
+)
+def strategy_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 rollups: min expiration + strike width = max-min over the
+    distinct strike set (strategies/models.py:217-237)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    legs = li.select(
+        "l_orderkey",
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") / 100, 0).alias("strike"),
+    )
+    return legs.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("min_expiration"),
+        F.round(F.max("strike") - F.min("strike"), 2).alias("width"),
+        F.countDistinct("strike").alias("n_strikes"),
+    )
+
+
+@_q(
+    "campaign_summary",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_chains,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                          ELSE -o_totalprice END), 2) AS realized,
+           round(sum(round(o_totalprice * 0.001, 2)), 2) AS fees,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                          ELSE -o_totalprice END)
+                 - sum(round(o_totalprice * 0.001, 2)), 2) AS net,
+           round(greatest(0,
+                 -(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                            ELSE -o_totalprice END)
+                   - sum(round(o_totalprice * 0.001, 2)))), 2) AS recovery
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def campaign_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 campaign summary: Credit/Debit-signed sums, fee totals,
+    net, and recovery = max(0, -net) (positions.py:277-381)."""
+    orders = load_table(spark, "orders", sf_dir)
+    signed = F.when(
+        F.col("o_orderstatus") == "F", F.col("o_totalprice")
+    ).otherwise(-F.col("o_totalprice"))
+    fee = F.round(F.col("o_totalprice") * 0.001, 2)
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_chains"),
+        F.round(F.sum(signed), 2).alias("realized"),
+        F.round(F.sum(fee), 2).alias("fees"),
+        F.round(F.sum(signed) - F.sum(fee), 2).alias("net"),
+        F.round(F.greatest(F.lit(0), -(F.sum(signed) - F.sum(fee))), 2).alias(
+            "recovery"
+        ),
+    )
+    return agg
+
+
+@_q(
+    "occ_symbol_parse",
+    """
+    WITH syms AS (
+      SELECT p_partkey,
+             rpad(substring(p_brand, 7, 2), 6, ' ') || '260306'
+               || CASE WHEN p_size % 2 = 0 THEN 'C' ELSE 'P' END
+               || lpad(CAST(CAST(round(p_retailprice * 10, 0) AS BIGINT) AS VARCHAR), 8, '0')
+               AS occ
+      FROM part
+    )
+    SELECT p_partkey, occ,
+           trim(substring(occ, 1, 6)) AS root,
+           CAST(strptime(substring(occ, 7, 6), '%y%m%d') AS DATE) AS expiration_date,
+           substring(occ, 13, 1) AS option_type,
+           round(CAST(substring(occ, 14, 8) AS BIGINT) / 1000.0, 6) AS strike
+    FROM syms
+    """,
+)
+def occ_symbol_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 OCC option-symbol parse (root + YYMMDD + C/P + strike*1000,
+    streamer.py:60-99) over synthesized 21-char symbols."""
+    from tastytrade_sdk_spark.functions.scalar import parse_occ_symbol
+
+    part = load_table(spark, "part", sf_dir)
+    occ = F.concat(
+        F.rpad(F.substring(F.col("p_brand"), 7, 2), 6, " "),
+        F.lit("260306"),
+        F.when(F.col("p_size") % 2 == 0, "C").otherwise("P"),
+        F.lpad(
+            F.round(F.col("p_retailprice") * 10, 0).cast("bigint").cast("string"),
+            8,
+            "0",
+        ),
+    )
+    parsed = parse_occ_symbol(F.col("occ"))
+    return (
+        part.select("p_partkey", occ.alias("occ"))
+        .select(
+            "p_partkey",
+            "occ",
+            parsed["root"].alias("root"),
+            parsed["expiration_date"].alias("expiration_date"),
+            parsed["option_type"].alias("option_type"),
+            F.round(parsed["strike_price"].cast("double"), 6).alias("strike"),
+        )
+    )
+
+
+@_q(
+    "candle_symbol_roundtrip",
+    """
+    WITH syms AS (
+      SELECT event_id,
+             event_type || '{=' || ((user_id % 3) + 1) || 'm}' AS decorated
+      FROM events
+    )
+    SELECT event_id, decorated,
+           regexp_extract(decorated, '^([^{]+)', 1) AS base_symbol,
+           regexp_extract(decorated, '\\{=([^}]+)\\}', 1) AS interval
+    FROM syms
+    """,
+)
+def candle_symbol_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 decorated candle symbol SPX{=5m} format + parse
+    (helpers.py:33-47)."""
+    from tastytrade_sdk_spark.functions.scalar import (
+        format_candle_symbol,
+        parse_candle_symbol,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    decorated = format_candle_symbol(
+        F.col("event_type"),
+        F.concat(((F.col("user_id") % 3) + 1).cast("string"), F.lit("m")),
+    )
+    base, interval = parse_candle_symbol(F.col("decorated"))
+    return ev.select("event_id", decorated.alias("decorated")).select(
+        "event_id",
+        "decorated",
+        base.alias("base_symbol"),
+        F.coalesce(interval, F.lit("")).alias("interval"),
+    )
+
+
+@_q(
+    "interval_parse_ms",
+    """
+    WITH iv AS (
+      SELECT event_id,
+             CASE user_id % 5 WHEN 0 THEN '5m' WHEN 1 THEN 'h'
+                              WHEN 2 THEN '2d' WHEN 3 THEN '30s'
+                              ELSE 'w' END AS interval
+      FROM events
+    )
+    SELECT event_id, interval,
+           CASE interval WHEN '5m' THEN 300000 WHEN 'h' THEN 3600000
+                         WHEN '2d' THEN 172800000 WHEN '30s' THEN 30000
+                         ELSE 604800000 END AS interval_ms
+    FROM iv
+    """,
+)
+def interval_parse_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 interval-string parse (\\d*)([smhdw]) -> ms
+    (messages.py:133-180). Spark parses with the real regex operator;
+    the oracle pins expected values."""
+    from tastytrade_sdk_spark.functions.scalar import interval_to_ms
+
+    ev = load_table(spark, "events", sf_dir)
+    interval = (
+        F.when(F.col("user_id") % 5 == 0, "5m")
+        .when(F.col("user_id") % 5 == 1, "h")
+        .when(F.col("user_id") % 5 == 2, "2d")
+        .when(F.col("user_id") % 5 == 3, "30s")
+        .otherwise("w")
+    )
+    return ev.select("event_id", interval.alias("interval")).select(
+        "event_id", "interval", interval_to_ms("interval").alias("interval_ms")
+    )
+
+
+@_q(
+    "float_boundary_coercion",
+    """
+    WITH v AS (
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 0 THEN 'NaN'::DOUBLE
+                  WHEN event_id % 13 = 0 THEN 'Infinity'::DOUBLE
+                  ELSE value / 3.0 END AS raw
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN isnan(raw) OR isinf(raw) THEN NULL
+                ELSE round(raw, 10) END AS clean
+    FROM v
+    """,
+)
+def float_boundary_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 boundary validation: NaN/inf -> NULL + 10dp rounding
+    (events.py:37-53) over injected boundary values."""
+    from tastytrade_sdk_spark.functions.scalar import clean_float
+
+    ev = load_table(spark, "events", sf_dir)
+    raw = (
+        F.when(F.col("event_id") % 11 == 0, F.lit(float("nan")))
+        .when(F.col("event_id") % 13 == 0, F.lit(float("inf")))
+        .otherwise(F.col("value") / 3.0)
+    )
+    return ev.select("event_id", raw.alias("raw")).select(
+        "event_id", clean_float("raw").alias("clean")
+    )
+
+
+@_q(
+    "zero_null_price_filter",
+    """
+    WITH px AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 7 = 0 THEN 0.0
+                  WHEN event_id % 17 = 0 THEN NULL
+                  ELSE value END AS close
+      FROM events
+    )
+    SELECT event_id, user_id, close FROM px
+    WHERE close IS NOT NULL AND close != 0
+    """,
+)
+def zero_null_price_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 zero/null close filter (charting/server.py:264-267)."""
+    ev = load_table(spark, "events", sf_dir)
+    close = (
+        F.when(F.col("event_id") % 7 == 0, 0.0)
+        .when(F.col("event_id") % 17 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+    )
+    return (
+        ev.select("event_id", "user_id", close.alias("close"))
+        .filter(F.col("close").isNotNull() & (F.col("close") != 0))
+    )
+
+
+@_q(
+    "distinct_event_types_per_user",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def distinct_event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 distinct-set aggregation (collect_set), sorted for
+    deterministic comparison."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+            "event_types"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@_q(
+    "period_close_advance",
+    """
+    WITH o AS (
+      SELECT event_type, ts, event_id, value,
+             date_trunc('hour', ts) AS epoch,
+             lag(date_trunc('hour', ts)) OVER w AS prev_epoch,
+             lag(value) OVER w AS prev_value,
+             lag(event_id) OVER w AS prev_event_id
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, ts AS advance_ts, prev_event_id, prev_value AS period_close
+    FROM o WHERE prev_epoch IS NOT NULL AND epoch != prev_epoch
+    """,
+)
+def period_close_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 indicator advance-on-period-close: detect epoch change and
+    emit the PREVIOUS row's value as the closed-period final value
+    (charting/server.py:359-411)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    epoch = F.date_trunc("hour", F.col("ts"))
+    out = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        epoch.alias("epoch"),
+        F.lag(epoch).over(w).alias("prev_epoch"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+    )
+    return out.filter(
+        F.col("prev_epoch").isNotNull() & (F.col("epoch") != F.col("prev_epoch"))
+    ).select(
+        "event_type",
+        F.col("ts").alias("advance_ts"),
+        "prev_event_id",
+        F.col("prev_value").alias("period_close"),
+    )
+
+
+@_q(
+    "union_timeframes",
+    """
+    WITH hourly AS (
+      SELECT event_type AS symbol, date_trunc('hour', ts) AS time,
+             round(sum(value), 6) AS bucket_value,
+             3600000 AS interval_ms
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS TIMESTAMP) AS time,
+             round(sum(value), 6) AS bucket_value,
+             86400000 AS interval_ms
+      FROM events GROUP BY 1, 2
+    )
+    SELECT * FROM hourly UNION ALL SELECT * FROM daily
+    """,
+)
+def union_timeframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO2/O5 multi-timeframe union with interval tags (the replay
+    interleave's relational core, replay.py:173-203)."""
+    ev = load_table(spark, "events", sf_dir)
+
+    def bucketed(trunc: str, ms: int) -> DataFrame:
+        return ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc(trunc, F.col("ts")).alias("time"),
+        ).agg(
+            F.round(F.sum("value"), 6).alias("bucket_value"),
+        ).withColumn("interval_ms", F.lit(ms))
+
+    return bucketed("hour", 3_600_000).unionByName(bucketed("day", 86_400_000))
+
+
+@_q(
+    "merge_prefer_streamer",
+    """
+    WITH p AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 3 = 0 THEN NULL
+                  ELSE 'S' || event_id END AS streamer_symbol
+      FROM events
+    )
+    SELECT user_id, event_id, streamer_symbol
+    FROM p
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY (streamer_symbol IS NULL), ts DESC, event_id DESC) = 1
+    """,
+)
+def merge_prefer_streamer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 duplicate-position merge: prefer the record carrying a
+    streamer_symbol (positions.py:536-554), tiebreak newest."""
+    from tastytrade_sdk_spark.operators.dedup import merge_prefer_non_null
+
+    ev = load_table(spark, "events", sf_dir)
+    streamer = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(
+        F.concat(F.lit("S"), F.col("event_id"))
+    )
+    p = ev.select("user_id", "event_id", "ts", streamer.alias("streamer_symbol"))
+    return merge_prefer_non_null(
+        p, ["user_id"], "streamer_symbol", ["ts", "event_id"]
+    ).select("user_id", "event_id", "streamer_symbol")
+
+
+@_q(
+    "compact_decode_roundtrip",
+    """
+    SELECT event_id, event_type, value, ts FROM events
+    """,
+)
+def compact_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 COMPACT positional decode: pack pairs of events into flat
+    string arrays (the wire format), decode back through the
+    schema-projected parser — output must equal the source rows."""
+    from pyspark.sql import types as T
+
+    from tastytrade_sdk_spark.sources.compact import decode_compact
+
+    ev = load_table(spark, "events", sf_dir)
+    fields = F.array(
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+    )
+    packed = (
+        ev.select((F.col("event_id") / 2).cast("long").alias("pair"),
+                  F.col("event_id").alias("eid"), fields.alias("f"))
+        .groupBy("pair")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("eid", "f"))),
+                    lambda s: s["f"],
+                )
+            ).alias("data")
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    return decode_compact(packed, "data", schema, corrupt_col=None)
+
+
+@_q(
+    "option_chain_flatten",
+    """
+    WITH c AS (
+      SELECT l_suppkey AS root,
+             CAST(l_shipdate AS DATE) AS expiration_date,
+             date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS days_to_expiration,
+             round(l_extendedprice / 100, 0) AS strike_price,
+             'C' || l_orderkey || '-' || l_linenumber AS call_sym,
+             'P' || l_orderkey || '-' || l_linenumber AS put_sym
+      FROM lineitem
+    )
+    SELECT root, expiration_date, days_to_expiration, strike_price,
+           'C' AS option_type, call_sym AS symbol FROM c
+    UNION ALL
+    SELECT root, expiration_date, days_to_expiration, strike_price,
+           'P' AS option_type, put_sym AS symbol FROM c
+    """,
+)
+def option_chain_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 nested chain flatten: build the roots->expirations->strikes->
+    {call,put} nesting from lineitem, then explode back to one row per
+    contract — output must equal the direct flat derivation."""
+    from tastytrade_sdk_spark.sources.chains import flatten_chain
+
+    li = load_table(spark, "lineitem", sf_dir)
+    base = li.select(
+        F.col("l_suppkey").alias("root"),
+        F.col("l_shipdate").cast("date").alias("expiration_date"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_to_expiration"
+        ),
+        F.round(F.col("l_extendedprice") / 100, 0).alias("strike_price"),
+        F.concat(F.lit("C"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias(
+            "call"
+        ),
+        F.concat(F.lit("P"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias(
+            "put"
+        ),
+    )
+    strikes = base.groupBy("root", "expiration_date", "days_to_expiration").agg(
+        F.collect_list(F.struct("strike_price", "call", "put")).alias("strikes")
+    )
+    nested = strikes.groupBy("root").agg(
+        F.collect_list(
+            F.struct("expiration_date", "days_to_expiration", "strikes")
+        ).alias("expirations")
+    )
+    return flatten_chain(nested)
+
+
+@_q(
+    "props_json_parse",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k')::BIGINT AS k
+    FROM events
+    """,
+)
+def props_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/§2.9 JSON boundary parse: from_json with a declared schema
+    (permissive — bad rows give NULLs, redis.py:28 round-trip)."""
+    from pyspark.sql import types as T
+
+    from tastytrade_sdk_spark.sources.compact import parse_json_events
+
+    ev = load_table(spark, "events", sf_dir)
+    return parse_json_events(
+        ev,
+        "props",
+        T.StructType([T.StructField("k", T.LongType())]),
+        keep_cols=["event_id"],
+    )

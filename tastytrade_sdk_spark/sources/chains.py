@@ -1,0 +1,80 @@
+"""Nested option-chain flattening (SURVEY S8).
+
+Reference shape (src/tastytrade/market/option_chains.py:32-141): the
+REST chain payload nests roots -> expirations -> strikes ->
+{call, put}; the scan flattens to one row per contract.
+
+Spark form: chained ``explode`` over ArrayType(StructType) columns —
+Catalyst pushes the projection into the generate nodes, so only the
+selected leaf fields are materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def flatten_chain(
+    chain: DataFrame,
+    expirations_col: str = "expirations",
+    strikes_field: str = "strikes",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """roots(expirations[].strikes[].{call,put}) -> one row per
+    contract with (expiration_date, dte, strike_price, option_type,
+    symbol)."""
+    keep = keep_cols or [c for c in chain.columns if c != expirations_col]
+    exp = chain.select(*keep, F.explode(F.col(expirations_col)).alias("__exp"))
+    strikes = exp.select(
+        *keep,
+        F.col("__exp.expiration_date").alias("expiration_date"),
+        F.col("__exp.days_to_expiration").alias("days_to_expiration"),
+        F.explode(F.col(f"__exp.{strikes_field}")).alias("__strike"),
+    )
+    base = strikes.select(
+        *keep,
+        "expiration_date",
+        "days_to_expiration",
+        F.col("__strike.strike_price").alias("strike_price"),
+        F.col("__strike.call").alias("call"),
+        F.col("__strike.put").alias("put"),
+    )
+    calls = base.select(
+        *keep, "expiration_date", "days_to_expiration", "strike_price",
+        F.lit("C").alias("option_type"), F.col("call").alias("symbol"),
+    )
+    puts = base.select(
+        *keep, "expiration_date", "days_to_expiration", "strike_price",
+        F.lit("P").alias("option_type"), F.col("put").alias("symbol"),
+    )
+    return calls.unionByName(puts).filter(F.col("symbol").isNotNull())
+
+
+def closest_dte_expirations(
+    contracts: DataFrame,
+    target_dtes: list[int],
+    dte_col: str = "days_to_expiration",
+) -> DataFrame:
+    """P6/O6: for each target DTE keep every contract of the single
+    closest available expiration (option_chains.py:144-172)."""
+    from pyspark.sql import Window
+
+    targets = contracts.sparkSession.createDataFrame(
+        [(t,) for t in target_dtes], "target_dte int"
+    )
+    dtes = contracts.select(dte_col).distinct()
+    ranked = (
+        dtes.crossJoin(F.broadcast(targets))
+        .withColumn(
+            "__rnk",
+            F.row_number().over(
+                Window.partitionBy("target_dte").orderBy(
+                    F.abs(F.col(dte_col) - F.col("target_dte")), F.col(dte_col)
+                )
+            ),
+        )
+        .filter(F.col("__rnk") == 1)
+        .select("target_dte", dte_col)
+    )
+    return contracts.join(F.broadcast(ranked), dte_col)
