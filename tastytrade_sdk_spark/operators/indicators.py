@@ -257,3 +257,69 @@ def macd(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(kernel, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Expression-form EMA / MACD (pure JVM) for BOUNDED series
+# ---------------------------------------------------------------------------
+
+
+def ema_expr_col(
+    value: Column,
+    length: int,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[str | Column],
+    seed: Column | None = None,
+) -> Column:
+    """Seeded EMA as a Column: fold the prefix array with the exact
+    recurrence acc*(1-a) + x*a (identical op order to the pandas
+    kernel and DuckDB's list_reduce — bit-identical results).
+
+    O(n^2) per key via prefix collect_list — the right trade for
+    BOUNDED series (candle buffers, daily rollups: n <= a few hundred)
+    because it stays in whole-stage codegen with zero Python workers.
+    For unbounded series use ``ema`` (the Arrow kernel, O(n))."""
+    w = (
+        Window.partitionBy(*_cols(partition_by))
+        .orderBy(*_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = F.collect_list(value).over(w)
+    seed_c = seed if seed is not None else F.first(value, ignorenulls=True).over(w)
+    alpha = 2.0 / (length + 1.0)
+    return F.aggregate(
+        arr,
+        seed_c.cast("double"),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
+    )
+
+
+def macd_expr(
+    df: DataFrame,
+    price_col: str = "close",
+    partition_by: Sequence[str] = ("symbol",),
+    order_by: Sequence[str] = ("time",),
+    fast_length: int = 12,
+    slow_length: int = 26,
+    macd_length: int = 9,
+    prior_close_col: str | None = None,
+) -> DataFrame:
+    """MACD in pure Column expressions (bounded-series fast path).
+    Adds Value/avg/diff; no diff_color (compose with a when-ladder if
+    needed). Plans as one Window chain — single shuffle, no Python."""
+    seed = (
+        F.first(F.col(prior_close_col), ignorenulls=True).over(
+            Window.partitionBy(*_cols(partition_by))
+            .orderBy(*_cols(order_by))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        if prior_close_col
+        else None
+    )
+    fast = ema_expr_col(F.col(price_col), fast_length, partition_by, order_by, seed)
+    slow = ema_expr_col(F.col(price_col), slow_length, partition_by, order_by, seed)
+    out = df.withColumn("Value", fast - slow)
+    avg = ema_expr_col(
+        F.col("Value"), macd_length, partition_by, order_by, seed=F.lit(0.0)
+    )
+    return out.withColumn("avg", avg).withColumn("diff", F.col("Value") - F.col("avg"))

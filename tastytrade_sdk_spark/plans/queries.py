@@ -475,14 +475,15 @@ def hull_ma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ema_seeded_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 seeded EMA (n=12, seed = first value) over the per-user daily
-    series. The oracle replays the identical recurrence via
-    list_reduce — bit-identical to the Arrow kernel."""
-    from tastytrade_sdk_spark.operators.indicators import ema as ema_op
+    series. Expression form (JVM prefix-fold — bounded daily series);
+    the oracle replays the identical recurrence via list_reduce —
+    bit-identical."""
+    from tastytrade_sdk_spark.operators.indicators import ema_expr_col
 
     daily = _daily_series(spark, sf_dir)
-    out = ema_op(daily, "day_value", 12, ["user_id"], ["day"], out_col="ema")
-    return out.select(
-        "user_id", "day", "day_value", F.round(F.col("ema"), 8).alias("ema")
+    e = ema_expr_col(F.col("day_value"), 12, ["user_id"], ["day"])
+    return daily.select(
+        "user_id", "day", "day_value", F.round(e, 8).alias("ema")
     )
 
 
@@ -530,11 +531,13 @@ def ema_seeded_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 MACD(12,26,9): fast/slow EMAs seeded with the first value,
-    signal seeded 0.0, 4-shade histogram colors (momentum.py:116-193)."""
-    from tastytrade_sdk_spark.operators.indicators import macd as macd_op
+    signal seeded 0.0, 4-shade histogram colors (momentum.py:116-193).
+    Expression form (JVM prefix-fold) — the Arrow kernel `macd` is the
+    unbounded-series path."""
+    from tastytrade_sdk_spark.operators.indicators import macd_expr
 
     daily = _daily_series(spark, sf_dir)
-    out = macd_op(
+    out = macd_expr(
         daily, price_col="day_value",
         partition_by=["user_id"], order_by=["day"],
     )
