@@ -22,39 +22,9 @@ from tastytrade_sdk_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline queries: every operator family from SURVEY §2 is represented.
-HEADLINE = [
-    "pricing_summary",
-    "nation_revenue",
-    "supplier_weighted_price",
-    "latest_event_per_user",
-    "keep_last_upsert",
-    "top3_values_per_user",
-    "ohlcv_hourly",
-    "asof_entry_price",
-    "gap_fill_hourly",
-    "hull_ma_hourly",
-    "ema_seeded_daily",
-    "macd_daily",
-    "prior_day_value",
-    "session_gated_activity",
-    "bitmask_flag_filter",
-    "interval_floor_5m",
-    "weekday_order_counts",
-    "closest_order_per_priority",
-    "viewers_without_purchase",
-    "dedup_exact_text",
-    "text_quality_stats",
-    "langid_heuristic",
-    "doc_fingerprint",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_fingerprints",
-    "knn_cosine_topk",
-    "ann_lsh_cosine",
-    "multimodal_payload_meta",
-]
+# Headline = the full declared query suite (every operator family from
+# SURVEY §2), taken from the driver contract so bench never drifts.
+HEADLINE: list[str] = []  # filled from queries() in main()
 
 
 def main() -> None:
@@ -62,7 +32,7 @@ def main() -> None:
 
     spark = get_spark("bench")
     queries = entrymod.queries()
-    names = [n for n in HEADLINE if n in queries]
+    names = HEADLINE or list(queries)
 
     def run(df) -> None:
         # noop sink: fully materializes every column (count() would let

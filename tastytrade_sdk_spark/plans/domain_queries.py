@@ -560,3 +560,218 @@ def props_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructType([T.StructField("k", T.LongType())]),
         keep_cols=["event_id"],
     )
+
+
+_STRAT_TYPES = [
+    "Bear Call Spread", "Bull Put Spread", "Iron Condor", "Iron Butterfly",
+    "Short Strangle", "Naked Call", "Bull Call Spread", "Bear Put Spread",
+    "Call Butterfly", "Broken Fly", "Jade Lizard", "Long Call",
+]
+
+_STRAT_CASE_SQL = "CASE o_orderkey % 12 " + " ".join(
+    f"WHEN {i} THEN '{t}'" for i, t in enumerate(_STRAT_TYPES)
+) + " END"
+
+
+@_q(
+    "strategy_max_profit_loss",
+    f"""
+    WITH s AS (
+      SELECT o_orderkey,
+             {_STRAT_CASE_SQL} AS strategy_type,
+             round(o_totalprice % 50, 2) + 1 AS width,
+             round((o_totalprice % 50) * 0.4, 2) AS narrow_width,
+             round(o_totalprice % 50, 2) + 1 - round((o_totalprice % 50) * 0.4, 2) AS wider_wing,
+             round(o_totalprice % 40, 2) + 1 AS put_width,
+             round(o_totalprice % 45, 2) + 1 AS call_width,
+             -- no rounding here: round(tp/100, 2) creates .xx5 ties where
+             -- Spark and DuckDB disagree at ~1ulp; the raw double is
+             -- bit-identical across engines
+             (o_totalprice / 100)
+               * (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END) AS net_credit,
+             100 AS mult,
+             (o_custkey % 3) + 1 AS qty
+      FROM orders
+    )
+    SELECT o_orderkey, strategy_type,
+      CASE
+        WHEN strategy_type IN ('Bear Call Spread','Bull Put Spread','Iron Condor',
+             'Iron Butterfly','Iron Broken Fly','Short Strangle','Short Straddle',
+             'Naked Call','Naked Put','Jade Lizard')
+          THEN round(greatest(net_credit, 0), 0)
+        WHEN strategy_type IN ('Bull Call Spread','Bear Put Spread')
+          THEN round(greatest(width * mult * qty + net_credit, 0), 0)
+        WHEN strategy_type IN ('Call Butterfly','Put Butterfly','Broken Fly')
+          THEN round(greatest(narrow_width * mult * qty + net_credit, 0), 0)
+      END AS max_profit,
+      CASE
+        WHEN strategy_type IN ('Naked Call','Naked Put','Short Strangle','Short Straddle')
+          THEN NULL
+        WHEN strategy_type IN ('Bear Call Spread','Bull Put Spread')
+          THEN round(greatest(width * mult * qty - net_credit, 0), 0)
+        WHEN strategy_type IN ('Bull Call Spread','Bear Put Spread')
+          THEN round(greatest(-net_credit, 0), 0)
+        WHEN strategy_type IN ('Iron Condor','Iron Butterfly','Iron Broken Fly')
+          THEN round(greatest(greatest(put_width, call_width) * mult * qty - net_credit, 0), 0)
+        WHEN strategy_type = 'Jade Lizard'
+          THEN round(greatest(width * mult * qty - net_credit, 0), 0)
+        WHEN strategy_type IN ('Call Butterfly','Put Butterfly','Broken Fly')
+          THEN round(greatest(wider_wing * mult * qty
+               - coalesce(round(greatest(narrow_width * mult * qty + net_credit, 0), 0), 0), 0), 0)
+      END AS max_loss
+    FROM s
+    """,
+)
+def strategy_max_profit_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 max-profit/max-loss case ladders
+    (strategies/models.py:295-452) over synthesized strategy rows —
+    credit/debit/iron/butterfly arithmetic with unlimited-risk NULLs."""
+    from tastytrade_sdk_spark.functions.strategy_pnl import (
+        max_loss_col,
+        max_profit_col,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    st = F.col("o_orderkey") % 12
+    stype = F.lit(None).cast("string")
+    for i, t in enumerate(_STRAT_TYPES):
+        stype = F.when(st == i, t).otherwise(stype)
+    width = F.round(F.col("o_totalprice") % 50, 2) + 1
+    narrow = F.round((F.col("o_totalprice") % 50) * 0.4, 2)
+    s = orders.select(
+        "o_orderkey",
+        stype.alias("strategy_type"),
+        width.alias("width"),
+        narrow.alias("narrow_width"),
+        (width - narrow).alias("wider_wing"),
+        (F.round(F.col("o_totalprice") % 40, 2) + 1).alias("put_width"),
+        (F.round(F.col("o_totalprice") % 45, 2) + 1).alias("call_width"),
+        (
+            (F.col("o_totalprice") / 100)
+            * F.when(F.col("o_orderstatus") == "F", 1).otherwise(-1)
+        ).alias("net_credit"),
+        F.lit(100).alias("mult"),
+        ((F.col("o_custkey") % 3) + 1).alias("qty"),
+    )
+    return s.select(
+        "o_orderkey",
+        "strategy_type",
+        max_profit_col(
+            F.col("strategy_type"), F.col("net_credit"), F.col("width"),
+            F.col("narrow_width"), F.col("mult"), F.col("qty"),
+        ).alias("max_profit"),
+        max_loss_col(
+            F.col("strategy_type"), F.col("net_credit"), F.col("width"),
+            F.col("put_width"), F.col("call_width"), F.col("narrow_width"),
+            F.col("wider_wing"), F.col("mult"), F.col("qty"),
+        ).alias("max_loss"),
+    )
+
+
+@_q(
+    "position_summary",
+    """
+    WITH legs AS (
+      SELECT user_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE round(value / 100, 4) END AS delta,
+             (event_id % 4) + 1 AS qty,
+             CASE WHEN event_id % 2 = 0 THEN 'Long' ELSE 'Short' END AS direction,
+             event_type, event_id
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(delta * qty), 2) AS net_delta,
+           count(*) AS num_legs,
+           string_agg(qty || 'x ' || direction || ' ' || event_type, ', '
+                      ORDER BY event_id) AS legs
+    FROM legs GROUP BY user_id
+    """,
+)
+def position_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 position summary by underlying: net_delta = sum(delta*qty)
+    with nulls skipped, leg count, and the ordered human-readable leg
+    list (positions.py:67-95)."""
+    ev = load_table(spark, "events", sf_dir)
+    delta = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.round(F.col("value") / 100, 4)
+    )
+    qty = (F.col("event_id") % 4) + 1
+    direction = F.when(F.col("event_id") % 2 == 0, "Long").otherwise("Short")
+    leg_str = F.concat(
+        qty.cast("string"), F.lit("x "), direction, F.lit(" "), F.col("event_type")
+    )
+    legs = ev.select(
+        "user_id", delta.alias("delta"), qty.alias("qty"),
+        leg_str.alias("leg_str"), "event_id",
+    )
+    ordered_legs = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("event_id", "leg_str"))),
+            lambda s: s["leg_str"],
+        ),
+        ", ",
+    )
+    return legs.groupBy("user_id").agg(
+        F.round(F.sum(F.col("delta") * F.col("qty")), 2).alias("net_delta"),
+        F.count(F.lit(1)).alias("num_legs"),
+        ordered_legs.alias("legs"),
+    )
+
+
+@_q(
+    "positions_latest_quote_join",
+    """
+    WITH latest AS (
+      SELECT user_id, value, ts
+      FROM events WHERE event_type = 'view'
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal,
+           l.value AS quote_value,
+           round((c.c_acctbal + coalesce(l.value, 0)) / 2, 10) AS mid
+    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.user_id
+    """,
+)
+def positions_latest_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 positions x latest-quotes left join (metrics.py:158-173):
+    unmatched keys keep NULL quotes; mid-price projection on top."""
+    from tastytrade_sdk_spark.operators.dedup import latest_per_key
+
+    cust = load_table(spark, "customer", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    latest = latest_per_key(
+        ev.filter(F.col("event_type") == "view"), ["user_id"], ["ts", "event_id"]
+    ).select("user_id", F.col("value").alias("quote_value"))
+    joined = cust.join(
+        F.broadcast(latest), cust.c_custkey == latest.user_id, "left"
+    )
+    return joined.select(
+        "c_custkey", "c_name", "c_acctbal", "quote_value",
+        F.round((F.col("c_acctbal") + F.coalesce(F.col("quote_value"), F.lit(0))) / 2, 10).alias("mid"),
+    )
+
+
+@_q(
+    "channel_pattern_filter",
+    """
+    WITH ch AS (
+      SELECT event_id,
+             'market:' || event_type || ':U' || user_id AS channel
+      FROM events
+    )
+    SELECT event_id, channel FROM ch
+    WHERE regexp_matches(channel, '^market:(purchase|view):U1[0-9]$')
+    """,
+)
+def channel_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 pub/sub channel pattern filter (subscriptions.py:115-122):
+    rlike over synthesized market:{type}:{symbol} channel names."""
+    ev = load_table(spark, "events", sf_dir)
+    channel = F.concat(
+        F.lit("market:"), F.col("event_type"), F.lit(":U"), F.col("user_id")
+    )
+    return (
+        ev.select("event_id", channel.alias("channel"))
+        .filter(F.col("channel").rlike(r"^market:(purchase|view):U1[0-9]$"))
+    )

@@ -253,3 +253,55 @@ class TestBacktestReplay:
         for r in out:
             minutes = int((r["start_time"] - BASE).total_seconds() // 60)
             assert r["entry_price"] == 1000.0 + minutes  # exact as-of match
+
+
+class TestObservability:
+    def test_observed_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from tastytrade_sdk_spark.streaming.observe import observed_counts
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, -5.0)], "id int, v double"
+        )
+        observed, obs = observed_counts(
+            df, error_predicate=F.col("v") < 0, value_col="v"
+        )
+        observed.write.format("noop").mode("overwrite").save()
+        m = obs.get
+        assert m["total_messages"] == 3
+        assert m["error_count"] == 1
+        assert m["null_values"] == 1
+
+    def test_streaming_progress_listener(self, spark):
+        import tempfile
+
+        from tastytrade_sdk_spark.streaming.observe import ProgressCapture
+
+        cap = ProgressCapture()
+        listener = cap.make_listener()
+        spark.streams.addListener(listener)
+        try:
+            src = tempfile.mkdtemp(prefix="obs_src_")
+            spark.createDataFrame(
+                [(1, 1.0)], "id int, v double"
+            ).write.mode("append").parquet(src)
+            stream = spark.readStream.schema("id int, v double").parquet(src)
+            q = (
+                stream.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("obs_out")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            # listener delivery is asynchronous — poll briefly
+            import time as _time
+
+            for _ in range(40):
+                if any(b["num_input_rows"] == 1 for b in cap.batches):
+                    break
+                _time.sleep(0.25)
+            assert any(b["num_input_rows"] == 1 for b in cap.batches)
+        finally:
+            spark.streams.removeListener(listener)
