@@ -1,0 +1,114 @@
+"""Incremental O(1)-per-candle indicator state (SURVEY W5).
+
+The reference maintains two implementations of Hull/MACD: the batch
+recompute (momentum.py) and an O(1) streaming form carrying rolling
+state across candles (src/tastytrade/charting/indicators.py:26-284).
+These classes are that second form, re-expressed: bounded state
+(trailing windows + EMA registers) instead of a candle buffer — the
+state schema a ``transformWithState`` deployment carries per symbol.
+
+Equivalence with the batch kernels is asserted in tests
+(post-warm-up values agree to fp tolerance; the batch kernels use
+vectorized dots whose summation order differs at ~1e-15).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass
+class IncrementalWMA:
+    """Padded WMA over a trailing window; O(period) per update,
+    O(period) state."""
+
+    period: int
+    pad_value: float | None = None
+    window: list = field(default_factory=list)
+
+    def update(self, value: float) -> float:
+        if self.pad_value is None:
+            self.pad_value = float(value)
+        self.window.append(float(value))
+        if len(self.window) > self.period:
+            self.window.pop(0)
+        pad_n = self.period - len(self.window)
+        vals = [self.pad_value] * pad_n + self.window
+        num = sum(v * w for v, w in zip(vals, range(1, self.period + 1)))
+        return num / (self.period * (self.period + 1) / 2)
+
+
+@dataclass
+class IncrementalHull:
+    """HMA = WMA(2*WMA(n/2) - WMA(n), sqrt(n)) with rolling windows."""
+
+    length: int = 20
+    pad_value: float | None = None
+    _half: IncrementalWMA = None
+    _full: IncrementalWMA = None
+    _sqrt: IncrementalWMA = None
+    _prev_hma: float | None = None
+
+    def __post_init__(self):
+        half = int(round(self.length / 2))
+        sq = int(round(math.sqrt(self.length)))
+        self._half = IncrementalWMA(half, self.pad_value)
+        self._full = IncrementalWMA(self.length, self.pad_value)
+        self._sqrt = IncrementalWMA(sq, self.pad_value)
+
+    def update(self, close: float) -> tuple[float, str]:
+        if self.pad_value is None:
+            self.pad_value = float(close)
+            for w in (self._half, self._full, self._sqrt):
+                w.pad_value = self.pad_value
+        diff = 2 * self._half.update(close) - self._full.update(close)
+        hma = self._sqrt.update(diff)
+        color = "Up" if self._prev_hma is not None and hma > self._prev_hma else "Down"
+        self._prev_hma = hma
+        return hma, color
+
+
+@dataclass
+class IncrementalEMA:
+    """Seeded EMA register: O(1) state, O(1) update."""
+
+    length: int
+    seed: float | None = None
+    _value: float | None = None
+
+    def update(self, x: float) -> float:
+        alpha = 2.0 / (self.length + 1.0)
+        prev = self._value if self._value is not None else (
+            self.seed if self.seed is not None else float(x)
+        )
+        self._value = alpha * float(x) + (1 - alpha) * prev
+        return self._value
+
+
+@dataclass
+class IncrementalMACD:
+    """MACD registers: fast/slow EMAs seeded with prior close
+    (fallback first close), signal EMA seeded 0."""
+
+    fast_length: int = 12
+    slow_length: int = 26
+    macd_length: int = 9
+    prior_close: float | None = None
+    _fast: IncrementalEMA = None
+    _slow: IncrementalEMA = None
+    _signal: IncrementalEMA = None
+
+    def __post_init__(self):
+        self._fast = IncrementalEMA(self.fast_length, self.prior_close)
+        self._slow = IncrementalEMA(self.slow_length, self.prior_close)
+        self._signal = IncrementalEMA(self.macd_length, 0.0)
+
+    def update(self, close: float) -> tuple[float, float, float]:
+        if self._fast.seed is None and self._fast._value is None:
+            seed = self.prior_close if self.prior_close is not None else float(close)
+            self._fast.seed = seed
+            self._slow.seed = seed
+        value = self._fast.update(close) - self._slow.update(close)
+        avg = self._signal.update(value)
+        return value, avg, value - avg

@@ -305,3 +305,135 @@ class TestObservability:
             assert any(b["num_input_rows"] == 1 for b in cap.batches)
         finally:
             spark.streams.removeListener(listener)
+
+
+class TestCheckpointRestart:
+    def test_signal_engine_resumes_from_checkpoint(self, spark):
+        """ST7: stop the stateful query, restart a NEW query on the
+        same checkpoint — state (candle buffer + machine flags) resumes
+        and the combined output equals the batch run, no duplicates."""
+        import os
+
+        series = candle_seq(trending_series())
+        rows = [("SPX", t, c) for t, c in series]
+        schema = "symbol string, time timestamp, close double"
+
+        src = tempfile.mkdtemp(prefix="ckr_src_")
+        ckpt = tempfile.mkdtemp(prefix="ckr_ckpt_")
+        out_dir = tempfile.mkdtemp(prefix="ckr_out_") + "/signals"
+        try:
+            def start_query():
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                sigs = detect_signals_streaming(stream, hull_length=4)
+
+                def sink(df, epoch_id):
+                    if df.count() > 0:
+                        df.write.mode("append").parquet(out_dir)
+
+                return (
+                    sigs.writeStream.outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .foreachBatch(sink)
+                    .start()
+                )
+
+            spark.createDataFrame(rows[:20], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q1 = start_query()
+            q1.processAllAvailable()
+            q1.stop()  # hard stop — simulates a crash/redeploy
+
+            spark.createDataFrame(rows[20:], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q2 = start_query()  # NEW query, same checkpoint
+            q2.processAllAvailable()
+            q2.stop()
+
+            streamed = spark.read.parquet(out_dir).collect()
+            batched = detect_signals_batch(
+                spark.createDataFrame(rows, schema), hull_length=4
+            ).collect()
+            key = lambda r: (r["start_time"], r["signal_type"], r["direction"], r["trigger"])  # noqa: E731
+            assert sorted(map(key, streamed)) == sorted(map(key, batched))
+            assert len(streamed) == len(set(map(key, streamed)))  # no dupes
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class TestSnapshotGating:
+    def test_gap_fill_only_for_completed_symbols(self, spark):
+        """ST2: END/SNIP flags gate per-symbol gap-fill."""
+        from tastytrade_sdk_spark.streaming.snapshot import (
+            SNAPSHOT_END,
+            SNAPSHOT_SNIP,
+            completed_symbols,
+            gated_gap_fill,
+        )
+
+        h = lambda m: BASE + dt.timedelta(hours=m)  # noqa: E731
+        history = spark.createDataFrame(
+            [
+                ("A", h(0), 1.0), ("A", h(3), 4.0),      # gap at h1, h2
+                ("B", h(0), 10.0), ("B", h(2), 12.0),    # gap at h1
+            ],
+            "symbol string, time timestamp, close double",
+        )
+        # batch: A completed (END), B snipped (SNIP), C in progress
+        batch = spark.createDataFrame(
+            [("A", SNAPSHOT_END), ("B", SNAPSHOT_SNIP), ("C", 0x04)],
+            "symbol string, eventFlags long",
+        )
+        done = {r["symbol"] for r in completed_symbols(batch).collect()}
+        assert done == {"A", "B"}
+
+        fills = gated_gap_fill(batch, history).collect()
+        got = {(r["symbol"], r["time"]): r["close"] for r in fills}
+        assert got == {
+            ("A", h(1)): 1.0, ("A", h(2)): 1.0,  # ffilled from h0
+            ("B", h(1)): 10.0,
+        }
+        assert all(r["is_synthetic"] for r in fills)
+
+
+class TestIncrementalIndicators:
+    """W5: O(1)-per-candle incremental forms equal the batch kernels."""
+
+    def test_incremental_hull_equals_batch(self):
+        from tastytrade_sdk_spark.functions.np_kernels import hull_np
+        from tastytrade_sdk_spark.streaming.incremental import IncrementalHull
+
+        series = trending_series()
+        hma_batch, colors_batch = hull_np(np.array(series), length=8)
+        inc = IncrementalHull(length=8)
+        got = [inc.update(c) for c in series]
+        assert [h for h, _ in got] == pytest.approx(list(hma_batch), abs=1e-9)
+        assert [c for _, c in got] == list(colors_batch)
+
+    def test_incremental_macd_equals_batch(self):
+        from tastytrade_sdk_spark.functions.np_kernels import macd_np
+        from tastytrade_sdk_spark.streaming.incremental import IncrementalMACD
+
+        series = trending_series()
+        v, a, d = macd_np(np.array(series), prior_close=series[0])
+        inc = IncrementalMACD(prior_close=series[0])
+        got = [inc.update(c) for c in series]
+        assert [g[0] for g in got] == pytest.approx(list(v), abs=1e-9)
+        assert [g[1] for g in got] == pytest.approx(list(a), abs=1e-9)
+        assert [g[2] for g in got] == pytest.approx(list(d), abs=1e-9)
+
+    def test_incremental_macd_default_seed(self):
+        from tastytrade_sdk_spark.functions.np_kernels import macd_np
+        from tastytrade_sdk_spark.streaming.incremental import IncrementalMACD
+
+        series = trending_series()
+        v, a, d = macd_np(np.array(series))  # seed = first close
+        inc = IncrementalMACD()
+        got = [inc.update(c) for c in series]
+        assert [g[0] for g in got] == pytest.approx(list(v), abs=1e-9)
