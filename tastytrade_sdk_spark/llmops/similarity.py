@@ -47,6 +47,31 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-file inputs arrive single-partition; pair-scan stages must
+    not run single-task."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def with_unit_vector(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "__unit"
+) -> DataFrame:
+    """Precompute the L2-normalized double vector ONCE per row — pair
+    scans then use a plain dot product instead of recomputing two
+    norms per pair (3x less HOF work, and the normalization stays in
+    one projection)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,13 +85,14 @@ def brute_force_topk(
     with the candidate id as tiebreak (deterministic across engines)."""
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    q = with_unit_vector(queries, vec_col, "__qunit").select(
+        F.col(query_id_col), F.col("__qunit")
     )
+    c = _spread(with_unit_vector(corpus, vec_col, "__cunit").select(id_col, "__cunit"))
     scored = (
-        corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+        c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
         .withColumn(
-            "cosine", F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_dp)
+            "cosine", F.round(_dot(F.col("__qunit"), F.col("__cunit")), round_dp)
         )
         .select(query_id_col, id_col, "cosine")
     )
@@ -118,6 +144,7 @@ def lsh_topk(
     planes = hyperplanes(n_planes, dim, seed)
 
     def banded(df: DataFrame, idc: str) -> DataFrame:
+        df = _spread(df) if idc == id_col else df
         sig = bucket_signature(F.col(vec_col), planes)
         out = df.withColumn("__sig", sig)
         band_cols = []
@@ -143,8 +170,10 @@ def lsh_topk(
         .select("__qid", id_col, vec_col, "__qvec")
         .distinct()
     )
+    cands = with_unit_vector(cands, vec_col, "__cu")
+    cands = with_unit_vector(cands, "__qvec", "__qu")
     scored = cands.withColumn(
-        "cosine", F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_dp)
+        "cosine", F.round(_dot(F.col("__qu"), F.col("__cu")), round_dp)
     )
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (

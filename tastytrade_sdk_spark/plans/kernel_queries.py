@@ -188,9 +188,14 @@ def strategy_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_size parity). Unit tests pin every pattern; this exercises the
     distributed per-underlying kernel."""
     part = load_table(spark, "part", sf_dir)
+    # bounded portfolios: real position groups are dozens of legs, and
+    # the 4-leg matchers scan C(n,4) — sub-bucket the brand so groups
+    # stay ~8-16 legs at every scale factor
     legs = part.select(
         F.concat(F.lit("P"), F.col("p_partkey")).alias("symbol"),
-        F.col("p_brand").alias("underlying"),
+        F.concat(
+            F.col("p_brand"), F.lit("#"), (F.col("p_partkey") % 64).cast("string")
+        ).alias("underlying"),
         F.lit("Equity Option").alias("instrument_type"),
         (
             F.when(F.col("p_size") % 2 == 0, 1.0).otherwise(-1.0)
