@@ -775,3 +775,66 @@ def channel_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", channel.alias("channel"))
         .filter(F.col("channel").rlike(r"^market:(purchase|view):U1[0-9]$"))
     )
+
+
+@_q(
+    "strategy_health_alerts",
+    f"""
+    WITH s AS (
+      SELECT o_orderkey,
+             {_STRAT_CASE_SQL} AS strategy_type,
+             CAST(o_orderkey % 40 AS INT) AS days_to_expiration,
+             round((o_totalprice % 200 - 100) / 100, 4) AS net_delta,
+             (o_custkey % 3) + 1 AS quantity
+      FROM orders
+    ), th AS (
+      SELECT *,
+             CASE WHEN strategy_type = 'Iron Condor' THEN 21 ELSE 14 END AS dte_warning,
+             CASE WHEN strategy_type = 'Iron Condor' THEN 10 ELSE 7 END AS dte_critical,
+             0.30 AS drift_warning,
+             CASE WHEN strategy_type = 'Short Strangle' THEN 0.40 ELSE 0.50 END AS drift_critical
+      FROM s
+    ), alerts AS (
+      SELECT o_orderkey, strategy_type, 'dte' AS alert_kind,
+             CASE WHEN days_to_expiration <= dte_critical THEN 'CRITICAL'
+                  WHEN days_to_expiration <= dte_warning THEN 'WARNING' END AS level
+      FROM th
+      UNION ALL
+      SELECT o_orderkey, strategy_type, 'delta_drift' AS alert_kind,
+             CASE WHEN strategy_type IN ('Long Stock','Short Stock','Long Crypto',
+                       'Short Crypto','Long Future','Short Future','Covered Call',
+                       'Protective Put') THEN NULL
+                  WHEN abs(net_delta / quantity) > drift_critical THEN 'CRITICAL'
+                  WHEN abs(net_delta / quantity) > 0.30 THEN 'WARNING' END AS level
+      FROM th
+    )
+    SELECT o_orderkey, strategy_type, alert_kind, level
+    FROM alerts WHERE level IS NOT NULL
+    """,
+)
+def strategy_health_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 health thresholds (health.py:28-199): DTE + per-position
+    delta-drift alerts with per-type overrides and delta-1/covered
+    exemptions."""
+    from tastytrade_sdk_spark.functions.health import health_alerts
+
+    orders = load_table(spark, "orders", sf_dir)
+    st = F.col("o_orderkey") % 12
+    stype = F.lit(None).cast("string")
+    for i, t in enumerate(_STRAT_TYPES):
+        stype = F.when(st == i, t).otherwise(stype)
+    s = orders.select(
+        "o_orderkey",
+        stype.alias("strategy_type"),
+        (F.col("o_orderkey") % 40).cast("int").alias("days_to_expiration"),
+        F.round((F.col("o_totalprice") % 200 - 100) / 100, 4).alias("net_delta"),
+        ((F.col("o_custkey") % 3) + 1).alias("quantity"),
+    )
+    return health_alerts(
+        s,
+        overrides={
+            "Iron Condor": {"dte_warning": 21, "dte_critical": 10},
+            "Short Strangle": {"delta_drift_critical": 0.40},
+        },
+        keep_cols=["o_orderkey", "strategy_type"],
+    )
