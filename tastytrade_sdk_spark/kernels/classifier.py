@@ -447,7 +447,7 @@ def classify_strategies(
     """
     import pandas as pd
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame) -> list[dict]:
         pdf = pdf.sort_values(order_col, kind="mergesort")
         legs = [
             Leg(
@@ -472,6 +472,8 @@ def classify_strategies(
                     "leg_symbols": [m.symbol for m in matched],
                 }
             )
-        return pd.DataFrame(rows, columns=[f.name for f in RESULT_SCHEMA.fields])
+        return rows
 
-    return legs_df.groupBy(underlying_col).applyInPandas(kernel, RESULT_SCHEMA)
+    from tastytrade_sdk_spark.operators.grouped import grouped_apply
+
+    return grouped_apply(legs_df, underlying_col, kernel, RESULT_SCHEMA)

@@ -134,21 +134,21 @@ def lifo_entry_credits(
         # yields repeating decimals Arrow cannot rescale losslessly
         return v.quantize(six) if v is not None else None
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame) -> list[dict]:
         symbol = pdf["symbol"].iloc[0]
         current_qty = int(pdf["__current_qty"].iloc[0])
         fills = pdf[pdf["executed_at"].notna()].to_dict("records")
         res = replay_one_symbol(fills, current_qty)
-        return pd.DataFrame(
-            [
-                {
-                    "symbol": symbol,
-                    "entry_credit": q6(res["entry_credit"]),
-                    "fees": q6(res["fees"]),
-                    "weighted_price": q6(res["weighted_price"]),
-                    "covered": res["covered"],
-                }
-            ]
-        )
+        return [
+            {
+                "symbol": symbol,
+                "entry_credit": q6(res["entry_credit"]),
+                "fees": q6(res["fees"]),
+                "weighted_price": q6(res["weighted_price"]),
+                "covered": res["covered"],
+            }
+        ]
 
-    return joined.groupBy("symbol").applyInPandas(kernel, RESULT_SCHEMA)
+    from tastytrade_sdk_spark.operators.grouped import grouped_apply
+
+    return grouped_apply(joined, "symbol", kernel, RESULT_SCHEMA)

@@ -41,6 +41,29 @@ def _spread(df: DataFrame, *keys: str) -> DataFrame:
     return df
 
 
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int, out: str
+) -> DataFrame:
+    """(id, shingle) rows with tokenization materialized ONCE per doc.
+
+    The tokens array must be produced by its own Project under the
+    Generate: shingles_expr's per-element lambda references the token
+    array 3x per shingle, and inlining tokens_expr there re-runs the
+    regex split ~3*n_shingles times per doc (the dominant cost of the
+    whole MinHash pipeline). Catalyst never collapses a Project into a
+    Generate, so this two-step is a stable barrier.
+    """
+    toks = _spread(df, id_col).select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_expr(F.col("__toks"), shingle_n))
+        ).alias(out),
+    )
+
+
 # Deterministic MinHash coefficients (seeded LCG; a < 2^30, odd).
 _A0, _B0 = 1103515245, 12345
 
@@ -87,11 +110,9 @@ def minhash_signatures(
     """
     from tastytrade_sdk_spark.llmops.textops import h32
 
-    toks = tokens_expr(F.col(text_col))
-    sh = _spread(df, id_col).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles_expr(toks, shingle_n))).alias("__sh"),
-    ).withColumn("__h", h32(F.col("__sh")))
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n, "__sh").withColumn(
+        "__h", h32(F.col("__sh"))
+    )
     from tastytrade_sdk_spark.llmops.textops import MERSENNE_PRIME
 
     aggs = [
@@ -197,11 +218,7 @@ def ngram_jaccard_pairs(
     Docs sharing no shingle never meet, so cost tracks true overlap,
     not n^2.
     """
-    toks = tokens_expr(F.col(text_col))
-    sh = _spread(df, id_col).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles_expr(toks, shingle_n))).alias("shingle"),
-    )
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
