@@ -7,9 +7,10 @@ derivation on both engines).
 - ``lifo_open_allocation``: opens-only scenario — LIFO reduces to a
   reverse-cumulative-sum allocation, which IS SQL-expressible, so the
   kernel gets a true DuckDB oracle.
-- ``lifo_entry_credit``: full scenario with closes (close-buffer
-  cancellation) — not SQL-expressible; rows-only check, with the
-  close-buffer semantics pinned by unit tests instead.
+- ``lifo_entry_credit``: full scenario with closes — the close-buffer
+  cancellation is the clamped (Lindley) running sum
+  ``b_t = S_t - min(0, min_k S_k)``, so the whole replay has a
+  window-function closed form and gets a true DuckDB oracle too.
 - ``strategy_classification``: greedy combinatorial matcher over
   synthesized option legs — order-dependent, not relational;
   rows-only check + unit-test coverage of every pattern.
@@ -140,11 +141,68 @@ def lifo_open_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("lifo_entry_credit")  # rows-only: close-buffer replay is not SQL-expressible
+@_q(
+    "lifo_entry_credit",
+    """
+    WITH fills AS (
+      SELECT 'U' || user_id AS symbol,
+             ts AS executed_at,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_close,
+             (1 + event_id % 3) AS qty,
+             value AS price,
+             round(value * (1 + event_id % 3), 2) AS amount,
+             CASE WHEN event_type = 'view' THEN 1 ELSE -1 END AS sign
+      FROM events WHERE event_type IN ('purchase', 'view', 'click')
+    ), pos AS (
+      SELECT 'U' || user_id AS symbol, (user_id % 7) + 1 AS r
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), seq AS (
+      -- newest-first prefix sum of (close: +qty, open: -qty); the close
+      -- buffer before each row is the Lindley clamped running sum
+      -- b_prev = s_prev - min(0, min_k<=prev s_k)
+      SELECT p.symbol, p.r, f.executed_at, f.is_close, f.qty, f.price,
+             f.amount, f.sign,
+             sum(CASE WHEN f.is_close = 1 THEN f.qty ELSE -f.qty END)
+               OVER (PARTITION BY p.symbol ORDER BY f.executed_at DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM pos p LEFT JOIN fills f ON f.symbol = p.symbol
+    ), seq2 AS (
+      SELECT *,
+             coalesce(min(s) OVER (PARTITION BY symbol ORDER BY executed_at DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS min_prev
+      FROM seq
+    ), surv AS (
+      SELECT *,
+             CASE WHEN is_close = 0
+                  THEN qty - least(qty, (s + qty) - least(0, min_prev))
+                  ELSE 0 END AS surviving
+      FROM seq2
+    ), takes AS (
+      SELECT *,
+             least(surviving, greatest(0, r - coalesce(
+               sum(surviving) OVER (PARTITION BY symbol ORDER BY executed_at DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS take
+      FROM surv
+    )
+    SELECT symbol,
+           CASE WHEN coalesce(sum(surviving), 0) >= any_value(r)
+                THEN round(sum(sign * amount * take / qty), 4) END AS entry_credit,
+           CASE WHEN coalesce(sum(surviving), 0) >= any_value(r)
+                THEN round(sum(0.5 * take / qty), 4) END AS fees,
+           CASE WHEN coalesce(sum(surviving), 0) >= any_value(r) AND sum(take) > 0
+                THEN round(sum(price * take) / sum(take), 6) END AS weighted_price,
+           coalesce(sum(surviving), 0) >= any_value(r) AS covered
+    FROM takes
+    GROUP BY symbol
+    """,
+)
 def lifo_entry_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 full LIFO replay including close-buffer cancellation
-    (clicks -> Buy to Close). Unit tests pin the buffer semantics;
-    the driver records a rows-only check here."""
+    (clicks -> Buy to Close). The oracle exploits a closed form: the
+    close buffer is the clamped (Lindley) running sum over the
+    newest-first fill sequence, b_t = S_t - min(0, min_k S_k), so
+    consumed/surviving/take all become window expressions; the Arrow
+    kernel's sequential fold must match it exactly."""
     ev = load_table(spark, "events", sf_dir)
     f = ev.filter(F.col("event_type").isin("purchase", "view", "click"))
     qty = (F.lit(1) + F.col("event_id") % 3).cast("decimal(18,6)")
