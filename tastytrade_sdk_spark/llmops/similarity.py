@@ -72,6 +72,18 @@ def with_unit_vector(
     return df.withColumn(out_col, F.transform(v, lambda x: x / n))
 
 
+def _as_matrix(values) -> "np.ndarray":
+    """list-of-float32-arrays column (Arrow) -> (n, d) float64 matrix.
+    float32 -> float64 is exact, matching Spark's cast('double')."""
+    return np.array([np.asarray(v, dtype=np.float64) for v in values])
+
+
+def _unit_rows(m: "np.ndarray") -> "np.ndarray":
+    norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+    norms[norms == 0] = 1.0
+    return m / norms[:, None]
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -81,21 +93,66 @@ def brute_force_topk(
     k: int = 5,
     round_dp: int = 6,
 ) -> DataFrame:
-    """Exact cosine top-k per query. Ranking uses the rounded cosine
-    with the candidate id as tiebreak (deterministic across engines)."""
-    from pyspark.sql import Window
+    """Exact cosine top-k per query, as one blocked matmul.
 
-    q = with_unit_vector(queries, vec_col, "__qunit").select(
-        F.col(query_id_col), F.col("__qunit")
+    The query set is small by construction -> collected to a (q, d)
+    matrix and broadcast. Each corpus partition scores its Arrow batch
+    against all queries with a single BLAS matmul and emits only its
+    LOCAL top-k per query; the global window then reduces
+    n_batches*k candidates per query. The corpus is never shuffled and
+    the per-pair work is vectorized, not per-row lambdas.
+
+    Ranking uses the rounded cosine with the candidate id as tiebreak
+    (deterministic across engines); the local top-k uses the identical
+    order, so the global top-k equals the all-pairs answer exactly.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = _unit_rows(_as_matrix([r[1] for r in qrows]))
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    id_type = corpus.schema[id_col].dataType
+    qid_type = queries.schema[query_id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_type),
+            T.StructField(id_col, id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    c = _spread(with_unit_vector(corpus, vec_col, "__cunit").select(id_col, "__cunit"))
-    scored = (
-        c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
-        .withColumn(
-            "cosine", F.round(_dot(F.col("__qunit"), F.col("__cunit")), round_dp)
-        )
-        .select(query_id_col, id_col, "cosine")
-    )
+
+    def score(batches):
+        b_qids, b_q = bc.value
+        nq = len(b_qids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = _unit_rows(_as_matrix(pdf[vec_col].values))
+            s = np.round(cm @ b_q.T, round_dp)  # (n, q)
+            cids = pdf[id_col].values
+            out: dict = {query_id_col: [], id_col: [], "cosine": []}
+            for j in range(nq):
+                col = s[:, j]
+                keep = cids != b_qids[j]
+                idx = np.nonzero(keep)[0]
+                if len(idx) == 0:
+                    continue
+                # local top-k in the SAME order as the global window:
+                # cosine desc, id asc
+                order = np.lexsort((cids[idx], -col[idx]))[:k]
+                pick = idx[order]
+                out[query_id_col].extend([b_qids[j]] * len(pick))
+                out[id_col].extend(cids[pick].tolist())
+                out["cosine"].extend(col[pick].tolist())
+            if out[id_col]:
+                yield pd.DataFrame(out)
+
+    scored = _spread(corpus.select(id_col, vec_col)).mapInPandas(score, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
@@ -104,6 +161,83 @@ def brute_force_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "cosine", "rnk")
     )
+
+
+def all_pairs_cosine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_blocks: int = 32,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold as a blocked matrix product.
+
+    Rows hash into ``n_blocks`` blocks; the (b_i <= b_j) block-pair
+    join materializes each unordered pair of blocks exactly once, and
+    an Arrow kernel scores each block pair with one (|A| x |B|) BLAS
+    matmul. No driver collect and no whole-corpus broadcast — each row
+    is shuffled/replicated O(n_blocks) times, which is the inherent
+    cost of an exact quadratic scan. Size n_blocks so a block fits
+    comfortably in executor memory (n/n_blocks * dim * 8B); at lake
+    scale the LSH-bucketed variant replaces this entirely.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    blocks = (
+        df.select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
+            F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).alias(
+                "__item"
+            ),
+        )
+        .groupBy("__blk")
+        .agg(F.collect_list("__item").alias("items"))
+    )
+    pairs = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.__blk") <= F.col("b.__blk"))
+        .select(
+            F.col("a.__blk").alias("ba"),
+            F.col("b.__blk").alias("bb"),
+            F.col("a.items").alias("ia"),
+            F.col("b.items").alias("ib"),
+        )
+    )
+    # block-pair rows are few but heavy — spread them across all cores
+    pairs = pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    def score(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.array([it["id"] for it in row.ia])
+                ids_b = np.array([it["id"] for it in row.ib])
+                va = _unit_rows(_as_matrix([it["v"] for it in row.ia]))
+                vb = _unit_rows(_as_matrix([it["v"] for it in row.ib]))
+                s = np.round(va @ vb.T, round_dp)
+                if row.ba == row.bb:
+                    mask = (ids_a[:, None] < ids_b[None, :]) & (s >= threshold)
+                else:
+                    mask = s >= threshold
+                ii, jj = np.nonzero(mask)
+                if len(ii) == 0:
+                    continue
+                lo = np.minimum(ids_a[ii], ids_b[jj])
+                hi = np.maximum(ids_a[ii], ids_b[jj])
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "cosine": s[ii, jj]}
+                )
+
+    return pairs.mapInPandas(score, out_schema)
 
 
 def hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 42) -> np.ndarray:
@@ -138,15 +272,31 @@ def lsh_topk(
     band = higher recall, more candidates."""
     from pyspark.sql import Window
 
+    import pandas as pd
+
     assert n_planes % bands == 0
     rows = n_planes // bands
     dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(n_planes, dim, seed)
+    weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+
+    def _sig(vecs):
+        # one matmul per Arrow batch: sign bits of X @ P.T, packed
+        m = _as_matrix(vecs.values)
+        bits = (m @ planes.T) > 0
+        return pd.Series(bits @ weights)
+
+    def _cos(a, b):
+        ma = _unit_rows(_as_matrix(a.values))
+        mb = _unit_rows(_as_matrix(b.values))
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    sig_udf = F.pandas_udf(_sig, "long")
+    cos_udf = F.pandas_udf(_cos, "double")
 
     def banded(df: DataFrame, idc: str) -> DataFrame:
         df = _spread(df) if idc == id_col else df
-        sig = bucket_signature(F.col(vec_col), planes)
-        out = df.withColumn("__sig", sig)
+        out = df.withColumn("__sig", sig_udf(F.col(vec_col)))
         band_cols = []
         for b in range(bands):
             mask = ((1 << rows) - 1) << (b * rows)
@@ -170,10 +320,8 @@ def lsh_topk(
         .select("__qid", id_col, vec_col, "__qvec")
         .distinct()
     )
-    cands = with_unit_vector(cands, vec_col, "__cu")
-    cands = with_unit_vector(cands, "__qvec", "__qu")
     scored = cands.withColumn(
-        "cosine", F.round(_dot(F.col("__qu"), F.col("__cu")), round_dp)
+        "cosine", F.round(cos_udf(F.col("__qvec"), F.col(vec_col)), round_dp)
     )
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
