@@ -527,6 +527,13 @@ def option_chain_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             "put"
         ),
     )
+    # single-partition input + hash partitioning on root satisfies the
+    # clustering requirement of BOTH groupBys (root is a subset of each
+    # key set), so the whole nested build runs with exactly one exchange
+    # and full map-side parallelism
+    base = base.repartition(
+        spark.sparkContext.defaultParallelism, F.col("root")
+    )
     strikes = base.groupBy("root", "expiration_date", "days_to_expiration").agg(
         F.collect_list(F.struct("strike_price", "call", "put")).alias("strikes")
     )

@@ -32,23 +32,36 @@ def flatten_chain(
         F.col("__exp.days_to_expiration").alias("days_to_expiration"),
         F.explode(F.col(f"__exp.{strikes_field}")).alias("__strike"),
     )
-    base = strikes.select(
-        *keep,
-        "expiration_date",
-        "days_to_expiration",
-        F.col("__strike.strike_price").alias("strike_price"),
-        F.col("__strike.call").alias("call"),
-        F.col("__strike.put").alias("put"),
+    # one explode of a 2-element {call,put} array instead of a union of
+    # two branches: a union would re-run the whole upstream (scan +
+    # nested build) once per side
+    cp = F.explode(
+        F.array(
+            F.struct(
+                F.lit("C").alias("option_type"),
+                F.col("__strike.call").alias("symbol"),
+            ),
+            F.struct(
+                F.lit("P").alias("option_type"),
+                F.col("__strike.put").alias("symbol"),
+            ),
+        )
     )
-    calls = base.select(
-        *keep, "expiration_date", "days_to_expiration", "strike_price",
-        F.lit("C").alias("option_type"), F.col("call").alias("symbol"),
+    return (
+        strikes.select(
+            *keep,
+            "expiration_date",
+            "days_to_expiration",
+            F.col("__strike.strike_price").alias("strike_price"),
+            cp.alias("__cp"),
+        )
+        .select(
+            *keep, "expiration_date", "days_to_expiration", "strike_price",
+            F.col("__cp.option_type").alias("option_type"),
+            F.col("__cp.symbol").alias("symbol"),
+        )
+        .filter(F.col("symbol").isNotNull())
     )
-    puts = base.select(
-        *keep, "expiration_date", "days_to_expiration", "strike_price",
-        F.lit("P").alias("option_type"), F.col("put").alias("symbol"),
-    )
-    return calls.unionByName(puts).filter(F.col("symbol").isNotNull())
 
 
 def closest_dte_expirations(
