@@ -16,7 +16,7 @@ trivial per group and parallelism is per-underlying.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from decimal import Decimal
 from itertools import combinations
 
@@ -36,43 +36,54 @@ class Leg:
     option_type: str | None = None  # 'C'/'P'
     strike: Decimal | None = None
     expiration: object | None = None  # datetime.date
+    # derived predicates cached as real fields: the combinatorial scan
+    # reads them O(C(n,4)) times per group, where property-call
+    # overhead dominated the whole kernel
+    is_long: bool = field(init=False)
+    is_short: bool = field(init=False)
+    is_option: bool = field(init=False)
+    is_call: bool = field(init=False)
+    is_put: bool = field(init=False)
+    is_stock: bool = field(init=False)
+    abs_quantity: float = field(init=False)
 
-    @property
-    def is_long(self) -> bool:
-        return self.signed_quantity > 0
-
-    @property
-    def is_short(self) -> bool:
-        return self.signed_quantity < 0
-
-    @property
-    def is_option(self) -> bool:
-        return self.option_type in ("C", "P")
-
-    @property
-    def is_call(self) -> bool:
-        return self.option_type == "C"
-
-    @property
-    def is_put(self) -> bool:
-        return self.option_type == "P"
-
-    @property
-    def is_stock(self) -> bool:
-        return not self.is_option and self.instrument_type in STOCK_TYPES
-
-    @property
-    def abs_quantity(self) -> float:
-        return abs(self.signed_quantity)
+    def __post_init__(self):
+        s = object.__setattr__
+        s(self, "is_long", self.signed_quantity > 0)
+        s(self, "is_short", self.signed_quantity < 0)
+        is_option = self.option_type in ("C", "P")
+        s(self, "is_option", is_option)
+        s(self, "is_call", self.option_type == "C")
+        s(self, "is_put", self.option_type == "P")
+        s(self, "is_stock", not is_option and self.instrument_type in STOCK_TYPES)
+        s(self, "abs_quantity", abs(self.signed_quantity))
 
 
 def _same_exp(legs) -> bool:
-    exps = {l.expiration for l in legs if l.expiration is not None}
-    return len(exps) == 1
+    # == one distinct non-None expiration (all-None -> False), without
+    # allocating a set per combination
+    first = None
+    for l in legs:
+        e = l.expiration
+        if e is None:
+            continue
+        if first is None:
+            first = e
+        elif e != first:
+            return False
+    return first is not None
 
 
 def _same_qty(legs) -> bool:
-    return len({l.abs_quantity for l in legs}) == 1
+    it = iter(legs)
+    q = next(it, None)
+    if q is None:
+        return False
+    q = q.abs_quantity
+    for l in it:
+        if l.abs_quantity != q:
+            return False
+    return True
 
 
 def _split_pc(combo):
@@ -90,16 +101,24 @@ def _match_iron_family(legs, want: str):
     if len(options) < 4:
         return None
     for combo in combinations(options, 4):
-        combo = list(combo)
-        if not _same_exp(combo) or not _same_qty(combo):
+        a, b, c, d = combo
+        # cheap order-independent prefilters before any allocation;
+        # the combination scan order (and thus greedy consumption) is
+        # identical to the reference. Inlined qty first: 3 float
+        # compares with ~4% pass rate kill most combos outright.
+        q = a.abs_quantity
+        if b.abs_quantity != q or c.abs_quantity != q or d.abs_quantity != q:
+            continue
+        if a.is_put + b.is_put + c.is_put + d.is_put != 2:
+            continue
+        if not _same_exp(combo):
             continue
         puts, calls = _split_pc(combo)
-        if len(puts) != 2 or len(calls) != 2:
-            continue
         if not (puts[0].is_long and puts[1].is_short and calls[0].is_short and calls[1].is_long):
             continue
         if any(l.strike is None for l in combo):
             continue
+        combo = list(combo)
         if want == "condor":
             if puts[1].strike < calls[0].strike:
                 return "Iron Condor", combo
