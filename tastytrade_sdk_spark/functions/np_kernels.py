@@ -15,14 +15,23 @@ import numpy as np
 
 def padded_wma_np(values: np.ndarray, period: int, pad_value: float) -> np.ndarray:
     """Weighted MA (weights 1..period) with warm-up rows left-padded by
-    ``pad_value``. Vectorized via sliding windows over a padded array."""
+    ``pad_value``.
+
+    Accumulates terms oldest-first (weight 1 first) instead of a BLAS
+    dot product: the left-associative sum is bit-identical to the SQL
+    expression form ``(lag(x,n-1)*1 + ... + x*n) / sum`` used by both
+    the JVM operator and the DuckDB oracles, so engine outputs
+    hash-match without rounding tolerance."""
     n = len(values)
     if n == 0:
         return np.empty(0)
-    weights = np.arange(1, period + 1, dtype=float)
-    padded = np.concatenate((np.full(period - 1, float(pad_value)), values))
-    windows = np.lib.stride_tricks.sliding_window_view(padded, period)
-    return windows @ weights / weights.sum()
+    padded = np.concatenate(
+        (np.full(period - 1, float(pad_value)), np.asarray(values, dtype=float))
+    )
+    acc = np.zeros(n)
+    for j in range(1, period + 1):
+        acc = acc + j * padded[j - 1 : j - 1 + n]
+    return acc / (period * (period + 1) / 2.0)
 
 
 def ema_seeded_np(values: np.ndarray, length: int, seed: float) -> np.ndarray:

@@ -275,12 +275,173 @@ def strategy_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("signal_detection")  # rows-only: stateful feedback loop, not SQL-expressible
+def _wma_sql(col: str, period: int, pad: str = "pad", win: str = "win") -> str:
+    """Oldest-first padded-WMA terms — the left-associative sum matches
+    padded_wma_np's accumulation order bit-for-bit."""
+    terms = []
+    for j in range(1, period + 1):
+        lagn = period - j
+        src = f"coalesce(lag({col}, {lagn}) OVER {win}, {pad})" if lagn else col
+        terms.append(f"{src}*{j}")
+    return "(" + " + ".join(terms) + f") / {float(period * (period + 1) // 2)}"
+
+
+def _signal_oracle_sql() -> str:
+    """Full relational form of the ST1 engine: windowed indicators
+    (prefix == full series because 2h candles stay under CANDLE_CAP)
+    + the 36-state arming automaton as a recursive CTE."""
+    a12, a26, a9 = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0
+    ema = "list_reduce(list_prepend({seed}, {arr}), (acc, x) -> acc*(1-{a}) + x*{a})"
+    return f"""
+    WITH RECURSIVE cand AS (
+      SELECT event_type AS symbol,
+             make_timestamp(((epoch_ms(ts) // 7200000) * 7200000) * 1000) AS time,
+             value, ts, event_id
+      FROM events
+    ), c AS (
+      SELECT symbol, time, value AS close FROM cand
+      QUALIFY row_number() OVER (
+        PARTITION BY symbol, time ORDER BY ts DESC, event_id DESC) = 1
+    ), cf AS (
+      SELECT symbol, time, close FROM c
+      WHERE close IS NOT NULL AND NOT isnan(close)
+    ), p AS (
+      SELECT symbol, time, close,
+             first_value(close) OVER wop AS pad,
+             row_number() OVER wop AS rn,
+             list(close) OVER (PARTITION BY symbol ORDER BY time
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+      FROM cf WINDOW wop AS (PARTITION BY symbol ORDER BY time)
+    ), w AS (
+      SELECT symbol, time, close, pad, rn,
+             {_wma_sql('close', 10, win='winw')} AS wma10,
+             {_wma_sql('close', 20, win='winw')} AS wma20,
+             {ema.format(seed='pad', arr='arr', a=a12)} AS ema12,
+             {ema.format(seed='pad', arr='arr', a=a26)} AS ema26
+      FROM p WINDOW winw AS (PARTITION BY symbol ORDER BY time)
+    ), d AS (
+      SELECT symbol, time, close, pad, rn,
+             2*wma10 - wma20 AS hdiff, ema12 - ema26 AS mval
+      FROM w
+    ), h AS (
+      SELECT symbol, time, close, rn, mval,
+             {_wma_sql('hdiff', 4, win='winh')} AS hma,
+             list(mval) OVER (PARTITION BY symbol ORDER BY time
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mvarr
+      FROM d WINDOW winh AS (PARTITION BY symbol ORDER BY time)
+    ), ind0 AS (
+      SELECT symbol, time, close, rn, mval, hma,
+             {ema.format(seed='0.0', arr='mvarr', a=a9)} AS mavg,
+             CASE WHEN hma > lag(hma) OVER (PARTITION BY symbol ORDER BY time)
+                  THEN 'Up' ELSE 'Down' END AS dir
+      FROM h
+    ), ind AS (
+      SELECT symbol, time, close, rn, mval, hma, mavg, mval - mavg AS mdiff, dir,
+             CASE WHEN mval > mavg THEN 'bullish' ELSE 'bearish' END AS mp,
+             CASE WHEN rn <= 2 THEN false
+                  ELSE dir <> lag(dir) OVER woi END AS hc,
+             CASE WHEN rn <= 2 THEN false
+                  ELSE (mval > mavg) <>
+                       (lag(mval) OVER woi > lag(mavg) OVER woi) END AS mc,
+             CASE WHEN 60*extract(hour FROM (time AT TIME ZONE 'UTC')
+                          AT TIME ZONE 'America/New_York')
+                       + extract(minute FROM (time AT TIME ZONE 'UTC')
+                          AT TIME ZONE 'America/New_York') < 600 THEN 'pre'
+                  WHEN 60*extract(hour FROM (time AT TIME ZONE 'UTC')
+                          AT TIME ZONE 'America/New_York')
+                       + extract(minute FROM (time AT TIME ZONE 'UTC')
+                          AT TIME ZONE 'America/New_York') >= 900 THEN 'late'
+                  ELSE 'mid' END AS phase
+      FROM ind0 WINDOW woi AS (PARTITION BY symbol ORDER BY time)
+    ), auto AS (
+      SELECT symbol, 1 AS rn,
+             CAST(NULL AS VARCHAR) AS ha, CAST(NULL AS VARCHAR) AS ma,
+             false AS bull_open, false AS bear_open,
+             false AS f_close_bull, CAST(NULL AS VARCHAR) AS t_close_bull,
+             false AS f_close_bear, CAST(NULL AS VARCHAR) AS t_close_bear,
+             false AS f_open, CAST(NULL AS VARCHAR) AS d_open
+      FROM (SELECT DISTINCT symbol FROM ind)
+      UNION ALL
+      SELECT symbol, rn,
+             CASE WHEN phase <> 'mid' THEN ha1
+                  WHEN open_fire THEN NULL
+                  WHEN disagree AND ((mc AND NOT hc) OR (hc AND mc)) THEN NULL
+                  ELSE ha1 END,
+             CASE WHEN phase <> 'mid' THEN ma1
+                  WHEN open_fire THEN NULL
+                  WHEN disagree AND ((hc AND NOT mc) OR (hc AND mc)) THEN NULL
+                  ELSE ma1 END,
+             bull1 OR (open_fire AND ha1 = 'BULLISH'),
+             bear1 OR (open_fire AND ha1 = 'BEARISH'),
+             cb, cb_trig, ce, ce_trig, open_fire, ha1
+      FROM (
+        SELECT *,
+               s_bull AND NOT cb AS bull1,
+               s_bear AND NOT ce AS bear1,
+               ha1 IS NOT NULL AND ma1 IS NOT NULL AND ha1 = ma1 AS agree,
+               ha1 IS NOT NULL AND ma1 IS NOT NULL AND ha1 <> ma1 AS disagree,
+               phase = 'mid'
+                 AND ha1 IS NOT NULL AND ma1 IS NOT NULL AND ha1 = ma1
+                 AND NOT ((ha1 = 'BULLISH' AND (s_bull AND NOT cb))
+                          OR (ha1 = 'BEARISH' AND (s_bear AND NOT ce)))
+                 AS open_fire
+        FROM (
+          SELECT i.symbol, i.rn, i.dir, i.mp, i.hc, i.mc, i.phase,
+                 s.ha AS s_ha, s.ma AS s_ma,
+                 s.bull_open AS s_bull, s.bear_open AS s_bear,
+                 i.phase <> 'pre'
+                   AND s.bull_open
+                   AND ((i.hc AND i.dir = 'Down') OR (i.mc AND i.mp = 'bearish'))
+                   AS cb,
+                 CASE WHEN i.hc AND i.dir = 'Down' THEN 'hull' ELSE 'macd' END
+                   AS cb_trig,
+                 i.phase <> 'pre'
+                   AND s.bear_open
+                   AND ((i.hc AND i.dir = 'Up') OR (i.mc AND i.mp = 'bullish'))
+                   AS ce,
+                 CASE WHEN i.hc AND i.dir = 'Up' THEN 'hull' ELSE 'macd' END
+                   AS ce_trig,
+                 CASE WHEN i.phase = 'mid' AND i.hc THEN
+                        CASE WHEN i.dir = 'Up' THEN 'BULLISH' ELSE 'BEARISH' END
+                      ELSE s.ha END AS ha1,
+                 CASE WHEN i.phase = 'mid' AND i.mc THEN
+                        CASE WHEN i.mp = 'bullish' THEN 'BULLISH' ELSE 'BEARISH' END
+                      ELSE s.ma END AS ma1
+          FROM auto s JOIN ind i ON i.symbol = s.symbol AND i.rn = s.rn + 1
+        ) x
+      ) y
+    ), em AS (
+      SELECT symbol, rn,
+             unnest(list_filter([
+               struct_pack(st := 'CLOSE', dirn := 'BULLISH',
+                           trg := t_close_bull, fire := f_close_bull),
+               struct_pack(st := 'CLOSE', dirn := 'BEARISH',
+                           trg := t_close_bear, fire := f_close_bear),
+               struct_pack(st := 'OPEN', dirn := d_open,
+                           trg := 'confluence', fire := f_open)
+             ], x -> x.fire)) AS sg
+      FROM auto
+    )
+    SELECT em.symbol, i.time AS start_time, em.sg.st AS signal_type,
+           em.sg.dirn AS direction, 'hull_macd' AS engine,
+           em.sg.trg AS "trigger", i.dir AS hull_direction,
+           round(i.hma, 8) AS hull_value, round(i.mval, 8) AS macd_value,
+           round(i.mavg, 8) AS macd_signal, round(i.mdiff, 8) AS macd_histogram,
+           i.close AS close_price
+    FROM em JOIN ind i ON i.symbol = em.symbol AND i.rn = em.rn
+    """
+
+
+@_q("signal_detection", _signal_oracle_sql())
 def signal_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST1 Hull+MACD confluence signal engine over hourly candle closes
-    derived from the event stream. Batch form of the shared engine
-    loop; batch==streaming equivalence is pinned by tests
+    """ST1 Hull+MACD confluence signal engine over 2-hour candle closes
+    derived from the event stream (2h keeps every symbol's history
+    under CANDLE_CAP, so the engine's growing buffer equals the full
+    series and the indicators are ordinary window computations). The
+    DuckDB oracle replays the arming automaton as a recursive CTE;
+    batch==streaming equivalence is pinned separately by tests
     (tests/test_streaming.py::test_streaming_equals_batch)."""
+    from tastytrade_sdk_spark.functions.scalar import floor_time_to_interval
     from tastytrade_sdk_spark.operators.dedup import keep_last
     from tastytrade_sdk_spark.streaming.signal_engine import detect_signals_batch
 
@@ -288,7 +449,7 @@ def signal_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     candles = keep_last(
         ev.select(
             F.col("event_type").alias("symbol"),
-            F.date_trunc("hour", F.col("ts")).alias("time"),
+            floor_time_to_interval("ts", F.lit(7_200_000)).alias("time"),
             F.col("value").alias("close"),
             "ts",
             "event_id",
@@ -296,4 +457,16 @@ def signal_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["symbol", "time"],
         ["ts", "event_id"],
     ).select("symbol", "time", "close")
-    return detect_signals_batch(candles, hull_length=20)
+    out = detect_signals_batch(candles, hull_length=20)
+    # decisions run on raw doubles inside the engine; emitted indicator
+    # floats are display values, rounded 8dp at the same site as the
+    # oracle (pandas-ewm vs list_reduce EMA differ at ~1e-13)
+    return out.select(
+        "symbol", "start_time", "signal_type", "direction", "engine",
+        "trigger", "hull_direction",
+        F.round("hull_value", 8).alias("hull_value"),
+        F.round("macd_value", 8).alias("macd_value"),
+        F.round("macd_signal", 8).alias("macd_signal"),
+        F.round("macd_histogram", 8).alias("macd_histogram"),
+        "close_price",
+    )
