@@ -240,6 +240,105 @@ def all_pairs_cosine(
     return pairs.mapInPandas(score, out_schema)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_iters: int = 10,
+    sample: int = 4096,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Deterministic coarse quantizer: spherical k-means on a bounded
+    sample (driver-side numpy — the sample is small by construction;
+    training cost does not grow with corpus size)."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    m = _unit_rows(_as_matrix([r[0] for r in rows]))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_lists, len(m)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are assigned to their nearest
+    centroid's inverted list (one narrow projection); each query scores
+    only the ``nprobe`` nearest lists. The list id is the join key, so
+    the all-pairs product becomes a hash join on a low-cardinality
+    key — the classic IVF trade (recall vs nprobe) at lake scale, with
+    the partition-pruning-friendly layout (cluster by list id on
+    write) falling out for free."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    cent = ivf_centroids(corpus, vec_col, n_lists=n_lists, seed=seed)
+
+    def _assign(vecs):
+        m = _unit_rows(_as_matrix(vecs.values))
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype("int32"))
+
+    assign_udf = F.pandas_udf(_assign, "int")
+
+    def _cos(a, b):
+        ma = _unit_rows(_as_matrix(a.values))
+        mb = _unit_rows(_as_matrix(b.values))
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    cos_udf = F.pandas_udf(_cos, "double")
+
+    cb = _spread(corpus.select(id_col, vec_col)).withColumn(
+        "__list", assign_udf(F.col(vec_col))
+    )
+
+    # each query probes its nprobe nearest lists
+    def _probe(vecs):
+        m = _unit_rows(_as_matrix(vecs.values))
+        order = np.argsort(-(m @ cent.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    probe_udf = F.pandas_udf(_probe, T.ArrayType(T.IntegerType()))
+    qb = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+        )
+        .withColumn("__list", F.explode(probe_udf(F.col("__qvec"))))
+    )
+    cands = (
+        cb.join(F.broadcast(qb), "__list")
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select("__qid", id_col, vec_col, "__qvec")
+        .distinct()
+    )
+    scored = cands.withColumn(
+        "cosine", F.round(cos_udf(F.col("__qvec"), F.col(vec_col)), round_dp)
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("__qid").alias(query_id_col), id_col, "cosine", "rnk")
+    )
+
+
 def hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -175,3 +175,31 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_ivf_topk_recall_on_real_embeddings(spark):
+    from tastytrade_sdk_spark.llmops.similarity import ivf_topk
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_lists=8, nprobe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # probing 3/8 lists: the true neighborhood is mostly within the
+    # probed lists for clustered embeddings
+    assert sum(recalls) / len(recalls) >= 0.5
+    # determinism: same seed -> identical result set
+    again = ivf_topk(emb, queries, k=5, n_lists=8, nprobe=3).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
