@@ -466,19 +466,25 @@ def classify_strategies(
     """
     import pandas as pd
 
-    def kernel(pdf: pd.DataFrame) -> list[dict]:
-        pdf = pdf.sort_values(order_col, kind="mergesort")
+    def kernel(recs: list[dict]) -> list[dict]:
+        recs = sorted(recs, key=lambda r: r[order_col])  # stable, as before
         legs = [
             Leg(
-                symbol=r.symbol,
-                underlying=r.underlying,
-                instrument_type=r.instrument_type,
-                signed_quantity=float(r.signed_quantity),
-                option_type=(r.option_type if isinstance(r.option_type, str) else None),
-                strike=(Decimal(str(r.strike)) if pd.notna(r.strike) else None),
-                expiration=(r.expiration if pd.notna(r.expiration) else None),
+                symbol=r["symbol"],
+                underlying=r["underlying"],
+                instrument_type=r["instrument_type"],
+                signed_quantity=float(r["signed_quantity"]),
+                option_type=(
+                    r["option_type"] if isinstance(r["option_type"], str) else None
+                ),
+                strike=(
+                    Decimal(str(r["strike"])) if pd.notna(r["strike"]) else None
+                ),
+                expiration=(
+                    r["expiration"] if pd.notna(r["expiration"]) else None
+                ),
             )
-            for r in pdf.itertuples()
+            for r in recs
         ]
         rows = []
         for i, (name, matched) in enumerate(classify_group(legs)):
@@ -495,4 +501,4 @@ def classify_strategies(
 
     from tastytrade_sdk_spark.operators.grouped import grouped_apply
 
-    return grouped_apply(legs_df, underlying_col, kernel, RESULT_SCHEMA)
+    return grouped_apply(legs_df, underlying_col, kernel, RESULT_SCHEMA, records=True)

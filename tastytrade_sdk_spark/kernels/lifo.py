@@ -134,10 +134,10 @@ def lifo_entry_credits(
         # yields repeating decimals Arrow cannot rescale losslessly
         return v.quantize(six) if v is not None else None
 
-    def kernel(pdf: pd.DataFrame) -> list[dict]:
-        symbol = pdf["symbol"].iloc[0]
-        current_qty = int(pdf["__current_qty"].iloc[0])
-        fills = pdf[pdf["executed_at"].notna()].to_dict("records")
+    def kernel(recs: list[dict]) -> list[dict]:
+        symbol = recs[0]["symbol"]
+        current_qty = int(recs[0]["__current_qty"])
+        fills = [r for r in recs if not pd.isna(r["executed_at"])]
         res = replay_one_symbol(fills, current_qty)
         return [
             {
@@ -151,4 +151,4 @@ def lifo_entry_credits(
 
     from tastytrade_sdk_spark.operators.grouped import grouped_apply
 
-    return grouped_apply(joined, "symbol", kernel, RESULT_SCHEMA)
+    return grouped_apply(joined, "symbol", kernel, RESULT_SCHEMA, records=True)

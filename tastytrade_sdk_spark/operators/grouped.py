@@ -34,11 +34,19 @@ def grouped_apply(
     key_cols: str | list[str],
     group_fn: Callable[..., Iterable[dict]],
     schema: T.StructType,
+    records: bool = False,
 ) -> DataFrame:
-    """Run ``group_fn(group_pdf) -> iterable[dict]`` once per distinct
-    key, with all of a key's rows in one pandas DataFrame (row order
-    within the group is NOT guaranteed — sort inside the kernel if the
-    logic is order-dependent, exactly as with applyInPandas).
+    """Run ``group_fn`` once per distinct key, with all of a key's rows
+    together (row order within the group is NOT guaranteed — sort
+    inside the kernel if the logic is order-dependent, exactly as with
+    applyInPandas).
+
+    ``records=False``: group_fn(group_pdf) gets a pandas DataFrame.
+    ``records=True``: group_fn(list_of_row_dicts) — the batch is
+    converted to records ONCE and split with itertools.groupby, which
+    removes the per-group pandas slicing/to_dict overhead that
+    dominates when groups are tiny (profiled 50x the actual kernel
+    cost for the LIFO replay). Requires non-null group keys.
     """
     import pandas as pd
 
@@ -47,12 +55,21 @@ def grouped_apply(
     parted = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(*keys)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from itertools import groupby as igroupby
+
         carry: pd.DataFrame | None = None
 
         def emit(part: pd.DataFrame) -> "pd.DataFrame | None":
             rows: list[dict] = []
-            for _, g in part.groupby(keys, sort=False, dropna=False):
-                rows.extend(group_fn(g))
+            if records:
+                recs = part.to_dict("records")
+                for _, grp in igroupby(
+                    recs, key=lambda r: tuple(r[k] for k in keys)
+                ):
+                    rows.extend(group_fn(list(grp)))
+            else:
+                for _, g in part.groupby(keys, sort=False, dropna=False):
+                    rows.extend(group_fn(g))
             if not rows:
                 return None
             return pd.DataFrame(rows, columns=cols)
