@@ -845,3 +845,29 @@ def strategy_health_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         keep_cols=["o_orderkey", "strategy_type"],
     )
+
+
+@_q(
+    "rollup_order_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5 noted the reference has no grouping sets but the
+    engine gets rollup/cube free from Spark — demonstrated here:
+    hierarchical subtotals in one pass (partial aggregation per
+    grouping set, no repeated scans), value-matched against DuckDB's
+    ROLLUP."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
