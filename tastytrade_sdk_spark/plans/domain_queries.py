@@ -871,3 +871,58 @@ def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@_q(
+    "session_window_activity",
+    """
+    WITH e AS (
+      SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+                  ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), ids AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM ids
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 noted the reference computes tumbling windows only; Spark
+    adds session windows free — demonstrated with a 30-minute-gap
+    session aggregation per user. The oracle is the classic islands
+    rewrite (gap flag -> running sum -> group), which is also exactly
+    how the operator behaves at scale: one shuffle on the user key,
+    sessions formed within partitions. Session end = last event + gap
+    (half-open, an event landing exactly at the end starts a new
+    session)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
