@@ -926,3 +926,50 @@ def session_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@_q(
+    "sliding_window_counts",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_ms(ts) AS tms, value FROM events
+    ), expanded AS (
+      -- an event at t belongs to the 4 hour-long windows starting at
+      -- 15-min slides in (t-1h, t]
+      SELECT event_type, value,
+             unnest(generate_series(
+               ((tms - 3600000) // 900000 + 1) * 900000,
+               (tms // 900000) * 900000,
+               900000)) AS wstart
+      FROM e
+    )
+    SELECT event_type,
+           make_timestamp(wstart * 1000) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 freebie #2: hopping windows (1h length, 15m slide) — each
+    event contributes to length/slide windows; Spark's window()
+    generates the assignment without a join, the oracle expands via
+    generate_series. One shuffle on (type, window)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
