@@ -5,9 +5,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is executed to completion (count() materializes the whole
 plan; results are not collected to the driver). A warm-up pass
-absorbs JVM/codegen startup, and each query runs twice with the min
-reported: this VM shows sporadic multi-second host-level stalls with
-the CPU idle, and min-of-2 keeps those out of steady-state numbers.
+absorbs JVM/codegen startup, and each query runs three times with the
+min reported: this VM shows sporadic multi-second host-level stalls
+with the CPU idle (~25% of runs during noisy periods), and min-of-3
+keeps those out of steady-state numbers.
 """
 
 from __future__ import annotations
@@ -54,7 +55,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
