@@ -1,0 +1,124 @@
+"""Scale hazards toolkit: skew salting and bucketed co-location.
+
+These address the two shuffle pathologies that appear only at cluster
+scale (SURVEY §4 "partition pruning / data layout"; the reference
+sidesteps both by being single-process):
+
+- **Skewed keys**: one hot symbol (SPX) can carry most of the tick
+  volume; a plain groupBy/join sends the whole hot partition to one
+  task. AQE's skew-join split handles the JOIN side at runtime;
+  ``salted_groupby`` handles the AGGREGATION side ahead of time by
+  splitting each hot group across ``n_salts`` sub-groups and merging
+  algebraic partials in a second, tiny aggregation.
+- **Repeated co-located joins**: when a fact table is joined on the
+  same key repeatedly (positions x quotes x greeks per symbol),
+  bucketing both sides on the key lets every join run exchange-free.
+  ``write_bucketed`` + ``read_bucketed`` wrap the saveAsTable API;
+  tests assert the bucketed join plan contains no Exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# algebraic aggregates decompose into (partial over salted groups,
+# merge over partials); avg is computed as sum/count at merge time
+_PARTIAL = {
+    "sum": F.sum,
+    "count": lambda c: F.count(c),
+    "min": F.min,
+    "max": F.max,
+}
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts add up
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_groupby(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_on: Column | None = None,
+) -> DataFrame:
+    """Two-stage aggregation: ``aggs`` maps output column ->
+    (func, input_col) with func in {sum,count,min,max,avg}.
+
+    Stage 1 groups by (keys..., salt) so a hot key spreads over
+    ``n_salts`` tasks; stage 2 merges the ≤ n_salts partial rows per
+    key — negligible data. ``salt_on`` defaults to a hash of all
+    columns (any deterministic row-level expression works; it only
+    needs to spread rows, not be unique)."""
+    for name, (fn, _col) in aggs.items():
+        if fn not in ("sum", "count", "min", "max", "avg"):
+            raise ValueError(f"{name}: non-algebraic aggregate {fn!r}")
+    salt = salt_on if salt_on is not None else F.hash(*df.columns)
+    salted = df.withColumn("__salt", F.pmod(salt, F.lit(n_salts)))
+
+    partial_cols = []
+    merge_cols = []
+    for name, (fn, col) in aggs.items():
+        if fn == "avg":
+            partial_cols += [
+                F.sum(col).alias(f"__{name}_s"),
+                F.count(col).alias(f"__{name}_c"),
+            ]
+            merge_cols.append(
+                (F.sum(f"__{name}_s") / F.sum(f"__{name}_c")).alias(name)
+            )
+        else:
+            partial_cols.append(_PARTIAL[fn](col).alias(f"__{name}_p"))
+            merge_cols.append(_MERGE[fn](f"__{name}_p").alias(name))
+
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_cols)
+    return partial.groupBy(*keys).agg(*merge_cols)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_on: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the fact side gets a deterministic
+    salt, the dim side is replicated n_salts times, and the join key
+    becomes (key, salt) — a hot fact key now lands on n_salts tasks
+    instead of one. Use when the dim is too big to broadcast but small
+    enough to replicate n_salts x (the classic middle ground); result
+    equals the plain join exactly."""
+    salt = salt_on if salt_on is not None else F.hash(*fact.columns)
+    f = fact.withColumn("__salt", F.pmod(salt, F.lit(n_salts)))
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = f.join(d, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort_by: str | None = None,
+) -> None:
+    """Persist with a bucketed layout so later equi-joins/groupBys on
+    ``key`` are exchange-free (both sides must share key AND bucket
+    count). On a lake this is the 'cluster by symbol' layout the
+    reference gets from per-symbol Influx series."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -973,3 +973,55 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@_q(
+    "salted_skew_aggregate",
+    """
+    WITH e AS (
+      SELECT CASE WHEN user_id % 10 < 9 THEN 'HOT'
+                  ELSE 'u' || user_id END AS sym,
+             value
+      FROM events
+    )
+    SELECT sym,
+           round(sum(value), 6) AS total,
+           count(*) AS n,
+           round(min(value), 6) AS vmin,
+           round(max(value), 6) AS vmax
+    FROM e GROUP BY sym
+    """,
+)
+def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation (operators/scale.py):
+    ~90% of rows share one hot key, which a plain groupBy would send
+    to a single task; salting spreads each key over 16 sub-groups and
+    merges algebraic partials. Result equals the plain aggregation —
+    which is exactly what the oracle checks."""
+    from tastytrade_sdk_spark.operators.scale import salted_groupby
+
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        F.when(F.col("user_id") % 10 < 9, "HOT")
+        .otherwise(F.concat(F.lit("u"), F.col("user_id")))
+        .alias("sym"),
+        "value",
+    )
+    out = salted_groupby(
+        e,
+        ["sym"],
+        {
+            "total": ("sum", "value"),
+            "n": ("count", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "sym",
+        F.round("total", 6).alias("total"),
+        "n",
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+    )
