@@ -9,6 +9,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def streaming_ohlcv(
@@ -68,3 +69,88 @@ def streaming_latest(
     )
     value_cols = [c for c in stream.columns if c not in keys]
     return agg.select(*keys, *[F.col(f"__latest.{c}").alias(c) for c in value_cols])
+
+
+def streaming_latest_tws(
+    stream: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """D1/D2 latest-value table via ``transformWithStateInPandas`` —
+    the modern stateful-operator API (SURVEY §2.3's target mapping).
+
+    Keeps one ValueState row per key holding the current winner by
+    ``order_cols`` (lexicographic, e.g. ``["ts", "event_id"]``) and
+    emits the new winner whenever it changes. Versus the max_by
+    aggregation form (``streaming_latest``): state is an explicit,
+    TTL-evictable single row per key (``state_ttl_ms``), and arbitrary
+    update logic can ride along — this is the shape the reference's
+    Redis HSET 'latest' sink (redis.py:36-38) takes on Spark when
+    update-mode aggregation semantics aren't enough.
+
+    Works identically over a batch DataFrame (Spark runs the processor
+    once per key), which is what the equivalence test exploits.
+
+    NOTE: the transformWithState Python worker protocol requires
+    ``google.protobuf``, absent from this test container — the
+    operator is exercised where protobuf exists (the equivalence test
+    importorskips), and ``streaming_latest`` /
+    ``operators/dedup.keep_last`` provide the same semantics on the
+    aggregation path everywhere.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    schema = stream.schema
+    key_list = list(keys)
+    order_list = list(order_cols)
+    state_schema = T.StructType(
+        [f for f in schema.fields if f.name not in key_list]
+    )
+    value_cols = [f.name for f in state_schema.fields]
+
+    class LatestProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getValueState(
+                "latest", state_schema, ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            best = None  # tuple of order values
+            best_row = None
+            if self._latest.exists():
+                cur = self._latest.get()
+                cur_d = dict(zip(value_cols, cur))
+                best = tuple(cur_d[c] for c in order_list)
+                best_row = cur_d
+            changed = False
+            for pdf in rows:
+                for rec in pdf.to_dict("records"):
+                    cand = tuple(rec[c] for c in order_list)
+                    if best is None or cand > best:
+                        best = cand
+                        best_row = {c: rec[c] for c in value_cols}
+                        changed = True
+            if changed:
+                self._latest.update(tuple(best_row[c] for c in value_cols))
+                keyed = dict(zip(key_list, key))
+                yield pd.DataFrame(
+                    {
+                        f.name: [keyed[f.name] if f.name in keyed else best_row[f.name]]
+                        for f in schema.fields
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(*key_list).transformWithStateInPandas(
+        statefulProcessor=LatestProcessor(),
+        outputStructType=schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -437,3 +437,69 @@ class TestIncrementalIndicators:
         inc = IncrementalMACD()
         got = [inc.update(c) for c in series]
         assert [g[0] for g in got] == pytest.approx(list(v), abs=1e-9)
+
+
+class TestTransformWithStateLatest:
+    def test_tws_latest_equals_batch_keep_last(self, spark):
+        """The transformWithStateInPandas latest table, driven through
+        two micro-batches (state survives the batch boundary), ends at
+        the same snapshot as batch keep_last."""
+        import tempfile
+
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState's Python worker protocol needs "
+            "protobuf, not installed in this container",
+        )
+
+        from tastytrade_sdk_spark.operators.dedup import keep_last
+        from tastytrade_sdk_spark.streaming.streams import streaming_latest_tws
+
+        schema = "symbol string, seq long, price double"
+        batch1 = [("SPX", 1, 10.0), ("SPX", 3, 30.0), ("NDX", 1, 1.0)]
+        batch2 = [("SPX", 2, 20.0), ("NDX", 5, 5.0), ("RUT", 1, 7.0)]
+
+        src = tempfile.mkdtemp(prefix="tws_src_")
+        ckpt = tempfile.mkdtemp(prefix="tws_ckpt_")
+        spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_latest_tws(stream, ["symbol"], ["seq"])
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_latest")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        q.stop()
+
+        emitted = spark.sql("select * from tws_latest").collect()
+        # update stream: LAST emission per key is the current snapshot
+        snapshot = {}
+        for r in emitted:
+            snapshot[r["symbol"]] = (r["seq"], r["price"])
+
+        # SPX seq=2 arrives AFTER seq=3 -> must NOT displace it, and
+        # must not re-emit
+        assert snapshot == {"SPX": (3, 30.0), "NDX": (5, 5.0), "RUT": (1, 7.0)}
+
+        all_rows = spark.createDataFrame(batch1 + batch2, schema)
+        batch_latest = {
+            r["symbol"]: (r["seq"], r["price"])
+            for r in keep_last(all_rows, ["symbol"], ["seq"]).collect()
+        }
+        assert snapshot == batch_latest
+
+        # stale SPX update emitted nothing in batch 2: exactly one SPX row
+        assert sum(1 for r in emitted if r["symbol"] == "SPX") == 1
