@@ -40,7 +40,16 @@ UNLIMITED_RISK = ("Naked Call", "Naked Put", "Short Strangle", "Short Straddle")
 
 
 def _r0(c: Column) -> Column:
-    return F.round(F.greatest(c, F.lit(0)), 0)
+    # Null-preserving: Spark's greatest() SKIPS NULLs, which would turn
+    # a NULL net_credit/width into 0 — the reference returns None when
+    # inputs are insufficient (strategies/models.py:295-452).
+    # Rounding mode is HALF_UP (Spark round), matching the DuckDB
+    # oracle's round(); the reference's Decimal.quantize defaults to
+    # HALF_EVEN, which differs only at exact $0.50 boundaries that the
+    # double-typed inputs cannot represent exactly.
+    return F.when(c.isNull(), F.lit(None)).otherwise(
+        F.round(F.greatest(c, F.lit(0)), 0)
+    )
 
 
 def max_profit_col(

@@ -116,13 +116,19 @@ def _match_iron_family(legs, want: str):
         puts, calls = _split_pc(combo)
         if not (puts[0].is_long and puts[1].is_short and calls[0].is_short and calls[1].is_long):
             continue
-        if any(l.strike is None for l in combo):
-            continue
         combo = list(combo)
         if want == "condor":
+            # the reference condor matcher only needs the two INNER
+            # strikes (short put / short call) non-null — a None outer
+            # wing still classifies (patterns.py:48-135); requiring all
+            # four would change greedy consumption for that group
+            if puts[1].strike is None or calls[0].strike is None:
+                continue
             if puts[1].strike < calls[0].strike:
                 return "Iron Condor", combo
         else:
+            if any(l.strike is None for l in combo):
+                continue
             if puts[1].strike != calls[0].strike:
                 continue
             put_w = puts[1].strike - puts[0].strike

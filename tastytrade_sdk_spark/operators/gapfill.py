@@ -86,9 +86,14 @@ def gap_fill(
     store, time_series.py:163-179).
     """
     cal = calendar_scaffold(df, key_cols, time_col, interval)
-    dense = cal.join(df, on=[*key_cols, time_col], how="left")
-    marker = F.col(value_cols[0]).isNull()
-    dense = dense.withColumn("__synth", marker)
+    # flag synthetics by JOIN MEMBERSHIP, not value nullness: a real
+    # bucket whose first value column happens to be NULL must not be
+    # treated as manufactured (the reference fills only missing
+    # buckets, time_series.py:152-179)
+    dense = cal.join(
+        df.withColumn("__real", F.lit(True)), on=[*key_cols, time_col], how="left"
+    )
+    dense = dense.withColumn("__synth", F.col("__real").isNull()).drop("__real")
     filled = forward_fill(dense, value_cols, key_cols, [time_col])
     if synthetic_flag:
         filled = filled.withColumn(synthetic_flag, F.col("__synth"))

@@ -93,7 +93,16 @@ def salted_join(
     becomes (key, salt) — a hot fact key now lands on n_salts tasks
     instead of one. Use when the dim is too big to broadcast but small
     enough to replicate n_salts x (the classic middle ground); result
-    equals the plain join exactly."""
+    equals the plain join exactly for ``how`` in ('inner', 'left') —
+    the only shapes allowed. Right/full would emit each unmatched dim
+    row once per salt replica (n_salts duplicates), so they are
+    rejected rather than silently wrong."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated dim side would duplicate unmatched rows under "
+            "right/full semantics"
+        )
     salt = salt_on if salt_on is not None else F.hash(*fact.columns)
     f = fact.withColumn("__salt", F.pmod(salt, F.lit(n_salts)))
     d = dim.withColumn(

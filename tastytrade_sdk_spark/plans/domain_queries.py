@@ -38,8 +38,9 @@ def _q(name: str, oracle: str | None = None):
       FROM lineitem
     )
     SELECT l_orderkey,
+           -- "+ 0.0" folds DuckDB's -0.0 into +0.0 to match Spark's round()
            CASE WHEN count(delta) = 0 THEN NULL
-                ELSE round(sum(delta * signed_qty), 4) END AS net_delta,
+                ELSE round(sum(delta * signed_qty), 4) + 0.0 END AS net_delta,
            count(*) AS n_legs
     FROM legs GROUP BY l_orderkey
     """,
@@ -57,7 +58,7 @@ def strategy_net_greeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs = li.select("l_orderkey", delta.alias("delta"), signed_qty.alias("signed_qty"))
     return legs.groupBy("l_orderkey").agg(
         F.when(F.count("delta") == 0, F.lit(None))
-        .otherwise(F.round(F.sum(F.col("delta") * F.col("signed_qty")), 4))
+        .otherwise(F.round(F.sum(F.col("delta") * F.col("signed_qty")), 4) + 0.0)
         .alias("net_delta"),
         F.count(F.lit(1)).alias("n_legs"),
     )

@@ -520,8 +520,10 @@ def ema_seeded_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT user_id, day, day_value,
-           round(value, 8) AS macd_value, round(sig, 8) AS macd_avg,
-           rdiff AS macd_diff,
+           -- "+ 0.0" folds DuckDB's -0.0 (preserved by round()) into +0.0
+           -- so the serialized hash matches Spark, which never emits -0.0
+           round(value, 8) + 0.0 AS macd_value, round(sig, 8) + 0.0 AS macd_avg,
+           rdiff + 0.0 AS macd_diff,
            CASE WHEN rdiff > 0
                 THEN CASE WHEN prev IS NULL OR rdiff > prev THEN '#04FE00' ELSE '#006401' END
                 ELSE CASE WHEN prev IS NULL OR rdiff < prev THEN '#FE0000' ELSE '#7E0100' END
@@ -555,9 +557,9 @@ def macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id", "day", "day_value",
-        F.round(F.col("Value"), 8).alias("macd_value"),
-        F.round(F.col("avg"), 8).alias("macd_avg"),
-        rdiff.alias("macd_diff"),
+        (F.round(F.col("Value"), 8) + 0.0).alias("macd_value"),
+        (F.round(F.col("avg"), 8) + 0.0).alias("macd_avg"),
+        (rdiff + 0.0).alias("macd_diff"),
         color.alias("diff_color"),
     )
 

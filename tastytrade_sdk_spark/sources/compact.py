@@ -39,10 +39,14 @@ def decode_compact(
     nf = len(event_schema.fields)
     arr = F.col(array_col)
     n_chunks = F.ceil(F.size(arr) / nf).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(arr, i * nf + 1, nf),
+    # sequence(0, -1) is a DESCENDING [0, -1] in Spark, so an empty
+    # payload would explode into two phantom corrupt rows; the
+    # reference decodes zero events from an empty array
+    # (handlers.py:156-203), so guard the index build on size > 0
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
     )
+    chunks = F.transform(idx, lambda i: F.slice(arr, i * nf + 1, nf))
     keep = keep_cols or []
     exploded = df.select(*keep, F.explode(chunks).alias("__chunk"))
 

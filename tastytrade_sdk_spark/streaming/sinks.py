@@ -19,6 +19,7 @@ Iceberg MERGE with no code change upstream of the sink function.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,11 +42,22 @@ def upsert_parquet_batch(
         merged = keep_last(existing.unionByName(new), keys, order_by)
     else:
         merged = new
-    # materialize before overwrite (reading and writing the same path)
-    merged_rows = merged.collect()
-    spark.createDataFrame(merged_rows, merged.schema).write.mode(
-        "overwrite"
-    ).parquet(path)
+    # Executor-side write to a sibling tmp dir, then directory swap.
+    # Never routes the table through the driver (a collect() here would
+    # cap the keyed table at driver memory — a scale-killer at 100x)
+    # and never reads+overwrites the same path in one job. Readers see
+    # either the old or the new directory; on a lake deployment this
+    # whole dance becomes a Delta/Iceberg MERGE.
+    tmp, old = path + ".__tmp", path + ".__old"
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def latest_table_sink(
