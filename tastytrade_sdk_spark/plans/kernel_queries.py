@@ -238,17 +238,145 @@ def lifo_entry_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("strategy_classification")  # rows-only: greedy matcher is order-dependent
+# Unique-greedy classifier fixture: each underlying carries EXACTLY one
+# pattern instance, so the greedy matcher's outcome is order-independent
+# and the exact labeled output is SQL-predictable (the oracle derives
+# the expected label/legs from the same construction parameters).
+# Pattern rows: (pattern_id, expected_label,
+#                [(leg_type C/P/S, direction, strike_offset, qty_mult,
+#                  expiration_id or None), ...]) — each pattern verified
+# unreachable by every higher-priority matcher (MATCHERS order,
+# patterns.py:678-704).
+_CLS_PATTERNS: list[tuple[int, str, list]] = [
+    (0, "Iron Condor", [("P", 1, -20, 1, 1), ("P", -1, -10, 1, 1), ("C", -1, 10, 1, 1), ("C", 1, 20, 1, 1)]),
+    (1, "Iron Butterfly", [("P", 1, -10, 1, 1), ("P", -1, 0, 1, 1), ("C", -1, 0, 1, 1), ("C", 1, 10, 1, 1)]),
+    (2, "Iron Broken Fly", [("P", 1, -15, 1, 1), ("P", -1, 0, 1, 1), ("C", -1, 0, 1, 1), ("C", 1, 10, 1, 1)]),
+    (3, "Call Butterfly", [("C", 1, -10, 1, 1), ("C", -1, 0, 2, 1), ("C", 1, 10, 1, 1)]),
+    (4, "Put Butterfly", [("P", 1, -10, 1, 1), ("P", -1, 0, 2, 1), ("P", 1, 10, 1, 1)]),
+    (5, "Broken Fly", [("C", 1, -10, 1, 1), ("C", -1, 0, 2, 1), ("C", 1, 15, 1, 1)]),
+    (6, "Big Lizard", [("P", -1, 0, 1, 1), ("C", -1, 0, 1, 1), ("C", 1, 10, 1, 1)]),
+    (7, "Jade Lizard", [("P", -1, -10, 1, 1), ("C", -1, 0, 1, 1), ("C", 1, 10, 1, 1)]),
+    (8, "Covered Jade Lizard", [("S", 1, None, 1, None), ("P", -1, -10, 1, 1), ("C", -1, 0, 1, 1), ("C", 1, 10, 1, 1)]),
+    (9, "Collar", [("S", 1, None, 1, None), ("P", 1, -10, 1, 1), ("C", -1, 10, 1, 1)]),
+    (10, "Covered Call", [("S", 1, None, 1, None), ("C", -1, 0, 1, 1)]),
+    (11, "Protective Put", [("S", 1, None, 1, None), ("P", 1, 0, 1, 1)]),
+    (12, "Bull Call Spread", [("C", 1, 0, 1, 1), ("C", -1, 10, 1, 1)]),
+    (13, "Bear Call Spread", [("C", -1, 0, 1, 1), ("C", 1, 10, 1, 1)]),
+    (14, "Bear Put Spread", [("P", 1, 0, 1, 1), ("P", -1, 10, 1, 1)]),
+    (15, "Bull Put Spread", [("P", -1, 0, 1, 1), ("P", 1, 10, 1, 1)]),
+    (16, "Ratio Spread", [("C", 1, 0, 1, 1), ("C", -1, 10, 2, 1)]),
+    (17, "Short Straddle", [("C", -1, 0, 1, 1), ("P", -1, 0, 1, 1)]),
+    (18, "Long Strangle", [("C", 1, 10, 1, 1), ("P", 1, -10, 1, 1)]),
+    (19, "Synthetic Long", [("C", 1, 0, 1, 1), ("P", -1, 0, 1, 1)]),
+    (20, "Calendar Spread", [("C", 1, 0, 1, 1), ("C", -1, 0, 1, 2)]),
+    (21, "Diagonal Spread", [("C", 1, 0, 1, 1), ("C", -1, 10, 1, 2)]),
+    (22, "Naked Put", [("P", -1, 0, 1, 1)]),
+    (23, "Long Call", [("C", 1, 0, 1, 1)]),
+    (24, "Long Straddle", [("C", 1, 0, 1, 1), ("P", 1, 0, 1, 1)]),
+    (25, "Short Strangle", [("C", -1, 10, 1, 1), ("P", -1, -10, 1, 1)]),
+    (26, "Synthetic Short", [("C", -1, 0, 1, 1), ("P", 1, 0, 1, 1)]),
+    (27, "Naked Call", [("C", -1, 0, 1, 1)]),
+    (28, "Long Put", [("P", 1, 0, 1, 1)]),
+    (29, "Short Stock", [("S", -1, None, 1, None)]),
+]
+
+
+def _cls_oracle_sql() -> str:
+    """Expected classifier output derived straight from _CLS_PATTERNS —
+    the oracle never simulates the greedy scan; the fixture guarantees
+    a unique outcome, so expected = construction."""
+    label_cases = " ".join(f"WHEN {p} THEN '{lb}'" for p, lb, _ in _CLS_PATTERNS)
+    n_cases = " ".join(f"WHEN {p} THEN {len(legs)}" for p, _, legs in _CLS_PATTERNS)
+    sym_by_n = {
+        n: " || ',' || ".join(f"u || '-{i}'" for i in range(1, n + 1))
+        for n in sorted({len(legs) for _, _, legs in _CLS_PATTERNS})
+    }
+    sym_cases = " ".join(f"WHEN {n} THEN {e}" for n, e in sym_by_n.items())
+    return f"""
+    WITH o AS (
+      SELECT 'G' || o_orderkey AS u, o_orderkey % 30 AS p FROM orders
+    )
+    SELECT u AS underlying,
+           0 AS strategy_id,
+           CASE p {label_cases} END AS strategy_type,
+           CASE p {n_cases} END AS n_legs,
+           CASE (CASE p {n_cases} END) {sym_cases} END AS leg_symbols
+    FROM o
+    """
+
+
+@_q("strategy_classification", _cls_oracle_sql())
 def strategy_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 combinatorial strategy classifier over synthesized option
-    portfolios: each p_brand becomes an underlying whose parts form
-    option legs (strike = p_retailprice bucketed, direction/type from
-    p_size parity). Unit tests pin every pattern; this exercises the
-    distributed per-underlying kernel."""
+    """§2.10 combinatorial strategy classifier, exact-oracled: every
+    order becomes an underlying holding one unambiguous pattern
+    instance from _CLS_PATTERNS (strike ladder off o_orderkey, qty
+    1-3, fixed expirations), so the greedy matcher must reproduce the
+    construction labels exactly (patterns.py:678-704 priority order).
+    Messy multi-strategy portfolios stay covered by unit tests and the
+    leg-conservation invariant query below."""
+    rows = []
+    for p, _label, legs in _CLS_PATTERNS:
+        for i, (typ, d, off, qm, exp_id) in enumerate(legs, start=1):
+            rows.append((p, i, typ, d, off, qm, exp_id))
+    spec = spark.createDataFrame(
+        rows, "p int, leg int, typ string, dir int, off int, qm int, exp_id int"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.concat(F.lit("G"), F.col("o_orderkey")).alias("u"),
+        (F.col("o_orderkey") % 30).alias("p"),
+        (F.lit(100) + F.col("o_orderkey") % 40).alias("base"),
+        (F.lit(1) + F.col("o_orderkey") % 3).alias("q"),
+    )
+    legs_df = orders.join(F.broadcast(spec), "p").select(
+        F.concat("u", F.lit("-"), F.col("leg")).alias("symbol"),
+        F.col("u").alias("underlying"),
+        F.when(F.col("typ") == "S", "Equity")
+        .otherwise("Equity Option")
+        .alias("instrument_type"),
+        (F.col("dir") * F.col("q") * F.col("qm")).cast("double").alias(
+            "signed_quantity"
+        ),
+        F.when(F.col("typ") == "S", F.lit(None)).otherwise(F.col("typ")).alias(
+            "option_type"
+        ),
+        F.when(F.col("typ") == "S", F.lit(None))
+        .otherwise((F.col("base") + F.col("off")).cast("double"))
+        .alias("strike"),
+        F.when(F.col("exp_id") == 1, F.lit("2024-06-21").cast("date"))
+        .when(F.col("exp_id") == 2, F.lit("2024-07-19").cast("date"))
+        .alias("expiration"),
+    )
+    out = classify_strategies(legs_df)
+    # sorted symbol list: consumption SET is the contract here;
+    # per-matcher presentation order stays pinned by unit tests
+    return out.select(
+        "underlying",
+        "strategy_id",
+        "strategy_type",
+        "n_legs",
+        F.concat_ws(",", F.array_sort("leg_symbols")).alias("leg_symbols"),
+    )
+
+
+@_q(
+    "strategy_leg_conservation",
+    """
+    SELECT p_brand || '#' || (p_partkey % 64) AS underlying,
+           count(*) AS legs_consumed,
+           count(*) AS distinct_legs
+    FROM part
+    GROUP BY p_brand || '#' || (p_partkey % 64)
+    """,
+)
+def strategy_leg_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-invariant oracle over the MESSY portfolio fixture (multi
+    strategy, leftovers): whatever the greedy outcome, every input leg
+    must be consumed exactly once (classifier.py:430-447), so per
+    underlying sum(n_legs) == count(input legs) == count(distinct
+    consumed symbols). The oracle recomputes both from the fixture."""
     part = load_table(spark, "part", sf_dir)
-    # bounded portfolios: real position groups are dozens of legs, and
-    # the 4-leg matchers scan C(n,4) — sub-bucket the brand so groups
-    # stay ~8-16 legs at every scale factor
+    # same bounded sub-bucketing as round 1: groups stay ~8-16 legs so
+    # the C(n,4) scan is bounded at every scale factor
     legs = part.select(
         F.concat(F.lit("P"), F.col("p_partkey")).alias("symbol"),
         F.concat(
@@ -266,12 +394,13 @@ def strategy_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("expiration"),
     )
     out = classify_strategies(legs)
-    return out.select(
-        "underlying",
-        "strategy_id",
-        "strategy_type",
-        "n_legs",
-        F.concat_ws(",", F.col("leg_symbols")).alias("leg_symbols"),
+    return (
+        out.select("underlying", F.explode("leg_symbols").alias("sym"))
+        .groupBy("underlying")
+        .agg(
+            F.count("sym").alias("legs_consumed"),
+            F.countDistinct("sym").alias("distinct_legs"),
+        )
     )
 
 
