@@ -267,6 +267,17 @@ def ivf_centroids(
     return cent
 
 
+def axis_centroids(n_lists: int = 16, dim: int = 64) -> np.ndarray:
+    """Fixed one-hot coarse quantizer (centroid c = basis vector e_c):
+    a data-independent IVF list assignment — argmax of the first
+    n_lists vector components — whose inverted-list routing is exactly
+    reproducible in SQL. Used by the oracle-checked [Q]; production
+    search uses the trained ivf_centroids quantizer."""
+    m = np.zeros((n_lists, dim))
+    m[np.arange(n_lists), np.arange(n_lists)] = 1.0
+    return m
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -278,6 +289,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     round_dp: int = 6,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are assigned to their nearest
     centroid's inverted list (one narrow projection); each query scores
@@ -290,9 +302,15 @@ def ivf_topk(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    cent = ivf_centroids(corpus, vec_col, n_lists=n_lists, seed=seed)
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, vec_col, n_lists=n_lists, seed=seed)
+    )
 
     def _assign(vecs):
+        # np.argmax picks the FIRST maximal list on ties — the same
+        # first-occurrence rule the SQL oracle's array_position uses
         m = _unit_rows(_as_matrix(vecs.values))
         return pd.Series(np.argmax(m @ cent.T, axis=1).astype("int32"))
 
@@ -312,7 +330,11 @@ def ivf_topk(
     # each query probes its nprobe nearest lists
     def _probe(vecs):
         m = _unit_rows(_as_matrix(vecs.values))
-        order = np.argsort(-(m @ cent.T), axis=1)[:, :nprobe].astype("int32")
+        # stable sort pins the tie-break to ascending list id — score
+        # ties must probe the same lists on every engine
+        order = np.argsort(-(m @ cent.T), axis=1, kind="stable")[:, :nprobe].astype(
+            "int32"
+        )
         return pd.Series(list(order))
 
     probe_udf = F.pandas_udf(_probe, T.ArrayType(T.IntegerType()))
@@ -380,9 +402,12 @@ def lsh_topk(
     weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
 
     def _sig(vecs):
-        # one matmul per Arrow batch: sign bits of X @ P.T, packed
+        # one matmul per Arrow batch: sign bits of X @ P.T, packed.
+        # The dot is rounded before the sign test so a near-zero
+        # projection cannot flip a bucket bit across engines (BLAS vs
+        # sequential-fold summation order differs at ~1e-13)
         m = _as_matrix(vecs.values)
-        bits = (m @ planes.T) > 0
+        bits = np.round(m @ planes.T, round_dp) > 0
         return pd.Series(bits @ weights)
 
     def _cos(a, b):
