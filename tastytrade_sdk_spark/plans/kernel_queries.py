@@ -415,10 +415,14 @@ def _wma_sql(col: str, period: int, pad: str = "pad", win: str = "win") -> str:
     return "(" + " + ".join(terms) + f") / {float(period * (period + 1) // 2)}"
 
 
-def _signal_oracle_sql() -> str:
+def _signal_oracle_sql(candle_where: str = "", wrap_tail: str | None = None) -> str:
     """Full relational form of the ST1 engine: windowed indicators
     (prefix == full series because 2h candles stay under CANDLE_CAP)
-    + the 36-state arming automaton as a recursive CTE."""
+    + the 36-state arming automaton as a recursive CTE.
+
+    ``candle_where`` scopes the candle series (backtest warm-up range);
+    ``wrap_tail`` turns the final select into a ``sigs`` CTE and
+    appends the given SQL (backtest suppression + as-of enrichment)."""
     a12, a26, a9 = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0
     ema = "list_reduce(list_prepend({seed}, {arr}), (acc, x) -> acc*(1-{a}) + x*{a})"
     return f"""
@@ -429,6 +433,7 @@ def _signal_oracle_sql() -> str:
       FROM events
     ), c AS (
       SELECT symbol, time, value AS close FROM cand
+      {candle_where}
       QUALIFY row_number() OVER (
         PARTITION BY symbol, time ORDER BY ts DESC, event_id DESC) = 1
     ), cf AS (
@@ -551,6 +556,7 @@ def _signal_oracle_sql() -> str:
              ], x -> x.fire)) AS sg
       FROM auto
     )
+    {"" if wrap_tail is None else ", sigs AS ("}
     SELECT em.symbol, i.time AS start_time, em.sg.st AS signal_type,
            em.sg.dirn AS direction, 'hull_macd' AS engine,
            em.sg.trg AS "trigger", i.dir AS hull_direction,
@@ -558,6 +564,7 @@ def _signal_oracle_sql() -> str:
            round(i.mavg, 8) AS macd_signal, round(i.mdiff, 8) AS macd_histogram,
            i.close AS close_price
     FROM em JOIN ind i ON i.symbol = em.symbol AND i.rn = em.rn
+    {"" if wrap_tail is None else ")" + wrap_tail}
     """
 
 
@@ -598,4 +605,86 @@ def signal_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("macd_signal", 8).alias("macd_signal"),
         F.round("macd_histogram", 8).alias("macd_histogram"),
         "close_price",
+    )
+
+
+# Backtest window constants: start mid-range so the 5-day 'h'-class
+# warm-up (replay.py WARMUP_DAYS) genuinely prepends history whose
+# emissions must be suppressed.
+_BT_START = "2024-01-15 00:00:00"
+_BT_WARM = "2024-01-10 00:00:00"
+_BT_END = "2024-01-31 00:00:00"
+
+
+def _backtest_oracle_sql() -> str:
+    tail = f"""
+    , pr AS (
+      SELECT event_type AS symbol,
+             make_timestamp(((epoch_ms(ts) // 1800000) * 1800000) * 1000) AS p_time,
+             value AS p_close, ts, event_id
+      FROM events WHERE value IS NOT NULL
+    ), prc AS (
+      SELECT symbol, p_time, p_close FROM pr
+      QUALIFY row_number() OVER (PARTITION BY symbol, p_time
+        ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT s.symbol, s.start_time, s.signal_type, s.direction, s."trigger",
+           s.close_price, p.p_close AS entry_price
+    FROM (SELECT * FROM sigs WHERE start_time >= TIMESTAMP '{_BT_START}') s
+    ASOF LEFT JOIN prc p
+      ON s.symbol = p.symbol AND s.start_time >= p.p_time
+    """
+    return _signal_oracle_sql(
+        candle_where=(
+            f"WHERE time >= TIMESTAMP '{_BT_WARM}' "
+            f"AND time <= TIMESTAMP '{_BT_END}'"
+        ),
+        wrap_tail=tail,
+    )
+
+
+@_q("backtest_entry_enrichment", _backtest_oracle_sql())
+def backtest_entry_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8/ST9/J5 as one oracled pipeline: replay 2h signal candles
+    through the engine with the 5-day warm-up prepended, suppress
+    warm-up emissions (start_time < start), and as-of-enrich surviving
+    signals with the last 30m pricing-candle close at or before the
+    signal time (backtest/replay.py:26-135, publisher.py:48-128). The
+    oracle replays the automaton over the SCOPED candle range and uses
+    DuckDB's native ASOF JOIN for the entry price."""
+    import datetime as dtm
+
+    from tastytrade_sdk_spark.functions.scalar import floor_time_to_interval
+    from tastytrade_sdk_spark.operators.dedup import keep_last
+    from tastytrade_sdk_spark.streaming.replay import run_backtest
+
+    ev = load_table(spark, "events", sf_dir)
+
+    def candles(ms: int) -> DataFrame:
+        return keep_last(
+            ev.select(
+                F.col("event_type").alias("symbol"),
+                floor_time_to_interval("ts", F.lit(ms)).alias("time"),
+                F.col("value").alias("close"),
+                "ts",
+                "event_id",
+            ),
+            ["symbol", "time"],
+            ["ts", "event_id"],
+        ).select("symbol", "time", "close")
+
+    sig_candles = candles(7_200_000)
+    # non-null pricing on both sides: the Spark as-of walk-back skips
+    # null closes, DuckDB ASOF does not — filter once, identically
+    pricing = candles(1_800_000).filter(F.col("close").isNotNull())
+    out = run_backtest(
+        sig_candles,
+        pricing,
+        dtm.datetime(2024, 1, 15),
+        dtm.datetime(2024, 1, 31),
+        signal_interval="2h",
+    )
+    return out.select(
+        "symbol", "start_time", "signal_type", "direction", "trigger",
+        "close_price", "entry_price",
     )

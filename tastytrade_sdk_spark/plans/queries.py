@@ -565,6 +565,68 @@ def macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "macd_prior_session_seed",
+    _DAILY_CTE
+    + """
+    , s0 AS (
+      SELECT user_id, day, day_value,
+             first_value(day_value) OVER (PARTITION BY user_id ORDER BY day) AS prior,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM daily
+    ), t AS (
+      -- the first session is consumed as the SEED, not as a series row
+      SELECT user_id, day, day_value, prior,
+             list(day_value) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+      FROM s0 WHERE rn > 1
+    ), v AS (
+      SELECT user_id, day, day_value,
+        list_reduce(list_prepend(prior, arr), (acc, x) -> acc*(1.0 - 2.0/13.0) + x*(2.0/13.0))
+        - list_reduce(list_prepend(prior, arr), (acc, x) -> acc*(1.0 - 2.0/27.0) + x*(2.0/27.0))
+          AS value
+      FROM t
+    ), v2 AS (
+      SELECT *, list(value) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS varr
+      FROM v
+    )
+    SELECT user_id, day, day_value,
+           round(value, 8) + 0.0 AS macd_value,
+           round(list_reduce(list_prepend(0.0, varr),
+                 (acc, x) -> acc*(1.0 - 2.0/10.0) + x*(2.0/10.0)), 8) + 0.0 AS macd_avg
+    FROM v2
+    """,
+)
+def macd_prior_session_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4 prior-session seed semantics: the reference seeds the
+    fast/slow EMAs with the PRIOR session close, not the first series
+    value (momentum.py:108,137-144). Here each user's first daily
+    bucket plays the prior session: it seeds the EMAs via
+    ``prior_close_col`` and is excluded from the series itself."""
+    from tastytrade_sdk_spark.operators.indicators import macd_expr
+
+    daily = _daily_series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("day")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = daily.select(
+        "user_id", "day", "day_value",
+        F.first("day_value").over(cum).alias("prior_close"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    series = base.filter(F.col("__rn") > 1).drop("__rn")
+    out = macd_expr(
+        series, price_col="day_value",
+        partition_by=["user_id"], order_by=["day"],
+        prior_close_col="prior_close",
+    )
+    return out.select(
+        "user_id", "day", "day_value",
+        (F.round(F.col("Value"), 8) + 0.0).alias("macd_value"),
+        (F.round(F.col("avg"), 8) + 0.0).alias("macd_avg"),
+    )
+
+
+@_q(
     "prior_day_value",
     _DAILY_CTE
     + """
