@@ -62,18 +62,58 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     streaming_eps = streaming_throughput(spark)
+    oracle_t = oracle_timings(names)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    oracle_total = round(sum(oracle_t.values()), 3)
     out = {
         "metric": "headline_suite_wall_clock",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # BASELINE.md floor: reference pipeline sized for ~1e3 events/s
         "streaming_events_per_sec": streaming_eps,
+        # single-node DuckDB running the SAME logical queries (the
+        # oracle SQL) on the same parquet — the mechanical per-query
+        # "within 2x of baseline" axis
+        "oracle_queries": oracle_t,
+        "oracle_total_sec": oracle_total,
+        "spark_vs_oracle_ratio": (
+            round(
+                sum(timings[n] for n in oracle_t) / oracle_total, 3
+            )
+            if oracle_total > 0
+            else None
+        ),
     }
     print(json.dumps(out))
+
+
+def oracle_timings(names: list[str], repeats: int = 2) -> dict[str, float]:
+    """Per-query DuckDB wall-clock for every oracled query (min over
+    ``repeats`` runs — same host-stall defense as the Spark side)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tastytrade_sdk_spark.sources.tables import TABLE_NAMES
+
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    out: dict[str, float] = {}
+    for name in names:
+        if name not in oracles:
+            continue
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            con.sql(oracles[name]).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
 
 
 def streaming_throughput(spark) -> float:
