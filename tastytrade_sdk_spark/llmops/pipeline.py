@@ -1,0 +1,124 @@
+"""Corpus-preparation operators a training-data pipeline runs after
+filtering/dedup: deterministic dataset splitting, concat-then-chunk
+sequence packing, and tf-idf term salience.
+
+All three are pure DataFrame expressions (no UDFs): the split is a
+content hash, packing is a prefix-sum window, tf-idf is two aggregates
+and a window — every plan is one or two shuffles and survives 100x
+scale unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.llmops.textops import h32, tokens_expr
+
+
+def split_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    id hash: bucket = h32(salt || ':' || id) % 100. Stable across runs,
+    machines, and engine versions (md5-derived, not a partitioner
+    hash), so a doc never migrates between splits when the corpus
+    grows — the property training pipelines need for held-out
+    integrity. Pure projection: no shuffle at all."""
+    bucket = h32(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.select(
+        id_col, bucket.cast("int").alias("bucket"), split.alias("split")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_shards: int = 8,
+    shard_salt: str = "pack",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: docs are concatenated in id
+    order within a hash shard and cut into fixed ``budget``-token
+    training sequences; a doc's pack id is the chunk containing its
+    first token. This is the standard pretraining packing scheme (no
+    padding waste, documents may straddle a boundary — flagged).
+
+    One window prefix-sum per shard; shard count bounds the sequential
+    region so packing parallelism is n_shards regardless of corpus
+    size (at lake scale: shard = input file / partition id)."""
+    shard = (
+        h32(F.concat(F.lit(shard_salt + ":"), F.col(id_col).cast("string")))
+        % n_shards
+    ).cast("int")
+    with_shard = df.select(
+        id_col, F.col(token_count_col).alias("__nt"), shard.alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("__nt").over(w), F.lit(0))
+    end = start + F.greatest(F.col("__nt"), F.lit(1)) - 1
+    return with_shard.select(
+        id_col,
+        "shard",
+        start.alias("start_offset"),
+        F.floor(start / budget).cast("long").alias("pack_id"),
+        (F.floor(start / budget) != F.floor(end / budget)).alias(
+            "crosses_boundary"
+        ),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k salient terms per document by tf * ln(N/df).
+
+    Plan: explode tokens once -> (doc, term) count agg [shuffle on
+    (doc, term)] -> document frequency agg [shuffle on term, map-side
+    partial] -> broadcast the corpus size -> per-doc top-k window. The
+    df table is term-cardinality-sized and joins back on term."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), round_dp
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rnk")
+    )

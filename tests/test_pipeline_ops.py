@@ -1,0 +1,131 @@
+"""Corpus-preparation operators: connected-components clustering,
+dataset splitting, sequence packing, tf-idf."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.llmops.cluster import (
+    connected_components,
+    near_dup_clusters,
+)
+from tastytrade_sdk_spark.llmops.pipeline import (
+    pack_sequences,
+    split_assignment,
+    tfidf_top_terms,
+)
+
+
+def test_connected_components_chain_and_isolated(spark):
+    # chain 1-2-3-4 (diameter 3 > 1 round), pair 10-11, isolated 20
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a int, doc_b int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]],
+                                  "doc_id int")
+    out = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_near_dup_clusters_sizes_and_canonicals(spark):
+    edges = spark.createDataFrame([(5, 7), (7, 9)], "doc_a int, doc_b int")
+    docs = spark.createDataFrame([(i,) for i in [5, 7, 9, 42]], "doc_id int")
+    rows = {r["doc_id"]: r for r in near_dup_clusters(docs, edges).collect()}
+    assert rows[5]["cluster_id"] == 5 and rows[5]["is_canonical"]
+    assert rows[7]["cluster_id"] == 5 and not rows[7]["is_canonical"]
+    assert rows[9]["cluster_size"] == 3
+    assert rows[42]["cluster_size"] == 1 and rows[42]["is_canonical"]
+    # keep-canonical policy drops exactly the non-canonical members
+    kept = near_dup_clusters(docs, edges).filter("is_canonical").count()
+    assert kept == 2
+
+
+def test_split_assignment_deterministic_and_partitioned(spark):
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id int")
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in
+         split_assignment(docs).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in
+         split_assignment(docs).collect()}
+    assert a == b  # stable across runs
+    for doc_id, (bucket, split) in a.items():
+        expected = "train" if bucket < 80 else ("val" if bucket < 90 else "test")
+        assert split == expected
+    # growing the corpus never moves an existing doc between splits
+    bigger = split_assignment(
+        spark.createDataFrame([(i,) for i in range(400)], "doc_id int")
+    )
+    c = {r["doc_id"]: (r["bucket"], r["split"]) for r in bigger.collect()}
+    assert all(c[k] == v for k, v in a.items())
+
+
+def test_pack_sequences_offsets_and_boundaries(spark):
+    # single shard for a deterministic walk: budget 10
+    docs = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4), (4, 10), (5, 1)], "doc_id int, n int"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            docs, "n", budget=10, n_shards=1
+        ).collect()
+    }
+    # concat order = id order: offsets 0,4,8,12,22
+    assert [out[i]["start_offset"] for i in [1, 2, 3, 4, 5]] == [0, 4, 8, 12, 22]
+    assert [out[i]["pack_id"] for i in [1, 2, 3, 4, 5]] == [0, 0, 0, 1, 2]
+    # doc 3 spans tokens 8..11 -> crosses the 10-token boundary
+    assert out[3]["crosses_boundary"] and not out[1]["crosses_boundary"]
+    # doc 4 spans 12..21 -> ends exactly at 21, within pack 1? 21//10=2
+    assert out[4]["crosses_boundary"]
+
+
+def test_tfidf_ranks_rare_terms_highest(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark unique"),
+            (2, "spark common words"),
+            (3, "spark common other"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_top_terms(docs, top_k=2).collect()
+    d1 = sorted((r for r in out if r["doc_id"] == 1), key=lambda r: r["rnk"])
+    # 'spark' appears in every doc -> idf 0 -> tfidf 0; 'unique' wins
+    assert d1[0]["term"] == "unique"
+    assert d1[0]["tfidf"] == pytest.approx(round(1 * math.log(3 / 1), 6))
+    spark_row = [r for r in out if r["term"] == "spark" and r["doc_id"] == 1][0]
+    assert spark_row["tfidf"] == 0.0
+
+
+def test_macd_kernel_prior_seed_matches_expression(spark):
+    """The Arrow MACD kernel and the JVM expression form must agree on
+    prior-session seeding (same recurrence, different execution)."""
+    from tastytrade_sdk_spark.operators.indicators import macd, macd_expr
+
+    rows = [
+        ("A", i, 100.0 + ((i * 37) % 11) - 5.0, 97.5) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, t int, close double, prior double"
+    )
+    kern = {
+        r["t"]: (r["Value"], r["avg"])
+        for r in macd(
+            df, price_col="close", partition_by=["symbol"], order_by=["t"],
+            prior_close_col="prior",
+        ).collect()
+    }
+    expr = {
+        r["t"]: (r["Value"], r["avg"])
+        for r in macd_expr(
+            df, price_col="close", partition_by=["symbol"], order_by=["t"],
+            prior_close_col="prior",
+        ).collect()
+    }
+    assert kern.keys() == expr.keys()
+    for t in kern:
+        assert kern[t][0] == pytest.approx(expr[t][0], abs=1e-9)
+        assert kern[t][1] == pytest.approx(expr[t][1], abs=1e-9)
