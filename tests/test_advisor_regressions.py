@@ -1,0 +1,103 @@
+"""Regression pins for edge cases the oracle gate cannot reach
+(fixture synthesis never produces them): empty COMPACT payloads,
+NULL-input P&L ladders, right/full salted joins, None-strike condor
+wings, and genuinely-NULL real buckets in gap_fill."""
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tastytrade_sdk_spark.functions.strategy_pnl import max_profit_col
+from tastytrade_sdk_spark.kernels.classifier import Leg, classify_group
+from tastytrade_sdk_spark.operators.gapfill import gap_fill
+from tastytrade_sdk_spark.operators.scale import salted_join
+from tastytrade_sdk_spark.sources.compact import decode_compact
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+    ]
+)
+
+
+def test_decode_compact_empty_payload_yields_zero_rows(spark):
+    df = spark.createDataFrame(
+        [(1, ["A", "1.5", "B", "2.5"]), (2, [])],
+        "msg_id int, payload array<string>",
+    )
+    out = decode_compact(df, "payload", EVENT_SCHEMA, keep_cols=["msg_id"])
+    rows = out.collect()
+    # the empty payload decodes ZERO events — no phantom corrupt rows
+    assert [r["msg_id"] for r in rows] == [1, 1]
+    assert not any(r["_corrupt"] for r in rows)
+
+
+def test_max_profit_null_credit_stays_null(spark):
+    df = spark.createDataFrame(
+        [("Iron Condor", None, 5.0), ("Iron Condor", 120.0, 5.0)],
+        "stype string, credit double, width double",
+    )
+    out = df.select(
+        max_profit_col(
+            F.col("stype"), F.col("credit"), F.col("width"),
+            F.col("width"), F.lit(100), F.lit(1),
+        ).alias("mp")
+    ).collect()
+    assert out[0]["mp"] is None  # not coerced to 0 by greatest()
+    assert out[1]["mp"] == 120.0
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    fact = spark.createDataFrame([(1, "x")], "k int, v string")
+    dim = spark.createDataFrame([(1, "d")], "k int, d string")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, "k", n_salts=4, how=how)
+    # inner/left still fine
+    assert salted_join(fact, dim, "k", n_salts=4, how="left").count() == 1
+
+
+def _leg(sym, qty, ot, strike):
+    return Leg(
+        symbol=sym, underlying="U", instrument_type="Equity Option",
+        signed_quantity=qty, option_type=ot,
+        strike=Decimal(strike) if strike is not None else None,
+        expiration=dt.date(2024, 6, 21),
+    )
+
+
+def test_iron_condor_with_none_outer_wing_classifies():
+    legs = [
+        _leg("L1", 1, "P", None),      # long put, UNKNOWN outer strike
+        _leg("L2", -1, "P", "95"),     # short put (inner)
+        _leg("L3", -1, "C", "105"),    # short call (inner)
+        _leg("L4", 1, "C", "110"),     # long call
+    ]
+    out = classify_group(legs)
+    assert out[0][0] == "Iron Condor"
+    assert len(out[0][1]) == 4
+
+
+def test_gap_fill_real_bucket_with_null_value_not_synthetic(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        ("A", t0, 1.0),
+        ("A", t0 + dt.timedelta(hours=1), None),  # REAL bucket, null value
+        ("A", t0 + dt.timedelta(hours=3), 4.0),   # hour 2 missing
+    ]
+    df = spark.createDataFrame(rows, "sym string, t timestamp, v double")
+    out = {
+        r["t"]: r
+        for r in gap_fill(df, ["sym"], "t", "1 hour", ["v"]).collect()
+    }
+    assert not out[t0 + dt.timedelta(hours=1)]["is_synthetic"]
+    assert out[t0 + dt.timedelta(hours=2)]["is_synthetic"]
+    # and only the manufactured hour-2 row lands in the writeback
+    synth = gap_fill(
+        df, ["sym"], "t", "1 hour", ["v"], only_synthetic=True
+    ).collect()
+    assert [r["t"] for r in synth] == [t0 + dt.timedelta(hours=2)]
