@@ -82,6 +82,49 @@ def pack_sequences(
     )
 
 
+def quality_percentile_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pct: float = 0.25,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Corpus quality gate: keep documents at or above the ``pct``
+    quantile of the quality score (drop the bottom quarter by default).
+
+    The threshold is the k-th smallest ROUNDED quality value
+    (k = ceil(pct * n)) — pure integer logic, no interpolation, so the
+    cut is deterministic across engines. Scale shape: the only global
+    sort is a window over DISTINCT rounded scores, whose cardinality
+    is bounded by the rounding quantum (<= 10^round_dp + 1 rows no
+    matter the corpus size); everything else is hash aggregation plus
+    a broadcast of the one-row threshold. (approx_percentile is the
+    lossier alternative; it cannot be oracle-checked exactly.)"""
+    from tastytrade_sdk_spark.llmops.textops import quality_score
+
+    toks = tokens_expr(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        F.round(quality_score(toks, F.col(text_col)), round_dp).alias("quality"),
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("__n"))
+    vals = scored.groupBy("quality").agg(F.count(F.lit(1)).alias("__c"))
+    wv = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = vals.select("quality", F.sum("__c").over(wv).alias("__cum"))
+    thr = (
+        cums.crossJoin(F.broadcast(n))
+        .filter(F.col("__cum") >= F.ceil(F.lit(pct) * F.col("__n")))
+        .agg(F.min("quality").alias("threshold"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("threshold"))
+        .select(id_col, "quality", "threshold")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",

@@ -100,6 +100,28 @@ def test_tfidf_ranks_rare_terms_highest(spark):
     assert spark_row["tfidf"] == 0.0
 
 
+def test_quality_percentile_filter_threshold_and_ties(spark):
+    from tastytrade_sdk_spark.llmops.pipeline import quality_percentile_filter
+
+    # 8 docs: 2 junk (high punct, no stopwords), 6 decent -> pct=0.25
+    # threshold = 2nd smallest score; ties at the threshold are KEPT
+    junk = "!!! ??? ### $$$ %%%"
+    good = "the quick brown fox jumps over the lazy dog and runs on"
+    docs = spark.createDataFrame(
+        [(i, junk) for i in range(2)] + [(i, good) for i in range(2, 8)],
+        "doc_id int, text string",
+    )
+    out = quality_percentile_filter(docs, pct=0.25).collect()
+    kept = {r["doc_id"] for r in out}
+    # k = ceil(0.25*8) = 2 -> threshold = the junk score; both junk
+    # docs tie at the threshold and stay, so everything is kept
+    assert kept == set(range(8))
+    # a stricter cut drops the junk tier entirely
+    out2 = quality_percentile_filter(docs, pct=0.3).collect()
+    assert {r["doc_id"] for r in out2} == set(range(2, 8))
+    assert all(r["quality"] >= r["threshold"] for r in out2)
+
+
 def test_macd_kernel_prior_seed_matches_expression(spark):
     """The Arrow MACD kernel and the JVM expression form must agree on
     prior-session seeding (same recurrence, different execution)."""
