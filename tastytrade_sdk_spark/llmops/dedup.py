@@ -126,6 +126,34 @@ def minhash_signatures(
     return df.select(id_col).join(sigs, id_col, "left")
 
 
+def band_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc LSH band keys: (id_col, band_id, band_hash) with
+    band_hash = md5 over the band's signature rows. The join key for
+    every LSH consumer (pair generation, streaming dedup store)."""
+    assert k % bands == 0
+    rows = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("-", *parts)).alias("band_hash"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -139,21 +167,7 @@ def lsh_candidate_pairs(
     k/bands rows per band; band key = md5 of the joined row values.
     Returns distinct (doc_a, doc_b) with doc_a < doc_b.
     """
-    assert k % bands == 0
-    rows = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("-", *parts)).alias("band_hash"),
-            )
-        )
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
+    banded = band_hashes(df, text_col, id_col, k, bands, shingle_n)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

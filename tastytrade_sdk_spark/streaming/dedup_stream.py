@@ -1,0 +1,94 @@
+"""Streaming near-duplicate filtering (incremental MinHash-LSH dedup).
+
+A live ingest pipeline cannot re-run corpus-wide dedup per batch; the
+standard incremental recipe is: keep a BAND STORE of every admitted
+document's LSH band keys, and per micro-batch
+
+1. drop incoming docs sharing any band with a DIFFERENT doc already in
+   the store (cross-batch near-dups),
+2. collapse the remainder within the batch via candidate pairs +
+   connected components, keeping the canonical (min-id) doc per
+   cluster (llmops/cluster.py),
+3. admit the canonicals: upsert them into the output table and append
+   their (band_id, band_hash, owner) keys to the store.
+
+Replay safety (ST7 story, same as the keyed upsert sinks): the store
+records the OWNING doc id per band, so a replayed batch's own
+canonicals do not self-collide; re-admitted docs are absorbed by the
+keep-last upsert on the output table. State is data, not memory: the
+band store is a parquet table keyed on (band_id, band_hash) — on a
+lake this is a compacted Delta table, and the per-batch probe is a
+hash semi-join against it (never a full text comparison).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.llmops.cluster import near_dup_clusters
+from tastytrade_sdk_spark.llmops.dedup import band_hashes, lsh_candidate_pairs
+from tastytrade_sdk_spark.streaming.sinks import upsert_parquet_batch
+
+
+def near_dup_filter_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+) -> None:
+    """Process one micro-batch through the incremental dedup."""
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return
+    incoming = band_hashes(batch_df, text_col, id_col, k, bands)
+    if os.path.exists(store_path):
+        store = spark.read.parquet(store_path)
+        hits = (
+            incoming.join(store, ["band_id", "band_hash"])
+            .filter(F.col(id_col) != F.col("owner"))
+            .select(id_col)
+            .distinct()
+        )
+        survivors = batch_df.join(hits, id_col, "left_anti")
+    else:
+        survivors = batch_df
+    pairs = lsh_candidate_pairs(survivors, text_col, id_col, k, bands)
+    clusters = near_dup_clusters(survivors, pairs, id_col=id_col)
+    kept = survivors.join(
+        clusters.filter("is_canonical").select(id_col), id_col, "left_semi"
+    )
+    # admit: idempotent keyed upsert (replays converge) + band append
+    upsert_parquet_batch(kept, out_path, [id_col], [id_col])
+    kept_bands = band_hashes(kept, text_col, id_col, k, bands).select(
+        "band_id", "band_hash", F.col(id_col).alias("owner")
+    )
+    kept_bands.write.mode("append").parquet(store_path)
+
+
+def streaming_near_dup_sink(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+):
+    """writeStream wrapper: admit only never-seen-before documents."""
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda df, epoch: near_dup_filter_batch(
+                df, store_path, out_path, text_col, id_col, k, bands
+            )
+        )
+    )
