@@ -4,8 +4,10 @@
 ``queries()`` — every implemented SURVEY §2 operator as a
 (spark, sf_dir) -> DataFrame program.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL twins for the correctness
-gate (omitted only for genuinely non-SQL-expressible kernels, which
-get a rows-only check).
+gate. Every declared query has one (the greedy classifier is oracled
+via unique-outcome fixtures, the ANN searches via spliced-literal /
+fixed-quantizer replays — see plans/kernel_queries.py and
+plans/llm_queries.py).
 """
 
 from __future__ import annotations
