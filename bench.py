@@ -54,8 +54,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(3):
+        t0 = time.perf_counter()
+        run(queries[name](spark, SF_DIR))
+        best = time.perf_counter() - t0
+        # host-stall defense (20-60s idle-CPU stalls): re-run and take
+        # the min. Short queries get two re-runs (a stall swamps them
+        # completely); long ones get one (bounds total bench time now
+        # that the suite is ~70 queries).
+        for _ in range(2 if best < 3.0 else 1):
             t0 = time.perf_counter()
             run(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
@@ -107,11 +113,14 @@ def oracle_timings(names: list[str], repeats: int = 2) -> dict[str, float]:
     for name in names:
         if name not in oracles:
             continue
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            con.sql(oracles[name]).fetchall()
-            best = min(best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        con.sql(oracles[name]).fetchall()
+        best = time.perf_counter() - t0
+        if best < 2.0:  # stall defense only where a stall would swamp
+            for _ in range(repeats - 1):
+                t0 = time.perf_counter()
+                con.sql(oracles[name]).fetchall()
+                best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
     return out
 

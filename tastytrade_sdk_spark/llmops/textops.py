@@ -37,6 +37,28 @@ def tokens_expr(text: Column | str) -> Column:
     )
 
 
+# GPT-2-style pre-tokenization pattern, restricted to syntax BOTH Java
+# regex (Spark) and RE2 (DuckDB) accept: no lookahead (the original's
+# `\s+(?!\S)` is dropped; trailing spaces fold into the `\s+` branch),
+# contractions first, then space-prefixed letter/digit/punct runs.
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokens (the segmentation step a byte-pair encoder
+    runs before merges): contraction suffixes, space-prefixed word /
+    number / punctuation runs, whitespace runs. Token COUNT under this
+    segmentation is the standard training-data budget estimate when
+    the real tokenizer is not on the cluster."""
+    return F.regexp_extract_all(_c(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
 def shingles_expr(tokens: Column, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined); [] when fewer than n tokens.
 
