@@ -100,6 +100,18 @@ def test_tfidf_ranks_rare_terms_highest(spark):
     assert spark_row["tfidf"] == 0.0
 
 
+def test_bpe_ish_segmentation(spark):
+    from tastytrade_sdk_spark.llmops.textops import bpe_ish_tokens
+
+    df = spark.createDataFrame(
+        [(1, "It's 2024, don't panic!  end")], "doc_id int, text string"
+    )
+    toks = df.select(bpe_ish_tokens(F.col("text")).alias("t")).first()["t"]
+    assert toks == [
+        "It", "'s", " 2024", ",", " don", "'t", " panic", "!", "  ", "end"
+    ]
+
+
 def test_quality_percentile_filter_threshold_and_ties(spark):
     from tastytrade_sdk_spark.llmops.pipeline import quality_percentile_filter
 
