@@ -366,6 +366,31 @@ def hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 42) -> np.ndarray
     return rng.standard_normal((n_planes, dim))
 
 
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 7,
+    out_prefix: str = "proj_",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: out_i =
+    dot(v, g_i) / sqrt(out_dim) with fixed Gaussian directions.
+
+    Pure JVM Column expressions (zip_with + sequential aggregate fold
+    per output dim) — whole-stage codegen, no Python workers, and the
+    left-to-right fold order is bit-identical to SQL's list_sum, so
+    the projection is exactly reproducible anywhere. The flat
+    ``proj_*`` columns are the natural input for cheaper brute-force
+    or LSH search at lake scale."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(out_dim, dim, seed) / np.sqrt(out_dim)
+    cols = []
+    for i in range(out_dim):
+        lit_plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        cols.append(_dot(F.col(vec_col), lit_plane).alias(f"{out_prefix}{i}"))
+    return df.select("*", *cols)
+
+
 def bucket_signature(vec: Column, planes: np.ndarray) -> Column:
     """Sign-bit bucket id: bit i set iff vec . plane_i > 0."""
     sig = F.lit(0).cast("long")
