@@ -3,12 +3,15 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion (count() materializes the whole
-plan; results are not collected to the driver). A warm-up pass
-absorbs JVM/codegen startup, and each query runs three times with the
-min reported: this VM shows sporadic multi-second host-level stalls
-with the CPU idle (~25% of runs during noisy periods), and min-of-3
-keeps those out of steady-state numbers.
+Each query is executed to completion via the noop sink (results are
+not collected to the driver). A warm-up pass absorbs JVM/codegen
+startup, and each query runs with adaptive min-of-N (3 runs under 3s,
+2 above): this VM shows sporadic multi-second host-level stalls with
+the CPU idle (~25% of runs during noisy periods), and taking the min
+keeps those out of steady-state numbers while bounding total bench
+wall-clock for the ~70-query suite. The DuckDB oracle pass reports
+the same queries on the same parquet for a mechanical single-node
+comparison.
 """
 
 from __future__ import annotations
