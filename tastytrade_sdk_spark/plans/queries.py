@@ -322,6 +322,73 @@ def asof_entry_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_entry_price_tolerance",
+    """
+    WITH signals AS (
+      SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), pricing AS (
+      SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'view'
+    ), tie AS (
+      SELECT user_id, ts, value, event_id,
+             row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM pricing
+    )
+    SELECT s.user_id, s.event_id, s.ts, s.value,
+           CASE WHEN p.ts >= s.ts - INTERVAL 30 MINUTE
+                THEN p.value END AS entry_price
+    FROM signals s
+    ASOF LEFT JOIN (SELECT * FROM tie WHERE rn = 1) p
+      ON s.user_id = p.user_id AND s.ts >= p.ts
+    """,
+)
+def asof_entry_price_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 with a staleness bound: matches older than 30 minutes are
+    rejected (NULL entry) — the reference's 'pricing too stale to
+    trust' guard, same union-tag plan plus one tolerance predicate."""
+    ev = load_table(spark, "events", sf_dir)
+    signals = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    pricing = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return asof_join(
+        signals,
+        pricing,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["value"],
+        right_order="event_id",
+        suffix="_entry",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    ).withColumnRenamed("value_entry", "entry_price")
+
+
+@_q(
+    "retention_cap_per_user",
+    """
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def retention_cap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 tail-cap: newest 5 rows per key under the composite
+    deterministic order (the reference's per-frame row cap)."""
+    ev = load_table(spark, "events", sf_dir)
+    return retention_cap(
+        ev.select("user_id", "event_id", "ts", "value"),
+        ["user_id"],
+        ["ts", "event_id"],
+        5,
+    )
+
+
+@_q(
     "gap_fill_hourly",
     """
     WITH hourly AS (
