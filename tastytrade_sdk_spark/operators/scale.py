@@ -112,6 +112,25 @@ def salted_join(
     return out.drop("__salt")
 
 
+def zorder_key(cols: Sequence[Column], bits: int = 8) -> Column:
+    """Interleaved-bit (Morton) clustering key over pre-bucketed
+    non-negative ints: bit (i*k + c) of the key = bit i of column c.
+
+    Sorting a table by this key at write time co-locates rows that are
+    close in EVERY dimension, so min/max footer stats prune scans for
+    predicates on any participating column — the Delta/Iceberg
+    Z-ORDER layout trick as a pure Column expression (codegen-able,
+    engine-agnostic). Callers bucket each dimension to [0, 2^bits)
+    first (e.g. ``pmod(hash(c), 256)`` or a range bucket)."""
+    k = len(cols)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        for c_idx, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            out = out + (bit * F.lit(1 << (i * k + c_idx)))
+    return out
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -365,6 +365,44 @@ def asof_entry_price_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("value_entry", "entry_price")
 
 
+def _zorder_oracle_sql(bits: int = 8, k: int = 2) -> str:
+    terms = []
+    for i in range(bits):
+        for c_idx, col in enumerate(["b_user", "b_hour"]):
+            terms.append(f"(({col} >> {i}) & 1) * {1 << (i * k + c_idx)}")
+    return f"""
+    WITH b AS (
+      SELECT event_id, user_id % 256 AS b_user,
+             (epoch_ms(ts) // 3600000) % 256 AS b_hour
+      FROM events
+    )
+    SELECT event_id, b_user, b_hour,
+           ({" + ".join(terms)})::BIGINT AS zkey
+    FROM b
+    """
+
+
+@_q("zorder_layout_key", _zorder_oracle_sql())
+def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over (user bucket, hour bucket):
+    the write-time sort key that makes parquet min/max stats prune on
+    BOTH dimensions (operators/scale.zorder_key)."""
+    from tastytrade_sdk_spark.operators.scale import zorder_key
+
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("b_user"),
+        # integer `div`, never double division: a ~1e12 epoch over a
+        # double loses exactness right where truncation flips buckets
+        (F.expr("unix_millis(ts) div 3600000") % 256).alias("b_hour"),
+    )
+    return b.select(
+        "event_id", "b_user", "b_hour",
+        zorder_key([F.col("b_user"), F.col("b_hour")], bits=8).alias("zkey"),
+    )
+
+
 @_q(
     "retention_cap_per_user",
     """

@@ -100,6 +100,30 @@ def test_tfidf_ranks_rare_terms_highest(spark):
     assert spark_row["tfidf"] == 0.0
 
 
+def test_zorder_key_bit_interleave(spark):
+    from tastytrade_sdk_spark.operators.scale import zorder_key
+
+    df = spark.createDataFrame([(3, 5)], "a int, b int")
+    key = df.select(
+        zorder_key([F.col("a"), F.col("b")], bits=8).alias("z")
+    ).first()["z"]
+    # a=0b011, b=0b101 -> interleave (a bit i at 2i, b bit i at 2i+1):
+    # positions 0(a0),1(b0),2(a1),5(b2) -> 1+2+4+32
+    assert key == 39
+    # locality: adjacent cells differ in low bits only
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "a int, b int"
+    )
+    keys = {
+        (r["a"], r["b"]): r["z"]
+        for r in grid.select(
+            "a", "b", zorder_key([F.col("a"), F.col("b")], bits=2).alias("z")
+        ).collect()
+    }
+    assert len(set(keys.values())) == 16  # bijective on the grid
+    assert keys[(0, 0)] == 0 and keys[(3, 3)] == 15
+
+
 def test_bpe_ish_segmentation(spark):
     from tastytrade_sdk_spark.llmops.textops import bpe_ish_tokens
 
