@@ -1,0 +1,121 @@
+"""Versioned snapshot store: a minimal manifest commit protocol.
+
+The upsert sinks publish keyed snapshots by directory swap
+(sinks.upsert_parquet_batch) — correct, but a reader that lists the
+directory MID-swap can see a torn state, and old versions are gone the
+moment the swap lands. Lake formats solve this with a metadata layer;
+this module is that layer reduced to its core, with no new deps:
+
+- a writer materializes version N under ``<root>/v=N/`` (executor-side
+  parquet write, never through the driver),
+- then commits by writing ``<root>/_manifest.N.json`` (version, data
+  dir, row count) and LAST updates the ``_latest`` pointer file via
+  atomic rename — the single mutation readers observe,
+- readers resolve ``_latest`` -> manifest -> data dir, so they always
+  load a complete, immutable snapshot (snapshot isolation), and any
+  historical version remains readable until pruned (time travel).
+
+Crash safety: a writer dying before the pointer rename leaves a
+harmless orphan version; replayed micro-batches re-publish the same
+content under a new version and converge (the ST7 idempotence story).
+On a real lake this module is replaced by Delta/Iceberg commits; the
+sink code above it does not change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LATEST = "_latest"
+
+
+def _pointer_path(root: str) -> str:
+    return os.path.join(root, _LATEST)
+
+
+def current_version(root: str) -> int | None:
+    try:
+        with open(_pointer_path(root)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def publish_version(df: DataFrame, root: str) -> int:
+    """Write ``df`` as the next version and commit it atomically.
+    Returns the committed version number."""
+    os.makedirs(root, exist_ok=True)
+    prev = current_version(root)
+    version = 0 if prev is None else prev + 1
+    data_dir = os.path.join(root, f"v={version}")
+    df.write.mode("overwrite").parquet(data_dir)
+    n_rows = df.sparkSession.read.parquet(data_dir).count()
+    manifest = {"version": version, "data_dir": data_dir, "n_rows": n_rows}
+    with open(os.path.join(root, f"_manifest.{version}.json"), "w") as f:
+        json.dump(manifest, f)
+    # the pointer flip is the commit: write-to-temp + rename is atomic
+    # on POSIX, so readers see either the old or the new version
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="._latest.")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _pointer_path(root))
+    return version
+
+
+def read_version(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Load a committed snapshot (default: latest). Raises if nothing
+    has been committed yet."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    with open(os.path.join(root, f"_manifest.{v}.json")) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(manifest["data_dir"])
+
+
+def prune_versions(root: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` committed versions (never the
+    current pointer target). Returns pruned version numbers."""
+    import shutil
+
+    latest = current_version(root)
+    if latest is None:
+        return []
+    versions = sorted(
+        int(f.split(".")[1])
+        for f in os.listdir(root)
+        if f.startswith("_manifest.") and f.endswith(".json")
+    )
+    to_prune = [v for v in versions[:-keep] if v != latest]
+    for v in to_prune:
+        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
+        try:
+            os.remove(os.path.join(root, f"_manifest.{v}.json"))
+        except FileNotFoundError:
+            pass
+    return to_prune
+
+
+def versioned_upsert_batch(
+    batch_df: DataFrame,
+    root: str,
+    keys,
+    order_by,
+) -> int:
+    """K2/K4 keep-last upsert publishing through the manifest store:
+    merge the micro-batch with the latest committed snapshot, commit
+    as a new version. Readers mid-merge keep seeing the old version."""
+    from tastytrade_sdk_spark.operators.dedup import keep_last
+
+    spark = batch_df.sparkSession
+    new = keep_last(batch_df, keys, order_by)
+    if current_version(root) is not None:
+        existing = read_version(spark, root)
+        merged = keep_last(existing.unionByName(new), keys, order_by)
+    else:
+        merged = new
+    return publish_version(merged, root)
