@@ -100,9 +100,15 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def oracle_timings(names: list[str], repeats: int = 2) -> dict[str, float]:
-    """Per-query DuckDB wall-clock for every oracled query (min over
-    ``repeats`` runs — same host-stall defense as the Spark side)."""
+def oracle_timings(names: list[str], rerun_budget: float = 240.0) -> dict[str, float]:
+    """Per-query DuckDB wall-clock for every oracled query.
+
+    Stall defense must challenge BOTH tails: a fast query whose single
+    run stalled would report 20-60s (making Spark look unfairly good),
+    so first runs under 2s get a confirming re-run, and first runs
+    over 15s — the stall signature — get one too, under a cumulative
+    re-run budget so the heavy-oracle tail cannot blow the bench's
+    wall-clock cap."""
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -113,17 +119,19 @@ def oracle_timings(names: list[str], repeats: int = 2) -> dict[str, float]:
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     out: dict[str, float] = {}
+    rerun_spent = 0.0
     for name in names:
         if name not in oracles:
             continue
         t0 = time.perf_counter()
         con.sql(oracles[name]).fetchall()
         best = time.perf_counter() - t0
-        if best < 2.0:  # stall defense only where a stall would swamp
-            for _ in range(repeats - 1):
-                t0 = time.perf_counter()
-                con.sql(oracles[name]).fetchall()
-                best = min(best, time.perf_counter() - t0)
+        if best < 2.0 or (best >= 15.0 and rerun_spent < rerun_budget):
+            t0 = time.perf_counter()
+            con.sql(oracles[name]).fetchall()
+            t = time.perf_counter() - t0
+            rerun_spent += t
+            best = min(best, t)
         out[name] = round(best, 3)
     return out
 

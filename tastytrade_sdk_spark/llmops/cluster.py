@@ -34,12 +34,19 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Per-node component label = MIN node id reachable from it.
 
     ``nodes`` (optional) supplies isolated vertices — rows never seen
     in ``edges`` come back as their own singleton component. Output:
     (id_col, component).
+
+    Convergence is O(component diameter) rounds; if labels are still
+    moving after ``max_iters`` the result would be silently WRONG
+    (one real cluster split across labels), so ``strict`` raises
+    instead — raise max_iters, or switch to the large-star/small-star
+    variant for pathological chain graphs.
     """
     sym = edges.select(F.col(src).alias("__n"), F.col(dst).alias("__m"))
     sym = sym.unionByName(
@@ -57,6 +64,7 @@ def connected_components(
     )
     labels = base.distinct().withColumn("__lbl", F.col("__n"))
 
+    changed = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(
@@ -80,6 +88,13 @@ def connected_components(
         labels = stepped.select("__n", F.col("__new").alias("__lbl"))
         if not changed:
             break
+    if changed and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(a component's diameter exceeds max_iters); labels would be "
+            "silently split — raise max_iters or use a star-contraction "
+            "variant for chain-shaped graphs"
+        )
     return labels.select(F.col("__n").alias(id_col), F.col("__lbl").alias("component"))
 
 

@@ -82,6 +82,25 @@ def pack_sequences(
     )
 
 
+def quality_threshold(scored: DataFrame, pct: float) -> DataFrame:
+    """One-row frame holding the pct-quantile cut over a ``quality``
+    column: the k-th smallest ROUNDED value (k = ceil(pct * n)) via
+    cumulative counts over the bounded distinct-score domain. Shared
+    by the standalone gate and the composed pipeline so the edge
+    semantics can never diverge."""
+    n = scored.agg(F.count(F.lit(1)).alias("__n"))
+    vals = scored.groupBy("quality").agg(F.count(F.lit(1)).alias("__c"))
+    wv = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        vals.select("quality", F.sum("__c").over(wv).alias("__cum"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("__cum") >= F.ceil(F.lit(pct) * F.col("__n")))
+        .agg(F.min("quality").alias("threshold"))
+    )
+
+
 def quality_percentile_filter(
     docs: DataFrame,
     text_col: str = "text",
@@ -107,17 +126,7 @@ def quality_percentile_filter(
         F.col(id_col),
         F.round(quality_score(toks, F.col(text_col)), round_dp).alias("quality"),
     )
-    n = scored.agg(F.count(F.lit(1)).alias("__n"))
-    vals = scored.groupBy("quality").agg(F.count(F.lit(1)).alias("__c"))
-    wv = Window.orderBy("quality").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cums = vals.select("quality", F.sum("__c").over(wv).alias("__cum"))
-    thr = (
-        cums.crossJoin(F.broadcast(n))
-        .filter(F.col("__cum") >= F.ceil(F.lit(pct) * F.col("__n")))
-        .agg(F.min("quality").alias("threshold"))
-    )
+    thr = quality_threshold(scored, pct)
     return (
         scored.crossJoin(F.broadcast(thr))
         .filter(F.col("quality") >= F.col("threshold"))

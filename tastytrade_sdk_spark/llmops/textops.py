@@ -38,15 +38,18 @@ def tokens_expr(text: Column | str) -> Column:
 
 
 # GPT-2-style pre-tokenization pattern, restricted to syntax BOTH Java
-# regex (Spark) and RE2 (DuckDB) accept: no lookahead (the original's
-# `\s+(?!\S)` is dropped; trailing spaces fold into the `\s+` branch),
-# contractions first, then space-prefixed letter/digit/punct runs.
+# regex (Spark) and RE2 (DuckDB) interpret IDENTICALLY: no lookahead
+# (the original's `\s+(?!\S)` is dropped; trailing spaces fold into
+# the whitespace branch), and whitespace is an EXPLICIT class — Java's
+# \s matches \x0B (vertical tab) while RE2's does not, which would
+# shift token boundaries between engines.
+_WS = r"\t\n\f\r "
 BPE_ISH_PATTERN = (
     r"'(?:s|t|re|ve|m|ll|d)"
     r"| ?\p{L}+"
     r"| ?\p{N}+"
-    r"| ?[^\s\p{L}\p{N}]+"
-    r"|\s+"
+    rf"| ?[^{_WS}\p{{L}}\p{{N}}]+"
+    rf"|[{_WS}]+"
 )
 
 

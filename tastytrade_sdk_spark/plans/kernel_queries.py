@@ -660,9 +660,9 @@ def backtest_entry_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
 
-    def candles(ms: int) -> DataFrame:
+    def candles(src: DataFrame, ms: int) -> DataFrame:
         return keep_last(
-            ev.select(
+            src.select(
                 F.col("event_type").alias("symbol"),
                 floor_time_to_interval("ts", F.lit(ms)).alias("time"),
                 F.col("value").alias("close"),
@@ -673,10 +673,13 @@ def backtest_entry_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["ts", "event_id"],
         ).select("symbol", "time", "close")
 
-    sig_candles = candles(7_200_000)
-    # non-null pricing on both sides: the Spark as-of walk-back skips
-    # null closes, DuckDB ASOF does not — filter once, identically
-    pricing = candles(1_800_000).filter(F.col("close").isNotNull())
+    sig_candles = candles(ev, 7_200_000)
+    # non-null pricing filtered BEFORE the keep-last dedup, exactly as
+    # the oracle's `WHERE value IS NOT NULL` precedes its QUALIFY: if a
+    # bucket's newest event had a NULL value, filtering after dedup
+    # would drop the whole bucket while the oracle keeps the older
+    # non-null row
+    pricing = candles(ev.filter(F.col("value").isNotNull()), 1_800_000)
     out = run_backtest(
         sig_candles,
         pricing,

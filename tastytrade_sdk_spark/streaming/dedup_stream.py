@@ -64,11 +64,16 @@ def near_dup_filter_batch(
     kept = survivors.join(
         clusters.filter("is_canonical").select(id_col), id_col, "left_semi"
     )
-    # admit: idempotent keyed upsert (replays converge) + band append
+    # barrier: the two admit actions below would otherwise each
+    # re-execute the full MinHash/LSH/anti-join lineage
+    kept = kept.localCheckpoint(eager=True)
+    # admit: idempotent keyed upsert (replays converge) + band append;
+    # band hashes come from the already-computed `incoming` via a
+    # semi-join on the kept ids, never recomputed
     upsert_parquet_batch(kept, out_path, [id_col], [id_col])
-    kept_bands = band_hashes(kept, text_col, id_col, k, bands).select(
-        "band_id", "band_hash", F.col(id_col).alias("owner")
-    )
+    kept_bands = incoming.join(
+        kept.select(id_col), id_col, "left_semi"
+    ).select("band_id", "band_hash", F.col(id_col).alias("owner"))
     kept_bands.write.mode("append").parquet(store_path)
 
 

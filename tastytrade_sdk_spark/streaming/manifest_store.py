@@ -18,6 +18,8 @@ this module is that layer reduced to its core, with no new deps:
 Crash safety: a writer dying before the pointer rename leaves a
 harmless orphan version; replayed micro-batches re-publish the same
 content under a new version and converge (the ST7 idempotence story).
+Single-writer protocol (foreachBatch runs batches serially, which is
+exactly that) — concurrent writers would race version numbers.
 On a real lake this module is replaced by Delta/Iceberg commits; the
 sink code above it does not change.
 """
@@ -53,8 +55,9 @@ def publish_version(df: DataFrame, root: str) -> int:
     version = 0 if prev is None else prev + 1
     data_dir = os.path.join(root, f"v={version}")
     df.write.mode("overwrite").parquet(data_dir)
-    n_rows = df.sparkSession.read.parquet(data_dir).count()
-    manifest = {"version": version, "data_dir": data_dir, "n_rows": n_rows}
+    # no row count in the manifest: recording one would cost a second
+    # full scan of the snapshot per commit, and no reader consumes it
+    manifest = {"version": version, "data_dir": data_dir}
     with open(os.path.join(root, f"_manifest.{version}.json"), "w") as f:
         json.dump(manifest, f)
     # the pointer flip is the commit: write-to-temp + rename is atomic

@@ -34,24 +34,36 @@ def upsert_parquet_batch(
     keys: Sequence[str],
     order_by: Sequence[str],
 ) -> None:
-    """Merge one micro-batch into a keep-last parquet table."""
+    """Merge one micro-batch into a keep-last parquet table.
+
+    Executor-side write to a sibling tmp dir, then directory swap —
+    never routes the table through the driver (a collect() here would
+    cap the keyed table at driver memory, a scale-killer at 100x) and
+    never reads+overwrites the same path in one job. A crash between
+    the two swap renames is recovered on the next call (the backup dir
+    is restored BEFORE it could be deleted), so replayed micro-batches
+    still converge (ST7). Concurrent readers can observe a brief
+    path-missing gap between the renames; use
+    streaming/manifest_store.versioned_upsert_batch when readers need
+    snapshot isolation. On a lake deployment this whole dance becomes
+    a Delta/Iceberg MERGE.
+    """
     spark = batch_df.sparkSession
+    tmp, old = path + ".__tmp", path + ".__old"
+    # crash recovery FIRST: a previous run that died between its two
+    # renames left the full table under `old` and no `path` — restore
+    # it before anything can delete the only copy
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
     new = keep_last(batch_df, keys, order_by)
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         merged = keep_last(existing.unionByName(new), keys, order_by)
     else:
         merged = new
-    # Executor-side write to a sibling tmp dir, then directory swap.
-    # Never routes the table through the driver (a collect() here would
-    # cap the keyed table at driver memory — a scale-killer at 100x)
-    # and never reads+overwrites the same path in one job. Readers see
-    # either the old or the new directory; on a lake deployment this
-    # whole dance becomes a Delta/Iceberg MERGE.
-    tmp, old = path + ".__tmp", path + ".__old"
-    for d in (tmp, old):
-        if os.path.exists(d):
-            shutil.rmtree(d)
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.exists(path):
         os.rename(path, old)

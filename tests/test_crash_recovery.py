@@ -1,0 +1,47 @@
+"""Failure-path pins from the round-2 review: the upsert sink's swap
+must survive a crash between its two renames, and connected
+components must refuse to return silently-split labels."""
+
+import os
+
+import pytest
+
+from tastytrade_sdk_spark.streaming.sinks import upsert_parquet_batch
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "sym string, seq int, px double")
+
+
+def test_upsert_recovers_from_crash_between_renames(spark, tmp_path):
+    path = str(tmp_path / "latest")
+    upsert_parquet_batch(
+        _df(spark, [("A", 1, 10.0), ("B", 1, 5.0)]), path, ["sym"], ["seq"]
+    )
+    # simulate a writer that died between rename(path, old) and
+    # rename(tmp, path): the full table sits under .__old, path gone
+    os.rename(path, path + ".__old")
+    assert not os.path.exists(path)
+    # the replayed batch must RESTORE the backup before merging, so
+    # earlier keys (B) survive
+    upsert_parquet_batch(_df(spark, [("A", 2, 11.0)]), path, ["sym"], ["seq"])
+    snap = {r["sym"]: r["px"] for r in spark.read.parquet(path).collect()}
+    assert snap == {"A": 11.0, "B": 5.0}
+    assert not os.path.exists(path + ".__old")
+    assert not os.path.exists(path + ".__tmp")
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from tastytrade_sdk_spark.llmops.cluster import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a int, doc_b int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    # non-strict mode still returns (documented-partial) labels
+    out = connected_components(chain, max_iters=2, strict=False)
+    assert out.count() == 13
+    # and enough rounds converge the same chain fully
+    ok = connected_components(chain, max_iters=20)
+    assert {r["component"] for r in ok.collect()} == {0}

@@ -9,9 +9,11 @@ facts Catalyst should have gotten right, and flags the smells the
 - pushed filters : whether any scan carries PushedFilters
 - exchanges      : shuffle count (AQE shuffle reads counted separately)
 - joins          : broadcast-hash vs sort-merge vs nested-loop counts
-- smells         : cartesian/nested-loop joins over non-tiny inputs,
-                   sort-merge joins where a dim side should broadcast,
-                   row-at-a-time PythonUDF in the plan
+                   (smj > 0 is reported for eyeballing, not judged —
+                   shingle/label-propagation joins are legitimately
+                   sort-merge because both sides scale with the data)
+- smells         : cartesian products and row-at-a-time PythonUDF
+                   (BatchEvalPython) in the plan
 
 Usage: python tools/audit_plans.py [sf_dir] [query ...]
 Writes a markdown table to stdout (redirect to PLANS.md to snapshot).
