@@ -26,6 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tastytrade_sdk_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# global wall-clock budget: past this, re-runs degrade to single runs
+# so the bench always finishes inside the driver's window
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+_T_START = time.perf_counter()
+
+
+def _over_budget() -> bool:
+    return time.perf_counter() - _T_START > BUDGET_SEC
 
 # Headline = the full declared query suite (every operator family from
 # SURVEY §2), taken from the driver contract so bench never drifts.
@@ -62,9 +70,9 @@ def main() -> None:
         best = time.perf_counter() - t0
         # host-stall defense (20-60s idle-CPU stalls): re-run and take
         # the min. Short queries get two re-runs (a stall swamps them
-        # completely); long ones get one (bounds total bench time now
-        # that the suite is ~70 queries).
-        for _ in range(2 if best < 3.0 else 1):
+        # completely); long ones get one; past the global budget,
+        # single runs only.
+        for _ in range(0 if _over_budget() else (2 if best < 1.5 else 1)):
             t0 = time.perf_counter()
             run(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
@@ -100,7 +108,7 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def oracle_timings(names: list[str], rerun_budget: float = 240.0) -> dict[str, float]:
+def oracle_timings(names: list[str], rerun_budget: float = 90.0) -> dict[str, float]:
     """Per-query DuckDB wall-clock for every oracled query.
 
     Stall defense must challenge BOTH tails: a fast query whose single
@@ -126,6 +134,9 @@ def oracle_timings(names: list[str], rerun_budget: float = 240.0) -> dict[str, f
         t0 = time.perf_counter()
         con.sql(oracles[name]).fetchall()
         best = time.perf_counter() - t0
+        if _over_budget():
+            out[name] = round(best, 3)
+            continue
         if best < 2.0 or (best >= 15.0 and rerun_spent < rerun_budget):
             t0 = time.perf_counter()
             con.sql(oracles[name]).fetchall()
