@@ -217,6 +217,64 @@ def simhash_fingerprints(
     )
 
 
+def dup_shingle_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction per doc: of a doc's
+    distinct shingles, what share also appears in at least one OTHER
+    document. The scalable proxy for substring-level dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): a high
+    fraction marks boilerplate/templated docs that exact- and
+    MinHash-dedup both miss because no single pair crosses a
+    similarity threshold.
+
+    Plan shape (all linear in corpus size): explode distinct shingles
+    -> h32 each ONCE -> groupBy shingle-hash with map-side partial
+    counts (the only wide shuffle, keyed by a 8-byte hash, never the
+    shingle text) -> semi-join-shaped re-join on the hash -> per-doc
+    ratio agg. At 100 TB the shared-shingle side can additionally be
+    bloom-filtered before the join; the exact form here is already
+    O(total shingles).
+    """
+    from tastytrade_sdk_spark.llmops.textops import h32
+
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n, "__sh").select(
+        F.col(id_col), h32(F.col("__sh")).alias("__h")
+    )
+    # docs-per-shingle: input rows are (doc, shingle)-distinct already,
+    # so count(*) == count of distinct docs containing the shingle
+    shared = (
+        sh.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+        .select("__h", (F.col("__n_docs") > 1).alias("__shared"))
+    )
+    per_doc = (
+        sh.join(shared, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("__shared").cast("int")).alias("n_shared"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -174,3 +174,58 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= top_k)
         .select(id_col, "term", "tf", "df", "tfidf", "rnk")
     )
+
+
+def bpe_merge_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """One induction round of byte-pair-encoding training: count every
+    adjacent character pair inside every pre-token occurrence across
+    the corpus and rank the merge candidates. Repeating this (merge the
+    winner, re-segment, recount) IS the BPE training loop; a single
+    round exposes the distributed primitive — the corpus-wide adjacent-
+    pair count — which dominates the cost at every iteration.
+
+    Pairs are counted per pre-token OCCURRENCE (not per distinct word),
+    matching the standard frequency-weighted formulation. Whitespace
+    pre-tokens are excluded (merges never cross or absorb pure
+    whitespace).
+
+    Plan: pre-tokenize (regexp, scan-bound) -> explode pre-tokens ->
+    per-token pair list via substring(t, i, 2) over sequence(1, len-1)
+    (pure JVM expressions, no UDF) -> explode -> one hash-aggregate
+    with map-side partials [the only shuffle, keyed by the 2-char
+    pair] -> global top-k. Pair cardinality is alphabet^2-bounded, so
+    the final agg is tiny at any corpus size.
+
+    Deterministic order: count desc, pair asc.
+    """
+    from tastytrade_sdk_spark.llmops.textops import bpe_ish_tokens
+
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    pretoks = docs.select(
+        F.explode(bpe_ish_tokens(F.col(text_col))).alias("__pt")
+    ).repartition(target)
+    # explicit whitespace class, not trim()/\s: Java's \s matches \x0B
+    # where RE2's does not, and trim() strips only ' ' on both engines
+    non_ws = pretoks.filter(~F.col("__pt").rlike("^[\\t\\n\\f\\r ]+$"))
+    pairs = non_ws.select(
+        F.explode(
+            F.when(
+                F.length("__pt") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__pt") - 1),
+                    lambda i: F.col("__pt").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("rnk", "pair", "cnt")
+    )

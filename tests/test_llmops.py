@@ -203,3 +203,76 @@ def test_ivf_topk_recall_on_real_embeddings(spark):
     # determinism: same seed -> identical result set
     again = ivf_topk(emb, queries, k=5, n_lists=8, nprobe=3).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------- PII
+
+
+def test_pii_counts_and_redaction(spark):
+    from tastytrade_sdk_spark.llmops.pii import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a@b.com and c.d+x@e.org, ip 10.0.0.1"),
+            (1, "ssn 123-45-6789 phone 555-123-4567"),
+            (2, "card 4111111111111111 ok"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = pii_counts(F.col("text"))
+    out = df.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        redact_pii(F.col("text")).alias("red"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["email"] == 2 and by_id[0]["ipv4"] == 1
+    assert "<EMAIL>" in by_id[0]["red"] and "<IP>" in by_id[0]["red"]
+    # SSN masked BEFORE the phone pattern could claim it
+    assert by_id[1]["ssn"] == 1 and by_id[1]["phone"] == 1
+    assert "<SSN>" in by_id[1]["red"] and "<PHONE>" in by_id[1]["red"]
+    assert by_id[2]["digit_run"] == 1 and "<NUM>" in by_id[2]["red"]
+    assert by_id[3]["red"] == "clean text with no pii at all"
+    assert all(by_id[3][n] == 0 for n, _, _ in
+               __import__("tastytrade_sdk_spark.llmops.pii",
+                          fromlist=["PII_PATTERNS"]).PII_PATTERNS)
+
+
+# ------------------------------------------- duplicated-shingle fraction
+
+
+def test_dup_shingle_fraction(docs):
+    from tastytrade_sdk_spark.llmops.dedup import dup_shingle_fraction
+
+    out = {r["doc_id"]: r for r in dup_shingle_fraction(docs).collect()}
+    # docs 0/1 are exact dups: every shingle shared
+    assert out[0]["dup_frac"] == 1.0 and out[1]["dup_frac"] == 1.0
+    # doc 2 shares prefix/suffix shingles with 0/1 but not the middle
+    assert 0.0 < out[2]["dup_frac"] < 1.0
+    # doc 3 is unique, doc 4 has no shingles (< 3 tokens)
+    assert out[3]["dup_frac"] == 0.0
+    assert out[4]["n_shingles"] == 0 and out[4]["dup_frac"] == 0.0
+
+
+# ------------------------------------------------- BPE merge induction
+
+
+def test_bpe_merge_candidates(spark):
+    from tastytrade_sdk_spark.llmops.pipeline import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(0, "aaab aaab"), (1, "aaab zz")], "doc_id long, text string"
+    )
+    out = bpe_merge_candidates(df, top_k=10).collect()
+    ranked = [(r["pair"], r["cnt"]) for r in out]
+    by_pair = dict(ranked)
+    # 'aaab' occurs 3x as a pre-token (one leading-space form counts
+    # the same chars): pairs per occurrence: aa, aa, ab
+    assert by_pair["aa"] == 6 and by_pair["ab"] == 3
+    assert by_pair["zz"] == 1
+    # whitespace runs excluded entirely
+    assert all(" " not in p or p.startswith(" ") for p, _ in ranked)
+    # deterministic rank: count desc then pair asc
+    cnts = [c for _, c in ranked]
+    assert cnts == sorted(cnts, reverse=True)
