@@ -58,7 +58,8 @@ def main() -> None:
     warm_sf = SF_DIR.replace("sf0.1", "sf0.001")
     for wname in (
         "pricing_summary", "minhash_signatures", "signal_detection",
-        "knn_cosine_topk",
+        "knn_cosine_topk", "strategy_classification",
+        "corpus_filter_pipeline",
     ):
         if wname in queries:
             run(queries[wname](spark, warm_sf))

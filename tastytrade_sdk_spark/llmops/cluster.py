@@ -120,3 +120,98 @@ def near_dup_clusters(
             (F.col(id_col) == F.col("component")).alias("is_canonical"),
         )
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    round_dp: int = 8,
+) -> DataFrame:
+    """Nearest-centroid assignment against a FIXED centroid matrix
+    (spherical k-means: rows are L2-normalized, similarity = dot).
+
+    Centroid dots are built as left-associative JVM folds over spliced
+    centroid literals — no shuffle, no UDF, bit-reproducible — and
+    ROUNDED before the argmax (fold order is part of the contract;
+    unrounded 1e-16 noise must not flip an assignment). Ties take the
+    FIRST maximal centroid (np.argmax rule).
+
+    Adds ``__cluster`` (int) and ``__unit`` (the normalized vector).
+    """
+    import numpy as np
+
+    m = np.asarray(centroids, dtype=float)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    unit = F.transform(v, lambda x: x / norm)
+    out = df.withColumn("__unit", unit)
+    dots = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__unit"),
+                    F.array(*[F.lit(float(c)) for c in row]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            round_dp,
+        )
+        for row in m
+    ]
+    arr = F.array(*dots)
+    return out.withColumn(
+        "__cluster", (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    )
+
+
+def kmeans_lloyd_step(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """One distributed Lloyd iteration of spherical k-means: assign
+    every vector to its nearest centroid, then recompute each centroid
+    as the L2-normalized mean of its members. The scale path that the
+    driver-side bounded-sample trainer (ivf_centroids) approximates:
+    this form touches EVERY row, so repeated calls train the real
+    quantizer on the full corpus.
+
+    Plan: assignment is a narrow projection (centroid literals, no
+    shuffle); recompute explodes to (cluster, dim, component) and
+    aggregates — ONE shuffle keyed by (cluster, dim) with map-side
+    partial sums, k*dim result rows regardless of corpus size. The
+    per-cluster norm is a second tiny agg over k*dim rows.
+
+    Returns long form: (cluster_id, dim, centroid, n_members) —
+    empty clusters yield no rows. Components are rounded to
+    ``round_dp`` (cross-row float-sum order costs ~1e-13 across
+    engines; the quantum is far above it).
+    """
+    assigned = kmeans_assign(df, centroids, vec_col)
+    exploded = assigned.select(
+        F.col("__cluster").alias("cluster_id"),
+        F.posexplode(F.col("__unit")).alias("dim", "val"),
+    )
+    sums = exploded.groupBy("cluster_id", "dim").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n_members")
+    )
+    norms = sums.groupBy("cluster_id").agg(
+        F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("norm")
+    )
+    return (
+        sums.join(norms, "cluster_id")
+        .select(
+            "cluster_id",
+            "dim",
+            F.round(F.col("s") / F.col("norm"), round_dp).alias("centroid"),
+            "n_members",
+        )
+    )

@@ -276,3 +276,105 @@ def test_bpe_merge_candidates(spark):
     # deterministic rank: count desc then pair asc
     cnts = [c for _, c in ranked]
     assert cnts == sorted(cnts, reverse=True)
+
+
+# ------------------------------------------------- k-means Lloyd step
+
+
+def test_kmeans_lloyd_step_matches_numpy(spark):
+    import numpy as np
+
+    from tastytrade_sdk_spark.llmops.cluster import kmeans_lloyd_step
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    cents = rng.normal(size=(4, 8))
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_lloyd_step(df, cents, round_dp=6).collect()
+    # numpy replica
+    v = vecs.astype(float)
+    u = v / np.linalg.norm(v, axis=1, keepdims=True)
+    asg = np.argmax(np.round(u @ cents.T, 8), axis=1)
+    got = {(r["cluster_id"], r["dim"]): (r["centroid"], r["n_members"]) for r in out}
+    for c in range(4):
+        members = u[asg == c]
+        if not len(members):
+            assert not any(k[0] == c for k in got)
+            continue
+        s = members.sum(axis=0)
+        exp = s / np.sqrt((s * s).sum())
+        for d in range(8):
+            cent, n = got[(c, d)]
+            assert n == len(members)
+            assert abs(cent - exp[d]) < 2e-6
+
+
+def test_kmeans_step_improves_objective(spark):
+    import numpy as np
+
+    from tastytrade_sdk_spark.llmops.cluster import kmeans_assign, kmeans_lloyd_step
+
+    rng = np.random.default_rng(7)
+    # three separated blobs on the sphere
+    base = rng.normal(size=(3, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    pts = np.vstack([b + 0.15 * rng.normal(size=(30, 16)) for b in base])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<float>",
+    )
+    cents0 = rng.normal(size=(3, 16))
+    cents0 /= np.linalg.norm(cents0, axis=1, keepdims=True)
+
+    def objective(c):
+        rows = kmeans_assign(df, c).select(
+            F.array_max(
+                F.array(*[
+                    F.aggregate(
+                        F.zip_with(F.col("__unit"),
+                                   F.array(*[F.lit(float(x)) for x in row]),
+                                   lambda a, b: a * b),
+                        F.lit(0.0), lambda a, x: a + x)
+                    for row in c
+                ])
+            ).alias("best")
+        ).agg(F.sum("best")).collect()
+        return rows[0][0]
+
+    before = objective(cents0)
+    stepped = kmeans_lloyd_step(df, cents0, round_dp=9).collect()
+    c1 = np.zeros_like(cents0)
+    for r in stepped:
+        c1[r["cluster_id"], r["dim"]] = r["centroid"]
+    assert objective(c1) > before  # Lloyd monotonicity (spherical form)
+
+
+# --------------------------------------------------- int8 quantization
+
+
+def test_quantize_int8_roundtrip(spark):
+    import numpy as np
+
+    from tastytrade_sdk_spark.llmops.similarity import quantize_int8
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(20, 32)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    rows.append((99, [0.0] * 32))  # zero vector edge case
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    for i in range(len(vecs)):
+        r = out[i]
+        q = np.array(r["qvec"], dtype=float)
+        assert np.abs(q).max() <= 127
+        rec = q * r["scale"] / 127.0
+        # reconstruction error bounded by half a quantization step/dim
+        step = r["scale"] / 127.0
+        assert np.abs(rec - vecs[i].astype(float)).max() <= step / 2 + 1e-12
+        assert r["mse"] <= (step / 2) ** 2 + 1e-12
+    z = out[99]
+    assert z["scale"] == 0.0 and z["mse"] == 0.0 and all(q == 0 for q in z["qvec"])
