@@ -378,3 +378,76 @@ def test_quantize_int8_roundtrip(spark):
         assert r["mse"] <= (step / 2) ** 2 + 1e-12
     z = out[99]
     assert z["scale"] == 0.0 and z["mse"] == 0.0 and all(q == 0 for q in z["qvec"])
+
+
+# ------------------------------------------------ bigram LM scoring
+
+
+def test_bigram_lm_matches_python_replica(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from tastytrade_sdk_spark.llmops.lm import score_docs_bigram_lm, train_bigram_lm
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the log",
+        3: "cat and dog and cat",
+        4: "zebra",          # 1 token -> no bigrams -> NULL score
+        5: "",               # empty -> NULL score
+        6: "the cat sat",    # some seen, some unseen bigrams
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    train_ids = {1, 2, 3}
+    bc, cx, v = train_bigram_lm(
+        df, is_train=F.col("doc_id").isin(*train_ids)
+    )
+    out = {
+        r["doc_id"]: r
+        for r in score_docs_bigram_lm(df, bc, cx, v, round_dp=9).collect()
+    }
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    bgs = lambda ws: [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    cnt = Counter()
+    vocab = set()
+    for i in train_ids:
+        ws = toks(texts[i])
+        vocab.update(ws)
+        cnt.update(bgs(ws))
+    ctx = Counter()
+    for bg, c in cnt.items():
+        ctx[bg.split(" ")[0]] += c
+    V, k = len(vocab), 0.5
+    for i, t in texts.items():
+        ws = toks(t)
+        pairs = bgs(ws)
+        r = out[i]
+        assert r["n_bigrams"] == len(pairs)
+        if not pairs:
+            assert r["avg_logprob"] is None
+            continue
+        exp = sum(
+            math.log((cnt[bg] + k) / (ctx[bg.split(" ")[0]] + k * V))
+            for bg in pairs
+        ) / len(pairs)
+        assert abs(r["avg_logprob"] - exp) < 1e-8, (i, r["avg_logprob"], exp)
+
+
+def test_bigram_lm_default_split_scores_everything(spark):
+    from tastytrade_sdk_spark.llmops.lm import score_docs_bigram_lm, train_bigram_lm
+
+    rows = [(i, f"common words appear here plus token{i} tail") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bc, cx, v = train_bigram_lm(df)
+    out = score_docs_bigram_lm(df, bc, cx, v).collect()
+    assert len(out) == 40
+    # every doc has 6 bigrams and a finite negative score
+    for r in out:
+        assert r["n_bigrams"] == 6
+        assert r["avg_logprob"] is not None and r["avg_logprob"] < 0
