@@ -137,3 +137,82 @@ def score_docs_bigram_lm(
             "avg_logprob",
         )
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    k: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how target-domain-like its hashed unigram distribution
+    is, w(doc) = mean over tokens of log(p_target(b)/p_background(b)),
+    where b = h32('dsir:'||token) % n_buckets and both distributions
+    are add-k smoothed bucket frequencies (target = ``is_target`` docs,
+    background = whole corpus). Resample by these weights to tilt a
+    100 TB crawl toward a high-quality target domain.
+
+    Scale shape: bucket count tables are n_buckets rows (one
+    explode+groupBy each, map-side combine) and BROADCAST into the
+    scoring join — the per-doc pass is (doc, bucket) multiplicities
+    joined against a 256-row map, then one agg on the id. Nothing
+    driver-side, nothing quadratic.
+
+    Output: (id, n_tokens, avg_log_ratio) — NULL score for empty docs.
+    """
+    from tastytrade_sdk_spark.llmops.textops import h32
+
+    bucket = lambda w: h32(F.concat(F.lit("dsir:"), w)) % n_buckets  # noqa: E731
+    tok = docs.select(
+        F.col(id_col), is_target.alias("__tgt"),
+        F.explode(tokens_expr(text_col)).alias("w"),
+    ).select(id_col, "__tgt", bucket(F.col("w")).alias("b"))
+
+    tgt = tok.filter("__tgt").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    bg = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    tot = bg.agg(F.sum("cb").alias("nb"))
+    ntgt = tgt.agg(F.sum("ct").alias("nt"))
+    # log ratio per bucket: both smoothed over the SAME bucket space,
+    # so buckets unseen in the target fall back to the k-mass floor
+    ratios = (
+        bg.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ntgt))
+        .select(
+            "b",
+            F.log(
+                ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(k))
+                 / (F.col("nt") + F.lit(k) * n_buckets))
+                / ((F.col("cb") + F.lit(k))
+                   / (F.col("nb") + F.lit(k) * n_buckets))
+            ).alias("lr"),
+        )
+    )
+    doc_b = tok.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("m"))
+    scores = (
+        doc_b.join(F.broadcast(ratios), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").alias("n_tokens"),
+            # ratios straddle 0, so the rounded mean can hit the -0.0
+            # representation hazard; "+ 0.0" folds it to +0.0
+            (
+                F.round(F.sum(F.col("m") * F.col("lr")) / F.sum("m"), round_dp)
+                + F.lit(0.0)
+            ).alias("avg_log_ratio"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scores, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "avg_log_ratio",
+        )
+    )

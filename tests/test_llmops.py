@@ -451,3 +451,64 @@ def test_bigram_lm_default_split_scores_everything(spark):
     for r in out:
         assert r["n_bigrams"] == 6
         assert r["avg_logprob"] is not None and r["avg_logprob"] < 0
+
+
+def test_dsir_weights_match_python_replica(spark):
+    import math
+    import re
+
+    from tastytrade_sdk_spark.llmops.lm import dsir_importance_weights
+    from tastytrade_sdk_spark.llmops.textops import h32  # noqa: F401
+
+    texts = {
+        1: ("a", "finance options greeks delta gamma theta"),
+        2: ("a", "finance strike expiry premium margin"),
+        3: ("b", "cooking pasta tomato basil olive"),
+        4: ("b", "garden soil seeds water sun"),
+        5: ("b", ""),
+    }
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in texts.items()],
+        "doc_id long, source string, text string",
+    )
+    B, k = 16, 0.5
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            df, F.col("source") == "a", n_buckets=B, round_dp=9
+        ).collect()
+    }
+
+    import hashlib
+
+    def bucket(w):
+        return int(hashlib.md5(f"dsir:{w}".encode()).hexdigest()[:8], 16) % B
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    tgt, bg = {}, {}
+    for i, (s, t) in texts.items():
+        for w in toks(t):
+            b = bucket(w)
+            bg[b] = bg.get(b, 0) + 1
+            if s == "a":
+                tgt[b] = tgt.get(b, 0) + 1
+    nt, nb = sum(tgt.values()), sum(bg.values())
+    for i, (s, t) in texts.items():
+        ws = toks(t)
+        r = out[i]
+        assert r["n_tokens"] == len(ws)
+        if not ws:
+            assert r["avg_log_ratio"] is None
+            continue
+        exp = sum(
+            math.log(
+                ((tgt.get(bucket(w), 0) + k) / (nt + k * B))
+                / ((bg[bucket(w)] + k) / (nb + k * B))
+            )
+            for w in ws
+        ) / len(ws)
+        assert abs(r["avg_log_ratio"] - exp) < 1e-8
+    # target docs should score higher than off-domain docs
+    assert out[1]["avg_log_ratio"] > out[3]["avg_log_ratio"]
