@@ -321,3 +321,71 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+def frequent_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_doc_frac: float = 0.01,
+) -> DataFrame:
+    """Cross-document boilerplate scrub with TEXT RECONSTRUCTION — the
+    exact-substring-dedup idea of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") at word-n-gram
+    granularity: any n-gram span appearing in >= min_doc_frac of all
+    documents is boilerplate; every token covered by such a span is
+    cut, and the document is re-assembled from the survivors.
+
+    Output: (id, n_removed, clean_text).
+
+    Plan shape (100 TB): one corpus-sized explode of (doc, pos,
+    shingle) feeding [a] the doc-frequency count — shuffle on the
+    shingle key with partial aggregation, output bounded by distinct
+    n-gram growth, [b] a shuffle join back against the frequent set
+    (tiny by construction — AQE turns it into a broadcast join when it
+    fits), then one groupBy(doc) to collect covered starts. The
+    rebuild itself is a narrow per-row array expression: token j
+    survives iff no frequent span starts in [j-n+1, j]. The doc-frac
+    threshold (not an absolute count) keeps the operator's meaning
+    stable as the corpus grows.
+    """
+    toks = tokens_expr(text_col)
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    sh = base.select(
+        F.col(id_col),
+        F.posexplode(shingles_expr(F.col("__t"), shingle_n)).alias("pos0", "shingle"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "shingle")
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    freq = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd_sh"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("nd_sh") >= F.lit(min_doc_frac) * F.col("n_docs"))
+        .select("shingle")
+    )
+    cov = (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    joined = base.join(cov, id_col, "left").withColumn(
+        "starts", F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    )
+    idx = F.when(
+        F.size("__t") > 0, F.sequence(F.lit(1), F.size("__t"))
+    ).otherwise(F.array().cast("array<int>"))
+    span = shingle_n - 1
+    keep = F.filter(
+        idx,
+        lambda j: ~F.exists(
+            F.col("starts"), lambda s: (j >= s) & (j <= s + span)
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        (F.size("__t") - F.size(keep)).alias("n_removed"),
+        F.array_join(
+            F.transform(keep, lambda j: F.element_at(F.col("__t"), j)), " "
+        ).alias("clean_text"),
+    )

@@ -512,3 +512,30 @@ def test_dsir_weights_match_python_replica(spark):
         assert abs(r["avg_log_ratio"] - exp) < 1e-8
     # target docs should score higher than off-domain docs
     assert out[1]["avg_log_ratio"] > out[3]["avg_log_ratio"]
+
+
+def test_frequent_span_removal_reconstruction(spark):
+    from tastytrade_sdk_spark.llmops.dedup import frequent_span_removal
+
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        (1, f"alpha bravo {boiler} charlie delta"),
+        (2, f"echo foxtrot golf {boiler}"),
+        (3, f"{boiler} hotel india"),
+        (4, "juliet kilo lima mike november"),   # clean doc
+        (5, "oscar papa"),                        # too short for trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # threshold: trigram in >= 60% of 5 docs => the boilerplate trigrams
+    # (present in 3 docs) qualify, nothing else does
+    out = {
+        r["doc_id"]: r
+        for r in frequent_span_removal(df, min_doc_frac=0.6).collect()
+    }
+    assert out[1]["clean_text"] == "alpha bravo charlie delta"
+    assert out[1]["n_removed"] == 5
+    assert out[2]["clean_text"] == "echo foxtrot golf"
+    assert out[3]["clean_text"] == "hotel india"
+    assert out[4]["clean_text"] == rows[3][1]
+    assert out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "oscar papa"
