@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
+        # Naive parquet timestamps (isAdjustedToUTC=false) must read as
+        # TIMESTAMP (LTZ, pinned UTC above), not TIMESTAMP_NTZ: the
+        # epoch functions (unix_micros/unix_millis) reject NTZ, and the
+        # data contract (FIXTURES.md) is naive-UTC storage.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # NOTE: a 48g heap measured 3-30x SLOWER on allocation-heavy

@@ -62,6 +62,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # part of the data contract (FIXTURES.md), and bucket/window
     # results must not depend on the host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Naive-UTC parquet timestamps must surface as TIMESTAMP (LTZ@UTC),
+    # not TIMESTAMP_NTZ — epoch functions reject NTZ and the whole query
+    # surface assumes epoch-comparable timestamps.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_ts_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
