@@ -229,3 +229,36 @@ def bpe_merge_candidates(
         .filter(F.col("rnk") <= top_k)
         .select("rnk", "pair", "cnt")
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    k_per_stratum: int,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: the k smallest salted md5
+    hashes within each stratum (an eval-set / inspection sample that is
+    reproducible across engines and stable as the corpus grows — a row
+    only leaves the sample when a smaller-hash row arrives).
+
+    Distributed shape: one shuffle on the strata key; per-stratum top-k
+    via window rank, which AQE handles even for skewed strata because
+    the projected row is (strata, id, hash) — bytes per row are tiny.
+    The rate-based zero-shuffle variant (hash < p * 2^60, no window) is
+    the 100 TB fast path when exact per-stratum counts don't matter;
+    this exact-k form is the one an eval pipeline wants.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k_per_stratum)
+    )

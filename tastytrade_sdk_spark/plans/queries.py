@@ -910,3 +910,131 @@ def viewers_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     return viewers.join(buyers, "user_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Sketches + range join (operators/sketches.py, operators/rangejoin.py)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "range_join_window_views",
+    """
+    SELECT v.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           (epoch_ms(v.ts) - epoch_ms(p.ts)) // 60000 AS minutes_after
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts AND v.ts < p.ts + INTERVAL 30 MINUTE
+    """,
+)
+def range_join_window_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via the binned equi-join plan (J5/J7 class;
+    reference analog: time-bounded follow-up lookups,
+    src/tastytrade/providers/market.py:119-185).
+
+    Views landing inside the 30 minutes after each purchase by the same
+    user. The naive plan is a per-user cross product filtered late; the
+    binned form (operators/rangejoin.py) joins on (user, time_bin) so
+    the shuffle key carries the time dimension too.
+    """
+    from tastytrade_sdk_spark.operators.rangejoin import range_join_binned
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    joined = range_join_binned(
+        views,
+        purchases,
+        on=["user_id"],
+        point_time="ts",
+        start="win_start",
+        end="win_end",
+        bin_width_ms=30 * 60 * 1000,
+    )
+    minutes = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("win_start"))) / 60_000_000
+    )
+    return joined.select(
+        "user_id", "purchase_id", "view_id", minutes.alias("minutes_after")
+    )
+
+
+@_q(
+    "kmv_distinct_users",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ), r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    )
+    SELECT event_type,
+           count(*) AS kmv_seen,
+           round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                 ELSE 63.0 / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0)
+                 END, 4) AS kmv_estimate
+    FROM r WHERE rn <= 64
+    GROUP BY event_type
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event type (A9-class distinct
+    metrics at sketch cost): engine-portable k-minimum-values estimator,
+    hash-verified against the same construction in DuckDB."""
+    from tastytrade_sdk_spark.operators.sketches import kmv_distinct
+
+    ev = load_table(spark, "events", sf_dir)
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+@_q(
+    "cms_user_counts",
+    """
+    WITH rows AS (SELECT unnest([0, 1, 2, 3]) AS cms_row),
+    cells AS (
+      SELECT rows.cms_row,
+             ('0x' || substring(md5(CAST(rows.cms_row AS VARCHAR) || ':' ||
+                                    CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1024 AS cms_col
+      FROM events, rows
+    ), sk AS (
+      SELECT cms_row, cms_col, count(*) AS cms_count FROM cells GROUP BY 1, 2
+    ), probe AS (
+      SELECT DISTINCT user_id FROM events
+    ), pc AS (
+      SELECT probe.user_id, rows.cms_row,
+             ('0x' || substring(md5(CAST(rows.cms_row AS VARCHAR) || ':' ||
+                                    CAST(probe.user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1024 AS cms_col
+      FROM probe, rows
+    )
+    SELECT pc.user_id, min(coalesce(sk.cms_count, 0)) AS cms_estimate
+    FROM pc LEFT JOIN sk USING (cms_row, cms_col)
+    GROUP BY pc.user_id
+    """,
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates per user (A7-class count
+    metrics from a fixed-size sketch): the 4x1024 counter table is
+    data-volume-independent and broadcastable; the probe never shuffles
+    the event stream itself."""
+    from tastytrade_sdk_spark.operators.sketches import cms_build, cms_probe
+
+    ev = load_table(spark, "events", sf_dir)
+    sketch = cms_build(ev, "user_id", depth=4, width=1024)
+    keys = ev.select("user_id").distinct()
+    return cms_probe(sketch, keys, "user_id", depth=4, width=1024)

@@ -1,0 +1,199 @@
+"""Sketches (KMV, count-min) and the binned range join.
+
+Property checks that the oracle gate can't express: sketch error
+bounds against exact counts, CMS's one-sided guarantee, range-join
+equivalence to the naive non-equi plan, and sample stability under
+corpus growth.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.operators.rangejoin import range_join_binned
+from tastytrade_sdk_spark.operators.sketches import cms_build, cms_probe, kmv_distinct
+
+
+@pytest.fixture(scope="module")
+def keyed_rows(spark):
+    # 3 groups with known distinct cardinalities 10 / 100 / 1000
+    rows = []
+    for g, n in (("a", 10), ("b", 100), ("c", 1000)):
+        rows += [(g, f"{g}-{i % n}") for i in range(n * 2)]
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+class TestKMV:
+    def test_small_groups_exact(self, keyed_rows):
+        out = {
+            r["g"]: r
+            for r in kmv_distinct(keyed_rows, ["g"], "v", k=64).collect()
+        }
+        assert out["a"]["kmv_estimate"] == 10.0  # below k -> exact
+        assert out["a"]["kmv_seen"] == 10
+
+    def test_error_bound(self, keyed_rows):
+        out = {
+            r["g"]: r["kmv_estimate"]
+            for r in kmv_distinct(keyed_rows, ["g"], "v", k=64).collect()
+        }
+        # ~1/sqrt(64) = 12.5% standard error; allow 3 sigma
+        assert abs(out["b"] - 100) / 100 < 0.4
+        assert abs(out["c"] - 1000) / 1000 < 0.4
+
+    def test_merge_property(self, spark, keyed_rows):
+        """KMV of a union == KMV over the merged k-min sets: estimate from
+        the unioned raw data equals estimate from unioning each half's
+        top-k hash sets (what per-partition partial merging does)."""
+        half1 = keyed_rows.filter(F.col("v").substr(-1, 1).isin("0", "1", "2", "3", "4"))
+        half2 = keyed_rows.subtract(half1)
+        full = kmv_distinct(keyed_rows, ["g"], "v", k=32)
+        # merge halves' sketches by re-running KMV over their kept values
+        from pyspark.sql import Window
+
+        h = F.conv(F.substring(F.md5(F.col("v")), 1, 15), 16, 10).cast("long")
+        kept = []
+        for part in (half1, half2):
+            w = Window.partitionBy("g").orderBy(h.asc())
+            kept.append(
+                part.select("g", "v").distinct()
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= 32)
+                .drop("__rn")
+            )
+        merged = kept[0].unionByName(kept[1])
+        remerged = kmv_distinct(merged, ["g"], "v", k=32)
+        a = {r["g"]: r["kmv_estimate"] for r in full.collect()}
+        b = {r["g"]: r["kmv_estimate"] for r in remerged.collect()}
+        assert a == b
+
+
+class TestCMS:
+    def test_never_underestimates_and_tight_here(self, keyed_rows):
+        sketch = cms_build(keyed_rows, "v", depth=4, width=2048)
+        keys = keyed_rows.select("v").distinct()
+        est = {
+            r["v"]: r["cms_estimate"]
+            for r in cms_probe(sketch, keys, "v", depth=4, width=2048).collect()
+        }
+        exact = {
+            r["v"]: r["cnt"]
+            for r in keyed_rows.groupBy("v").agg(F.count("*").alias("cnt")).collect()
+        }
+        for k, c in exact.items():
+            assert est[k] >= c  # CMS one-sided guarantee
+        # 1110 distinct keys in 4x2048 cells: collisions possible but
+        # the total overestimate must stay small
+        assert sum(est.values()) - sum(exact.values()) <= sum(exact.values()) * 0.05
+
+    def test_sketch_size_is_bounded(self, keyed_rows):
+        sketch = cms_build(keyed_rows, "v", depth=4, width=64)
+        assert sketch.count() <= 4 * 64
+
+
+class TestRangeJoinBinned:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        pts = spark.createDataFrame(
+            [(i % 3, i, t0 + dt.timedelta(minutes=7 * i)) for i in range(200)],
+            "k int, pid int, ts timestamp",
+        )
+        ivs = spark.createDataFrame(
+            [
+                (
+                    j % 3,
+                    j,
+                    t0 + dt.timedelta(minutes=45 * j),
+                    t0 + dt.timedelta(minutes=45 * j + 33),
+                )
+                for j in range(30)
+            ],
+            "k int, iid int, lo timestamp, hi timestamp",
+        )
+        return pts, ivs
+
+    def _naive(self, pts, ivs):
+        p, v = pts.alias("p"), ivs.alias("v")
+        return (
+            p.join(
+                v,
+                (F.col("p.k") == F.col("v.k"))
+                & (F.col("p.ts") >= F.col("v.lo"))
+                & (F.col("p.ts") < F.col("v.hi")),
+            )
+            .select("p.pid", "v.iid")
+        )
+
+    @pytest.mark.parametrize("bin_ms", [60_000, 600_000, 3_600_000])
+    def test_equals_naive_inner(self, frames, bin_ms):
+        pts, ivs = frames
+        got = range_join_binned(
+            pts, ivs, on=["k"], point_time="ts", start="lo", end="hi",
+            bin_width_ms=bin_ms,
+        ).select("pid", "iid")
+        expected = self._naive(pts, ivs)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+
+    def test_left_preserves_unmatched_points(self, frames):
+        pts, ivs = frames
+        got = range_join_binned(
+            pts, ivs, on=["k"], point_time="ts", start="lo", end="hi",
+            bin_width_ms=600_000, how="left",
+        )
+        assert got.filter(F.col("iid").isNull()).count() > 0
+        assert got.select("pid").distinct().count() == pts.count()
+
+    def test_no_nested_loop_join(self, frames):
+        pts, ivs = frames
+        plan = range_join_binned(
+            pts, ivs, on=["k"], point_time="ts", start="lo", end="hi",
+            bin_width_ms=600_000,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestStratifiedSample:
+    def test_stable_under_growth(self, spark):
+        """Adding documents can only displace sample members with
+        smaller-hash rows — the sample never reshuffles wholesale."""
+        from tastytrade_sdk_spark.llmops.pipeline import stratified_hash_sample
+
+        base = spark.createDataFrame(
+            [(i, "en" if i % 2 else "de") for i in range(200)], "doc_id long, lang string"
+        )
+        grown = base.unionByName(
+            spark.createDataFrame(
+                [(i, "en" if i % 2 else "de") for i in range(200, 260)],
+                "doc_id long, lang string",
+            )
+        )
+        s1 = {
+            (r["lang"], r["doc_id"])
+            for r in stratified_hash_sample(base, ["lang"], "doc_id", 10).collect()
+        }
+        s2 = {
+            (r["lang"], r["doc_id"])
+            for r in stratified_hash_sample(grown, ["lang"], "doc_id", 10).collect()
+        }
+        # every departure must be explained by a new smaller-hash arrival:
+        # arrivals can only be NEW docs, and they displace 1:1
+        departed = s1 - s2
+        arrived = s2 - s1
+        assert len(departed) == len(arrived)
+        assert all(doc_id >= 200 for (_, doc_id) in arrived)
+
+    def test_exact_k_per_stratum(self, spark):
+        from tastytrade_sdk_spark.llmops.pipeline import stratified_hash_sample
+
+        df = spark.createDataFrame(
+            [(i, ["en", "de", "fr"][i % 3]) for i in range(300)],
+            "doc_id long, lang string",
+        )
+        out = stratified_hash_sample(df, ["lang"], "doc_id", 7)
+        counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"en": 7, "de": 7, "fr": 7}
