@@ -196,22 +196,33 @@ def kmeans_lloyd_step(
     engines; the quantum is far above it).
     """
     assigned = kmeans_assign(df, centroids, vec_col)
+    # projection barrier before the explode (same hazard as
+    # _tokenized_docs): without it the Generate re-evaluates the k*dim
+    # fold expressions behind __cluster per OUTPUT row — measured ~25x
+    # on the bench — and one extra row-shaped shuffle is far cheaper
+    # than dim-times recomputing the assignment at any scale
+    assigned = assigned.select(
+        F.col("__cluster").alias("cluster_id"), "__unit"
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     exploded = assigned.select(
-        F.col("__cluster").alias("cluster_id"),
+        "cluster_id",
         F.posexplode(F.col("__unit")).alias("dim", "val"),
     )
     sums = exploded.groupBy("cluster_id", "dim").agg(
         F.sum("val").alias("s"), F.count(F.lit(1)).alias("n_members")
     )
-    norms = sums.groupBy("cluster_id").agg(
-        F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("norm")
-    )
-    return (
-        sums.join(norms, "cluster_id")
-        .select(
-            "cluster_id",
-            "dim",
-            F.round(F.col("s") / F.col("norm"), round_dp).alias("centroid"),
-            "n_members",
-        )
+    # per-cluster norm as a window over the k*dim summary rows: a
+    # self-join here re-executes the whole corpus-wide upstream for the
+    # second branch (exchange reuse is not guaranteed under AQE —
+    # measured 14s vs 2s on the bench); the window is one tiny
+    # post-shuffle pass over 1024 rows
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("cluster_id")
+    norm = F.sqrt(F.sum(F.col("s") * F.col("s")).over(wc))
+    return sums.select(
+        "cluster_id",
+        "dim",
+        F.round(F.col("s") / norm, round_dp).alias("centroid"),
+        "n_members",
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "cms_build", "cms_probe"]
+__all__ = ["kmv_distinct", "cms_build", "cms_probe", "histogram_quantiles"]
 
 _H60_DEN = float(1 << 60)
 
@@ -116,3 +116,59 @@ def cms_probe(
         {"cms_count": 0}
     )
     return joined.groupBy(key_col).agg(F.min("cms_count").alias("cms_estimate"))
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Single-pass approximate quantiles from a fixed-width histogram.
+
+    The exact path (sort / percentile agg) shuffles every value; this
+    shuffles at most n_bins rows per group no matter the data volume —
+    the classic fixed-memory quantile sketch, with deterministic
+    integer bucket math so the same construction is SQL-replayable.
+
+    Values are clamped into [lo, hi); each quantile q reports the LOWER
+    EDGE of the first bucket whose cumulative count reaches
+    ceil(q * n): resolution (hi-lo)/n_bins, zero float accumulation.
+    Returns (group_cols..., q, hq_value, hq_rank, hq_n).
+    """
+    width = (hi - lo) / n_bins
+    bucket = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    gw = Window.partitionBy(*group_cols).orderBy("__b")
+    cum = hist.withColumn("__cum", F.sum("__c").over(gw)).withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy(*group_cols))
+    )
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    # rank = ceil(q * n): the 1-indexed order statistic the quantile needs
+    joined = cum.crossJoin(F.broadcast(qdf)).withColumn(
+        "__rank", F.ceil(F.col("q") * F.col("__n")).cast("long")
+    )
+    # first bucket whose cumulative count covers the rank
+    hit = joined.filter(
+        (F.col("__cum") >= F.col("__rank"))
+        & (F.col("__cum") - F.col("__c") < F.col("__rank"))
+    )
+    return hit.select(
+        *group_cols,
+        "q",
+        F.round(F.lit(lo) + F.col("__b") * F.lit(width), 6).alias("hq_value"),
+        F.col("__rank").alias("hq_rank"),
+        F.col("__n").alias("hq_n"),
+    )

@@ -1038,3 +1038,39 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(ev, "user_id", depth=4, width=1024)
     keys = ev.select("user_id").distinct()
     return cms_probe(sketch, keys, "user_id", depth=4, width=1024)
+
+
+@_q(
+    "histogram_quantiles_value",
+    """
+    WITH h AS (
+      SELECT event_type,
+             least(999, greatest(0, CAST(floor(value / 0.5) AS INT))) AS b,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, b, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b) AS BIGINT) AS cumc,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM h
+    ), qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+    SELECT event_type, q,
+           round(0.0 + b * CAST(0.5 AS DOUBLE), 6) AS hq_value,
+           CAST(ceil(q * n) AS BIGINT) AS hq_rank,
+           n AS hq_n
+    FROM cum, qs
+    WHERE cumc >= ceil(q * n) AND cumc - c < ceil(q * n)
+    """,
+)
+def histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-memory quantile sketch (A-family percentile metrics at
+    scan cost): p50/p90/p99 of event value per type from a 1000-bin
+    histogram — at most n_bins rows shuffle per group regardless of
+    data volume, vs the exact path shuffling every value."""
+    from tastytrade_sdk_spark.operators.sketches import histogram_quantiles
+
+    ev = load_table(spark, "events", sf_dir)
+    return histogram_quantiles(
+        ev, ["event_type"], "value", [0.5, 0.9, 0.99], lo=0.0, hi=500.0, n_bins=1000
+    )

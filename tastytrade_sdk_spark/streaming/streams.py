@@ -154,3 +154,36 @@ def streaming_latest_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_time: str = "ts",
+    start_col: str = "win_start",
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (the streaming twin of
+    operators/rangejoin.range_join_binned): points matched to interval
+    starts within ``window`` after them, both sides watermarked so the
+    join state is bounded.
+
+    Structured Streaming requires the time-range predicate in the join
+    condition to bound state retention: each side's buffered rows are
+    dropped once the other side's watermark passes the range. Same
+    semantics as the batch binned range join with
+    end = start + window — asserted equal in tests.
+    """
+    p = points.withWatermark(point_time, watermark).alias("p")
+    iv = intervals.withWatermark(start_col, watermark).alias("i")
+    cond = (
+        (F.col(f"p.{on}") == F.col(f"i.{on}"))
+        & (F.col(f"p.{point_time}") >= F.col(f"i.{start_col}"))
+        & (
+            F.col(f"p.{point_time}")
+            < F.col(f"i.{start_col}") + F.expr(f"INTERVAL {window}")
+        )
+    )
+    return p.join(iv, cond, "inner")

@@ -197,3 +197,83 @@ class TestStratifiedSample:
         out = stratified_hash_sample(df, ["lang"], "doc_id", 7)
         counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
         assert counts == {"en": 7, "de": 7, "fr": 7}
+
+
+class TestStreamingIntervalJoin:
+    def test_equals_batch_range_join(self, spark, tmp_path):
+        """Stream-stream interval join produces the same pairs as the
+        batch binned range join with end = start + window."""
+        import datetime as dt
+
+        from tastytrade_sdk_spark.streaming.streams import streaming_interval_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        pts = [(i % 3, i, t0 + dt.timedelta(minutes=7 * i)) for i in range(60)]
+        ivs = [(j % 3, j, t0 + dt.timedelta(minutes=45 * j)) for j in range(10)]
+        pdir, idir = str(tmp_path / "p"), str(tmp_path / "i")
+        spark.createDataFrame(pts, "k int, pid int, ts timestamp").write.parquet(pdir)
+        spark.createDataFrame(ivs, "k int, iid int, win_start timestamp").write.parquet(idir)
+
+        ps = spark.readStream.schema("k int, pid int, ts timestamp").parquet(pdir)
+        ivs_s = spark.readStream.schema("k int, iid int, win_start timestamp").parquet(idir)
+        joined = streaming_interval_join(
+            ps, ivs_s, on="k", point_time="ts", start_col="win_start",
+            window="30 minutes",
+        ).select("pid", "iid")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("sij")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(map(tuple, spark.table("sij").collect()))
+        finally:
+            q.stop()
+
+        batch_p = spark.read.parquet(pdir)
+        batch_i = spark.read.parquet(idir).withColumn(
+            "win_end", F.col("win_start") + F.expr("INTERVAL 30 MINUTES")
+        )
+        expected = sorted(
+            map(
+                tuple,
+                range_join_binned(
+                    batch_p, batch_i, on=["k"], point_time="ts",
+                    start="win_start", end="win_end", bin_width_ms=600_000,
+                ).select("pid", "iid").collect(),
+            )
+        )
+        assert got == expected and len(got) > 0
+
+
+class TestHistogramQuantiles:
+    def test_within_bin_resolution_of_exact(self, spark):
+        from tastytrade_sdk_spark.operators.sketches import histogram_quantiles
+
+        df = spark.createDataFrame(
+            [("g", float(i)) for i in range(1, 1001)], "g string, v double"
+        )
+        out = {
+            r["q"]: r
+            for r in histogram_quantiles(
+                df, ["g"], "v", [0.5, 0.9], lo=0.0, hi=1000.0, n_bins=100
+            ).collect()
+        }
+        # bin width 10: estimate is the lower edge of the hit bucket
+        assert abs(out[0.5]["hq_value"] - 500.0) <= 10.0
+        assert abs(out[0.9]["hq_value"] - 900.0) <= 10.0
+        assert out[0.5]["hq_n"] == 1000
+        assert out[0.5]["hq_rank"] == 500
+
+    def test_out_of_range_values_clamp(self, spark):
+        from tastytrade_sdk_spark.operators.sketches import histogram_quantiles
+
+        df = spark.createDataFrame(
+            [("g", v) for v in (-5.0, 0.5, 1.5, 99.0)], "g string, v double"
+        )
+        out = histogram_quantiles(df, ["g"], "v", [1.0], lo=0.0, hi=10.0, n_bins=10)
+        row = out.collect()[0]
+        # max (99.0) clamps into the last bucket: lower edge 9.0
+        assert row["hq_value"] == 9.0 and row["hq_n"] == 4
