@@ -1074,3 +1074,73 @@ def histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         ev, ["event_type"], "value", [0.5, 0.9, 0.99], lo=0.0, hi=500.0, n_bins=1000
     )
+
+
+@_q(
+    "value_percentiles_exact",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (A-family distribution metrics):
+    Spark's percentile agg and DuckDB's quantile_cont share the
+    rank = q*(n-1) linear-interpolation definition, so the rounded
+    values hash-match. The exact path shuffles every value — the
+    sketch twin (histogram_quantiles_value) is the fixed-memory
+    alternative at lake scale."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(q)), 6).alias(n)
+            for q, n in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+        ]
+    )
+
+
+@_q(
+    "twap_daily",
+    """
+    WITH o AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts, value,
+             lead(ts) OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                            ORDER BY ts, event_id) AS nxt
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT user_id, day,
+           round(sum(value * (epoch_ms(nxt) - epoch_ms(ts))) /
+                 sum(epoch_ms(nxt) - epoch_ms(ts)), 6) AS twap,
+           count(*) + 1 AS n_quotes
+    FROM o WHERE nxt IS NOT NULL
+    GROUP BY user_id, day
+    """,
+)
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per key per day (A6's time-weighted
+    twin): each quote's weight is its holding duration until the next
+    quote — one window pass + one grouped agg, both keyed on
+    (user, day) so the window sort and the agg share a shuffle."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_type") == "view")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", day.alias("day"), "ts", "value", "event_id"
+    ).withColumn("nxt", F.lead("ts").over(w))
+    dur = (
+        F.floor(F.unix_micros(F.col("nxt")) / 1000)
+        - F.floor(F.unix_micros(F.col("ts")) / 1000)
+    ).cast("double")
+    return (
+        o.filter(F.col("nxt").isNotNull())
+        .groupBy("user_id", "day")
+        .agg(
+            F.round(F.sum(F.col("value") * dur) / F.sum(dur), 6).alias("twap"),
+            (F.count(F.lit(1)) + 1).alias("n_quotes"),
+        )
+    )
