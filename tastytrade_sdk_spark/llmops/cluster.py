@@ -226,3 +226,64 @@ def kmeans_lloyd_step(
         F.round(F.col("s") / norm, round_dp).alias("centroid"),
         "n_members",
     )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    embeddings, then inside each cluster drop every item that has a
+    LOWER-id neighbor with cosine >= threshold (deterministic stand-in
+    for the paper's keep-one-per-duplicate-set choice).
+
+    The clusters are the scale lever: the quadratic pair scan runs per
+    cluster — shuffle keyed on cluster_id, cost k * (n/k)^2 instead of
+    n^2 — which is the entire point of the recipe at corpus scale.
+    Returns (id_col, cluster_id, keep).
+    """
+    assigned = kmeans_assign(df, centroids, vec_col)
+    # projection barrier: same Generate/CollapseProject hazard as the
+    # Lloyd step — the pair join must not re-evaluate the assignment
+    # folds per joined pair
+    slim = assigned.select(
+        F.col(id_col), F.col("__cluster").alias("cluster_id"), "__unit"
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # materialize the assignment ONCE: it feeds three plan branches
+    # (both pair-join sides + the final anti-join base), and exchange
+    # reuse across them is not guaranteed under AQE. Linear state —
+    # exactly what a SemDeDup pipeline checkpoints at corpus scale.
+    slim = slim.localCheckpoint(eager=True)
+    a, b = slim.alias("a"), slim.alias("b")
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("a.__unit"), F.col("b.__unit"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_dp,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cos >= F.lit(threshold))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        slim.select(id_col, "cluster_id")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -277,3 +277,43 @@ class TestHistogramQuantiles:
         row = out.collect()[0]
         # max (99.0) clamps into the last bucket: lower edge 9.0
         assert row["hq_value"] == 9.0 and row["hq_n"] == 4
+
+
+class TestSemDeDup:
+    def test_drops_exact_duplicates_keeps_min_id(self, spark):
+        import numpy as np
+
+        from tastytrade_sdk_spark.llmops.cluster import semdedup_prune
+        from tastytrade_sdk_spark.llmops.similarity import hyperplanes
+
+        cents = hyperplanes(4, 8, seed=3)
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        base = [float(x) for x in range(1, 9)]
+        rot = [float(x) for x in (8, 7, 6, 5, 4, 3, 2, 1)]
+        rows = [
+            (1, base), (2, base), (3, [2 * x for x in base]),  # 3 colinear dups
+            (10, rot),                                          # distinct
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r for r in semdedup_prune(df, cents, threshold=0.999).collect()}
+        assert out[1]["keep"] is True            # min id of the dup set survives
+        assert out[2]["keep"] is False and out[3]["keep"] is False
+        assert out[10]["keep"] is True           # no high-cosine cluster-mate
+        # colinear rows must land in the same cluster for the test to bite
+        assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+
+    def test_threshold_above_one_keeps_everything(self, spark):
+        import numpy as np
+
+        from tastytrade_sdk_spark.llmops.cluster import semdedup_prune
+        from tastytrade_sdk_spark.llmops.similarity import hyperplanes
+
+        cents = hyperplanes(4, 8, seed=3)
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(i, [float(i + j) for j in range(8)]) for i in range(1, 20)],
+            "vec_id long, embedding array<float>",
+        )
+        out = semdedup_prune(df, cents, threshold=1.01)
+        assert out.filter(~F.col("keep")).count() == 0
+        assert out.count() == 19
