@@ -1144,3 +1144,103 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) + 1).alias("n_quotes"),
         )
     )
+
+
+@_q(
+    "conversion_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS view_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (ST1-adjacent sequence analytics in
+    pure relational form): first view, first click strictly after it,
+    first purchase strictly after that. Each stage is a grouped min
+    plus an equi-join on user — the stage frontiers are tiny aggregated
+    tables, so every join broadcasts; the event table is scanned, never
+    shuffled whole."""
+    ev = load_table(spark, "events", sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage"),
+        )
+    )
+
+
+@_q(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(date_trunc('week', e.ts) AS DATE) AS active_week,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    activity counted per calendar week. The cohort table is one row
+    per user (broadcast side); the fact scan shuffles once on the
+    (cohort, week) group key."""
+    ev = load_table(spark, "events", sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

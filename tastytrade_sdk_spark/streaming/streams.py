@@ -187,3 +187,25 @@ def streaming_interval_join(
         )
     )
     return p.join(iv, cond, "inner")
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming fill-id dedup (K3/D3) with BOUNDED state: first
+    arrival per key wins, and a key's dedup state is dropped once the
+    watermark passes it — the streaming-native form of the reference's
+    fill-log 'seen id' set (processors/default.py keyed replay guard),
+    which in the reference grows without bound within a session.
+
+    Uses dropDuplicatesWithinWatermark so re-deliveries arriving inside
+    the watermark window are absorbed even when their event time
+    differs slightly (at-least-once transports re-stamp retries); exact
+    replays beyond the watermark are the upsert sink's job (ST7).
+    """
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

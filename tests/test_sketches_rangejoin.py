@@ -317,3 +317,36 @@ class TestSemDeDup:
         out = semdedup_prune(df, cents, threshold=1.01)
         assert out.filter(~F.col("keep")).count() == 0
         assert out.count() == 19
+
+
+class TestStreamingDedupWithinWatermark:
+    def test_absorbs_redelivery(self, spark, tmp_path):
+        import datetime as dt
+
+        from tastytrade_sdk_spark.streaming.streams import (
+            streaming_dedup_within_watermark,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        # fill 7 delivered twice with a re-stamped event time
+        rows = [(i, t0 + dt.timedelta(seconds=i)) for i in range(10)]
+        rows.append((7, t0 + dt.timedelta(seconds=7, milliseconds=500)))
+        src = str(tmp_path / "fills")
+        spark.createDataFrame(rows, "fill_id int, ts timestamp").write.parquet(src)
+        stream = spark.readStream.schema("fill_id int, ts timestamp").parquet(src)
+        deduped = streaming_dedup_within_watermark(
+            stream, ["fill_id"], time_col="ts", watermark="1 minute"
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("fills_dedup")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.table("fills_dedup").collect()
+        finally:
+            q.stop()
+        ids = sorted(r["fill_id"] for r in got)
+        assert ids == list(range(10))
