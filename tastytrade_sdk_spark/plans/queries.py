@@ -1244,3 +1244,177 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@_q(
+    "moment_stats_per_type",
+    """
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             sum(value) AS s1, sum(value * value) AS s2,
+             sum(value * value * value) AS s3
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(s1 / n, 6) AS mean,
+           round(s2 / n - (s1 / n) * (s1 / n), 4) AS var_pop,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / power(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) AS skew_pop
+    FROM s
+    """,
+)
+def moment_stats_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution moments from raw power sums (one map-side-combined
+    shuffle; no second pass): mean, population variance, population
+    skewness. The explicit-sum formulation is written identically in
+    both engines — no dependence on engine-private skewness()
+    sample-adjustment conventions."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
+    m3 = F.col("s3") / F.col("n")
+    var_pop = m2 - m1 * m1
+    return s.select(
+        "event_type",
+        "n",
+        F.round(m1, 6).alias("mean"),
+        F.round(var_pop, 4).alias("var_pop"),
+        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var_pop, 1.5), 4).alias(
+            "skew_pop"
+        ),
+    )
+
+
+@_q(
+    "qty_price_corr",
+    """
+    WITH s AS (
+      SELECT l_returnflag, count(*) AS n,
+             sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+             sum(l_quantity * l_extendedprice) AS sxy,
+             sum(l_quantity * l_quantity) AS sxx,
+             sum(l_extendedprice * l_extendedprice) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta
+    FROM s
+    """,
+)
+def qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope from raw cross sums (single
+    shuffle, explicit formula on both engines — engine corr()
+    implementations differ in Welford vs naive accumulation order)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            cov_n / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+        F.round(cov_n / (n * sxx - sx * sx), 6).alias("beta"),
+    )
+
+
+@_q(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+           count(CASE WHEN event_type = 'view' THEN 1 END)     AS n_view,
+           count(CASE WHEN event_type = 'click' THEN 1 END)    AS n_click,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END)   AS n_signup,
+           count(CASE WHEN event_type = 'error' THEN 1 END)    AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-key activity matrix (P10-style partition-to-columns):
+    conditional counts in ONE grouped pass — the pivot never needs a
+    second shuffle because the column set is a fixed enum."""
+    ev = load_table(spark, "events", sf_dir)
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("view", "click", "purchase", "signup", "error")
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@_q(
+    "zscore_anomalies",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             avg(value)  OVER win AS mu,
+             count(*)    OVER win AS n_win,
+             sum(value * value) OVER win AS s2,
+             sum(value)  OVER win AS s1
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts, value,
+           round((value - s1 / n_win) /
+                 sqrt(s2 / n_win - (s1 / n_win) * (s1 / n_win)), 4) AS zscore
+    FROM w
+    WHERE n_win >= 10
+      AND s2 / n_win - (s1 / n_win) * (s1 / n_win) > 0
+      AND abs((value - s1 / n_win) /
+              sqrt(s2 / n_win - (s1 / n_win) * (s1 / n_win))) > 2.5
+    """,
+)
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags (W-family monitoring): each value
+    scored against the TRAILING 20-row window (current row excluded —
+    a spike must not contaminate its own baseline). Moments come from
+    power sums over the window, identical formula both engines; one
+    window sort keyed (user, ts, id)."""
+    ev = load_table(spark, "events", sf_dir)
+    # rowsBetween(-19, -1) == "19 PRECEDING AND 1 PRECEDING": 19 rows
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, -1)
+    )
+    n_win = F.count(F.lit(1)).over(w)
+    s1 = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    return (
+        ev.select("user_id", "event_id", "ts", "value",
+                  n_win.alias("n_win"), s1.alias("s1"), s2.alias("s2"))
+        .withColumn("mu", F.col("s1") / F.col("n_win"))
+        .withColumn("var", F.col("s2") / F.col("n_win") - F.col("mu") * F.col("mu"))
+        .filter(
+            (F.col("n_win") >= 10)
+            & (F.col("var") > 0)
+            & (F.abs((F.col("value") - F.col("mu")) / F.sqrt(F.col("var"))) > 2.5)
+        )
+        .select(
+            "user_id", "event_id", "ts", "value",
+            F.round((F.col("value") - F.col("mu")) / F.sqrt(F.col("var")), 4).alias(
+                "zscore"
+            ),
+        )
+    )
