@@ -105,3 +105,83 @@ def append_log_sink(
     if partition_by:
         w = w.partitionBy(*partition_by)
     return w
+
+
+def additive_agg_batch(
+    batch_df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    epoch_id: int,
+    count_col: str = "n",
+) -> None:
+    """Merge one micro-batch into a stored ADDITIVE aggregate table
+    (incremental view maintenance: per-key running sums + counts that
+    never re-scan history).
+
+    Keep-last upserts are naturally idempotent under micro-batch
+    replay; additive merges are NOT — a replayed epoch would
+    double-add. foreachBatch's exactly-once recipe is the epoch guard:
+    the table carries the last merged epoch in an ``_epoch`` sidecar
+    INSIDE the data directory (underscore-prefixed files are invisible
+    to the parquet reader), so data + epoch commit in the SAME
+    directory rename — there is no crash window where one lands
+    without the other. A batch whose epoch is already committed is
+    skipped wholesale. On a lake deployment this is a MERGE with the
+    epoch in the commit metadata (txnAppId/txnVersion pattern).
+    """
+    spark = batch_df.sparkSession
+    tmp, old = path + ".__tmp", path + ".__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    committed = -1
+    epoch_file = os.path.join(path, "_epoch")
+    if os.path.exists(epoch_file):
+        with open(epoch_file) as fh:
+            committed = int(fh.read().strip())
+    if epoch_id <= committed:
+        return  # replayed epoch: already folded in
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    part = batch_df.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count(F.lit(1)).alias(count_col),
+    )
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        merged = (
+            existing.unionByName(part)
+            .groupBy(*keys)
+            .agg(
+                *[F.sum(c).alias(c) for c in sum_cols],
+                F.sum(count_col).alias(count_col),
+            )
+        )
+    else:
+        merged = part
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_epoch"), "w") as fh:
+        fh.write(str(epoch_id))
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def additive_agg_sink(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    checkpoint: str,
+):
+    """K4-additive: per-key running sums maintained incrementally."""
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda df, epoch: additive_agg_batch(df, path, keys, sum_cols, epoch)
+        )
+    )

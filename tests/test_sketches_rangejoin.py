@@ -350,3 +350,55 @@ class TestStreamingDedupWithinWatermark:
             q.stop()
         ids = sorted(r["fill_id"] for r in got)
         assert ids == list(range(10))
+
+
+class TestAdditiveAggSink:
+    def test_incremental_equals_batch_and_absorbs_replay(self, spark, tmp_path):
+        import datetime as dt
+
+        from tastytrade_sdk_spark.streaming.sinks import (
+            additive_agg_batch,
+            additive_agg_sink,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i % 5, t0 + dt.timedelta(seconds=i), float(i)) for i in range(100)
+        ]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(rows, "k int, ts timestamp, v double").write.parquet(src)
+        table = str(tmp_path / "agg")
+        stream = spark.readStream.schema("k int, ts timestamp, v double").parquet(src)
+        q = additive_agg_sink(
+            stream, table, ["k"], ["v"], checkpoint=str(tmp_path / "ckpt")
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        def state():
+            return {
+                r["k"]: (round(r["v"], 6), r["n"])
+                for r in spark.read.parquet(table).collect()
+            }
+
+        expected = {
+            r["k"]: (round(r["v"], 6), r["n"])
+            for r in spark.read.parquet(src)
+            .groupBy("k")
+            .agg(F.sum("v").alias("v"), F.count("*").alias("n"))
+            .collect()
+        }
+        assert state() == expected
+
+        # replayed epoch (same id as the one the stream committed, 0)
+        # must be a no-op — additive double-add is the failure mode
+        replay = spark.read.parquet(src)
+        additive_agg_batch(replay, table, ["k"], ["v"], epoch_id=0)
+        assert state() == expected
+
+        # a NEW epoch does merge
+        additive_agg_batch(replay, table, ["k"], ["v"], epoch_id=1)
+        assert state() != expected
+        assert state()[0][1] == expected[0][1] * 2
