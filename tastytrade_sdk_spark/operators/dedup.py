@@ -96,3 +96,23 @@ def merge_prefer_non_null(
         .filter(F.col(_RN) == 1)
         .drop(_RN)
     )
+
+
+def cdc_apply(
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+    op_col: str = "op",
+    delete_ops: Sequence[str] = ("delete",),
+) -> DataFrame:
+    """Apply a change log (upserts + deletes) to produce final state:
+    last change per key wins under the explicit deterministic order,
+    and keys whose LAST change is a delete vanish (standard CDC MERGE
+    semantics — a delete followed by a later upsert resurrects the
+    key).
+
+    Same single-shuffle keep-last plan as D2; the delete filter is a
+    post-window predicate, so applying a day's change log at lake
+    scale costs exactly one shuffle on the key."""
+    last = keep_last(changes, keys, order_by)
+    return last.filter(~F.col(op_col).isin(*[str(o) for o in delete_ops]))

@@ -1418,3 +1418,37 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_q(
+    "cdc_final_state",
+    """
+    SELECT user_id, event_id AS last_change_id, ts AS changed_at,
+           event_type AS op, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+       AND event_type != 'error'
+    """,
+)
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log application (D2 extended with delete semantics):
+    events replay as a change stream keyed by user — 'error' plays the
+    delete op, everything else upserts. Keys whose last change is a
+    delete drop out of the final state; one shuffle total."""
+    from tastytrade_sdk_spark.operators.dedup import cdc_apply
+
+    ev = load_table(spark, "events", sf_dir)
+    return cdc_apply(
+        ev.withColumnRenamed("event_type", "op"),
+        ["user_id"],
+        ["ts", "event_id"],
+        op_col="op",
+        delete_ops=("error",),
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_change_id"),
+        F.col("ts").alias("changed_at"),
+        "op",
+        "value",
+    )
