@@ -402,3 +402,22 @@ class TestAdditiveAggSink:
         additive_agg_batch(replay, table, ["k"], ["v"], epoch_id=1)
         assert state() != expected
         assert state()[0][1] == expected[0][1] * 2
+
+
+class TestCdcApply:
+    def test_delete_then_upsert_resurrects(self, spark):
+        from tastytrade_sdk_spark.operators.dedup import cdc_apply
+
+        rows = [
+            # key 1: insert -> update -> delete  => gone
+            (1, 1, "insert", 10.0), (1, 2, "update", 11.0), (1, 3, "delete", None),
+            # key 2: insert -> delete -> insert  => resurrected with last value
+            (2, 1, "insert", 20.0), (2, 2, "delete", None), (2, 3, "insert", 22.0),
+            # key 3: plain upserts => last wins
+            (3, 1, "insert", 30.0), (3, 2, "update", 33.0),
+        ]
+        df = spark.createDataFrame(rows, "k int, seq int, op string, v double")
+        out = {r["k"]: r for r in cdc_apply(df, ["k"], ["seq"]).collect()}
+        assert 1 not in out
+        assert out[2]["v"] == 22.0 and out[2]["op"] == "insert"
+        assert out[3]["v"] == 33.0 and out[3]["op"] == "update"
