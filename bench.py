@@ -59,7 +59,8 @@ def main() -> None:
     for wname in (
         "pricing_summary", "minhash_signatures", "signal_detection",
         "knn_cosine_topk", "strategy_classification",
-        "corpus_filter_pipeline",
+        "corpus_filter_pipeline", "kmeans_lloyd_step", "semdedup_keep",
+        "range_join_window_views",
     ):
         if wname in queries:
             run(queries[wname](spark, warm_sf))

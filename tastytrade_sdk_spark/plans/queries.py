@@ -1452,3 +1452,35 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op",
         "value",
     )
+
+
+@_q(
+    "event_transition_counts",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n_transitions
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix (Markov bigram counts over each
+    user's ordered event sequence): one window sort per user + one
+    grouped count — the sequence never leaves its key's partition."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
