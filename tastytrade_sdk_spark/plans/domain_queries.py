@@ -682,14 +682,15 @@ def strategy_max_profit_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH legs AS (
       SELECT user_id,
              CASE WHEN event_id % 5 = 0 THEN NULL
-                  ELSE round(value / 100, 4) END AS delta,
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS delta4,
              (event_id % 4) + 1 AS qty,
              CASE WHEN event_id % 2 = 0 THEN 'Long' ELSE 'Short' END AS direction,
              event_type, event_id
       FROM events
     )
     SELECT user_id,
-           round(sum(delta * qty), 2) AS net_delta,
+           CAST((CAST(sum(delta4 * qty) AS BIGINT) + 50) // 100 AS DOUBLE) / 100
+             AS net_delta,
            count(*) AS num_legs,
            string_agg(qty || 'x ' || direction || ' ' || event_type, ', '
                       ORDER BY event_id) AS legs
@@ -701,8 +702,14 @@ def position_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     with nulls skipped, leg count, and the ordered human-readable leg
     list (positions.py:67-95)."""
     ev = load_table(spark, "events", sf_dir)
-    delta = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
-        F.round(F.col("value") / 100, 4)
+    # delta = round(value/100, 4) carried as a SCALED 1e-4 integer
+    # (value has 2dp, so value*100 == delta*1e4 exactly): the sum is
+    # exact integer math, and the 2dp half-up round happens in integer
+    # space — double rounding at a decimal boundary is where Spark
+    # (shortest-repr BigDecimal) and DuckDB (binary value) disagree,
+    # and a 4dp-sum lands exactly on a .005 boundary ~1% of the time
+    delta4 = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.round(F.col("value") * 100).cast("long")
     )
     qty = (F.col("event_id") % 4) + 1
     direction = F.when(F.col("event_id") % 2 == 0, "Long").otherwise("Short")
@@ -710,7 +717,7 @@ def position_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         qty.cast("string"), F.lit("x "), direction, F.lit(" "), F.col("event_type")
     )
     legs = ev.select(
-        "user_id", delta.alias("delta"), qty.alias("qty"),
+        "user_id", delta4.alias("delta4"), qty.alias("qty"),
         leg_str.alias("leg_str"), "event_id",
     )
     ordered_legs = F.array_join(
@@ -721,7 +728,10 @@ def position_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ", ",
     )
     return legs.groupBy("user_id").agg(
-        F.round(F.sum(F.col("delta") * F.col("qty")), 2).alias("net_delta"),
+        (
+            F.floor((F.sum(F.col("delta4") * F.col("qty")) + 50) / 100)
+            .cast("double") / 100
+        ).alias("net_delta"),
         F.count(F.lit(1)).alias("num_legs"),
         ordered_legs.alias("legs"),
     )
