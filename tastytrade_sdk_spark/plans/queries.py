@@ -60,8 +60,13 @@ def _q(name: str, oracle: str | None = None):
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           CAST(round(sum(l_extendedprice::DECIMAL(18,2) *
+                          (1 - l_discount::DECIMAL(18,2))), 2)
+                AS DOUBLE)                                                  AS sum_disc_price,
+           CAST(round(sum(l_extendedprice::DECIMAL(18,2) *
+                          (1 - l_discount::DECIMAL(18,2)) *
+                          (1 + l_tax::DECIMAL(18,2))), 2)
+                AS DOUBLE)                                                  AS sum_charge,
            round(avg(l_quantity), 6)                                        AS avg_qty,
            round(avg(l_extendedprice), 6)                                   AS avg_price,
            round(avg(l_discount), 6)                                        AS avg_disc,
@@ -80,14 +85,23 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, "lineitem", sf_dir)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # disc_price/charge sit on a 4dp/6dp decimal grid but round at 2dp:
+    # an exact-.005 sum is where Spark (shortest-repr) and DuckDB
+    # (binary) rounding diverge, so those two sums run in DECIMAL
+    # arithmetic (exact; HALF_UP == half-away for positives) and cast
+    # to double after the round. 2dp-grid sums rounded at 2dp (base
+    # price) and integer-grid sums (qty) can't land on a boundary.
+    ep_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = ep_d * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    charge_d = disc_d * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(disc_d), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge_d), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -100,7 +114,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_revenue",
     """
     SELECT n_name AS nation,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(l_extendedprice::DECIMAL(18,2) *
+                          (1 - l_discount::DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
            count(DISTINCT o_orderkey)                        AS n_orders
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -125,9 +140,15 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
+            # decimal-space sum: 4dp grid rounded at 2dp (see
+            # pricing_summary boundary note)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
