@@ -98,19 +98,21 @@ def strategy_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "campaign_summary",
     """
+    WITH t AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice::DECIMAL(18,2)
+                  ELSE -(o_totalprice::DECIMAL(18,2)) END AS signed_d,
+             round(o_totalprice::DECIMAL(18,2) * 0.001::DECIMAL(6,3), 2) AS fee_d
+      FROM orders
+    )
     SELECT o_orderpriority,
            count(*) AS n_chains,
-           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
-                          ELSE -o_totalprice END), 2) AS realized,
-           round(sum(round(o_totalprice * 0.001, 2)), 2) AS fees,
-           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
-                          ELSE -o_totalprice END)
-                 - sum(round(o_totalprice * 0.001, 2)), 2) AS net,
-           round(greatest(0,
-                 -(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
-                            ELSE -o_totalprice END)
-                   - sum(round(o_totalprice * 0.001, 2)))), 2) AS recovery
-    FROM orders
+           CAST(sum(signed_d) AS DOUBLE) AS realized,
+           CAST(sum(fee_d) AS DOUBLE) AS fees,
+           CAST(sum(signed_d) - sum(fee_d) AS DOUBLE) AS net,
+           CAST(greatest(0::DECIMAL(18,2),
+                         -(sum(signed_d) - sum(fee_d))) AS DOUBLE) AS recovery
+    FROM t
     GROUP BY o_orderpriority
     """,
 )
@@ -118,18 +120,23 @@ def campaign_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 campaign summary: Credit/Debit-signed sums, fee totals,
     net, and recovery = max(0, -net) (positions.py:277-381)."""
     orders = load_table(spark, "orders", sf_dir)
-    signed = F.when(
-        F.col("o_orderstatus") == "F", F.col("o_totalprice")
-    ).otherwise(-F.col("o_totalprice"))
-    fee = F.round(F.col("o_totalprice") * 0.001, 2)
+    # DECIMAL money math throughout (the reference's Decimal convention,
+    # functions/scalar.apply_effect): at sf0.1 the double path
+    # accumulates ~1e-3 summation noise on the 2.6e9 mixed-sign totals
+    # (150k terms), and the per-row fee round sits on a 5dp grid where
+    # double rounding diverges between engines
+    price_d = F.col("o_totalprice").cast("decimal(18,2)")
+    signed = F.when(F.col("o_orderstatus") == "F", price_d).otherwise(-price_d)
+    fee = F.round(price_d * F.lit(0.001).cast("decimal(6,3)"), 2)
+    net = F.sum(signed) - F.sum(fee)
     agg = orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_chains"),
-        F.round(F.sum(signed), 2).alias("realized"),
-        F.round(F.sum(fee), 2).alias("fees"),
-        F.round(F.sum(signed) - F.sum(fee), 2).alias("net"),
-        F.round(F.greatest(F.lit(0), -(F.sum(signed) - F.sum(fee))), 2).alias(
-            "recovery"
-        ),
+        F.sum(signed).cast("double").alias("realized"),
+        F.sum(fee).cast("double").alias("fees"),
+        net.cast("double").alias("net"),
+        F.greatest(F.lit(0).cast("decimal(18,2)"), -net)
+        .cast("double")
+        .alias("recovery"),
     )
     return agg
 
