@@ -20,6 +20,17 @@ Float-parity convention: double aggregates are rounded AT THE SAME
 SITE on both sides (Spark ``round`` / DuckDB ``round``), with the
 quantum chosen so IEEE summation-order noise (~1e-9 relative) is far
 below it. Rounding sites are part of each query's contract.
+
+Grid-boundary rule (bites only at sf0.1+): if the aggregated values
+sit on a decimal grid FINER than the rounding site (4dp products
+rounded at 2dp, 5dp fees at 2dp), an exact-.xx5 result makes Spark
+(shortest-repr BigDecimal rounding) and DuckDB (binary-value rounding)
+disagree by one ULP of the site — and large-magnitude sums (1e9+ over
+1e5 terms) accumulate noise past the margin. Such money/grid-valued
+aggregates run in DECIMAL or scaled-integer arithmetic on BOTH
+engines and cast to double after the round (position_summary,
+pricing_summary, nation_revenue, campaign_summary). Continuous-valued
+aggregates (ratios, averages, indicator folds) stay double.
 """
 
 from __future__ import annotations
