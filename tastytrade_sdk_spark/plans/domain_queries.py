@@ -869,7 +869,7 @@ def strategy_health_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_order_revenue",
     """
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 2) AS revenue,
+           CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS revenue,
            count(*) AS n_orders
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -885,7 +885,11 @@ def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # decimal sum: 150k 2dp terms reach ~3e9 in the grand-total
+            # row — double summation noise exceeds the 2dp margin there
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

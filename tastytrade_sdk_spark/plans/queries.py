@@ -881,7 +881,7 @@ def interval_floor_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT dayname(o_orderdate) AS weekday,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total_price
     FROM orders
     WHERE dayofweek(o_orderdate) BETWEEN 1 AND 5
     GROUP BY 1
@@ -897,7 +897,9 @@ def weekday_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("o_orderdate", "EEEE").alias("weekday"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
         )
     )
 
