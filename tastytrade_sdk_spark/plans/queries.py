@@ -1518,3 +1518,83 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@_q(
+    "realized_volatility_daily",
+    """
+    WITH r AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ln(value / lag(value) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS lr
+      FROM events
+      WHERE event_type = 'view' AND value > 0
+    )
+    SELECT user_id, day,
+           count(lr) AS n_returns,
+           round(sqrt(sum(lr * lr)), 6) AS realized_vol
+    FROM r WHERE lr IS NOT NULL
+    GROUP BY user_id, day
+    HAVING count(lr) >= 2
+    """,
+)
+def realized_volatility_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility per key per day: sqrt of summed squared log
+    returns (the standard high-frequency estimator). One window sort
+    for the lag + one grouped agg, both keyed on user — the return
+    series never leaves its partition."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("event_type") == "view") & (F.col("value") > 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lr = F.log(F.col("value") / F.lag("value").over(w))
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    return (
+        ev.select("user_id", day.alias("day"), lr.alias("lr"))
+        .filter(F.col("lr").isNotNull())
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("lr").alias("n_returns"),
+            F.round(F.sqrt(F.sum(F.col("lr") * F.col("lr"))), 6).alias(
+                "realized_vol"
+            ),
+        )
+        .filter(F.col("n_returns") >= 2)
+    )
+
+
+@_q(
+    "max_drawdown_per_user",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM events WHERE event_type = 'view' AND value > 0
+    )
+    SELECT user_id,
+           round(min(value / peak - 1), 6) AS max_drawdown,
+           count(*) AS n_points
+    FROM p GROUP BY user_id
+    """,
+)
+def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown: worst trough relative to the running peak —
+    running max window + grouped min, one partition-local sort."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("event_type") == "view") & (F.col("value") > 0)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("value").over(w)
+    return (
+        ev.select("user_id", (F.col("value") / peak - 1).alias("dd"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.min("dd"), 6).alias("max_drawdown"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
