@@ -92,29 +92,22 @@ def _et_time(t: dt.datetime) -> dt.time:
     return t.astimezone(ET).time()
 
 
-def process_candle(
+def _step(
     state: EngineState,
     t,
-    close: float | None,
-    hull_length: int = 20,
+    close: float,
+    hull_dir: str,
+    macd_pos: str,
+    hma_i: float,
+    mval_i: float,
+    mavg_i: float,
+    mdiff_i: float,
     earliest_entry: dt.time = DEFAULT_EARLIEST_ENTRY,
     latest_entry: dt.time = DEFAULT_LATEST_ENTRY,
 ) -> list[dict]:
-    """Feed one candle through the state machine; returns emitted
-    signal dicts (0..2 per candle)."""
-    if close is None or (isinstance(close, float) and np.isnan(close)):
-        return []
-    _upsert_candle(state, t, float(close))
-    if len(state.times) < 2:
-        return []
-
-    closes = np.asarray(state.closes, dtype=float)
-    pad = state.prior_close
-    hma, colors = hull_np(closes, hull_length, pad_value=pad)
-    value, avg, diff = macd_np(closes, prior_close=pad)
-    hull_dir = str(colors[-1])
-    macd_pos = "bullish" if value[-1] > avg[-1] else "bearish"
-
+    """The arming automaton alone — O(1) per candle, shared verbatim by
+    the per-candle buffer path and the vectorized full-series replay,
+    so the two can never drift (ST6)."""
     prev_hull, prev_macd = state.hull_direction, state.macd_position
     state.hull_direction = hull_dir
     state.macd_position = macd_pos
@@ -136,10 +129,10 @@ def process_candle(
                 "engine": "hull_macd",
                 "trigger": trigger,
                 "hull_direction": state.hull_direction or "Unknown",
-                "hull_value": float(hma[-1]),
-                "macd_value": float(value[-1]),
-                "macd_signal": float(avg[-1]),
-                "macd_histogram": float(diff[-1]),
+                "hull_value": float(hma_i),
+                "macd_value": float(mval_i),
+                "macd_signal": float(mavg_i),
+                "macd_histogram": float(mdiff_i),
                 "close_price": float(close),
             }
         )
@@ -196,6 +189,86 @@ def process_candle(
     return out
 
 
+def process_candle(
+    state: EngineState,
+    t,
+    close: float | None,
+    hull_length: int = 20,
+    earliest_entry: dt.time = DEFAULT_EARLIEST_ENTRY,
+    latest_entry: dt.time = DEFAULT_LATEST_ENTRY,
+) -> list[dict]:
+    """Feed one candle through the state machine; returns emitted
+    signal dicts (0..2 per candle). Indicators are recomputed over the
+    candle buffer — the general path, correct for out-of-order and
+    same-time upserts. Ordered unique series should prefer
+    ``replay_series`` (identical output, indicators computed once)."""
+    if close is None or (isinstance(close, float) and np.isnan(close)):
+        return []
+    _upsert_candle(state, t, float(close))
+    if len(state.times) < 2:
+        return []
+
+    closes = np.asarray(state.closes, dtype=float)
+    pad = state.prior_close
+    hma, colors = hull_np(closes, hull_length, pad_value=pad)
+    value, avg, diff = macd_np(closes, prior_close=pad)
+    hull_dir = str(colors[-1])
+    macd_pos = "bullish" if value[-1] > avg[-1] else "bearish"
+    return _step(
+        state, t, float(close), hull_dir, macd_pos,
+        float(hma[-1]), float(value[-1]), float(avg[-1]), float(diff[-1]),
+        earliest_entry=earliest_entry, latest_entry=latest_entry,
+    )
+
+
+def replay_series(
+    times,
+    closes,
+    state: EngineState | None = None,
+    prior_close: float | None = None,
+    hull_length: int = 20,
+    earliest_entry: dt.time = DEFAULT_EARLIEST_ENTRY,
+    latest_entry: dt.time = DEFAULT_LATEST_ENTRY,
+) -> tuple[list[dict], EngineState]:
+    """Vectorized batch replay: Hull/MACD computed ONCE over the full
+    series (prefix-equivalence — WMA windows are finite and the seeded
+    EMA recurrence only looks backward, so indicator row i over the
+    full series equals the engine's step-i buffer recompute while the
+    buffer is under CANDLE_CAP), then only the O(1) arming automaton
+    (`_step`) runs per candle.
+
+    Preconditions (caller-checked, see detect_signals_batch): times
+    strictly increasing and unique, no NaN closes, fresh state,
+    len <= CANDLE_CAP. Removes the per-candle O(n) numpy recompute
+    that made the batch path quadratic — the serial bottleneck when
+    parallelism is capped at symbol cardinality."""
+    state = state or EngineState()
+    if prior_close is not None:
+        state.prior_close = prior_close
+    closes_arr = np.asarray(closes, dtype=float)
+    n = len(closes_arr)
+    if n == 0:
+        return [], state
+    pad = state.prior_close
+    hma, colors = hull_np(closes_arr, hull_length, pad_value=pad)
+    value, avg, diff = macd_np(closes_arr, prior_close=pad)
+    signals: list[dict] = []
+    times_l = list(times)
+    state.times = times_l[-CANDLE_CAP:]
+    state.closes = [float(c) for c in closes_arr[-CANDLE_CAP:]]
+    for i in range(1, n):  # i=0: buffer < 2 candles, engine emits nothing
+        signals.extend(
+            _step(
+                state, times_l[i], float(closes_arr[i]),
+                str(colors[i]),
+                "bullish" if value[i] > avg[i] else "bearish",
+                float(hma[i]), float(value[i]), float(avg[i]), float(diff[i]),
+                earliest_entry=earliest_entry, latest_entry=latest_entry,
+            )
+        )
+    return signals, state
+
+
 def run_engine(
     events,
     state: EngineState | None = None,
@@ -228,7 +301,15 @@ def detect_signals_batch(
     hull_length: int = 20,
 ):
     """Batch twin: replay each symbol's candles in time order through
-    the identical engine loop (applyInPandas per symbol)."""
+    the identical automaton (applyInPandas per symbol).
+
+    Fast path: when the sorted series has unique times, no NaN closes,
+    and fits under CANDLE_CAP (the normal prepared-candle input — the
+    [Q]s dedup upstream), indicators are computed once over the whole
+    series and only the O(1) automaton replays per candle
+    (`replay_series`). Inputs that genuinely need per-event upsert
+    semantics (same-time revisions, cap overflow) take the exact
+    sequential loop instead — identical emissions either way."""
     import pandas as pd
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -236,9 +317,22 @@ def detect_signals_batch(
         prior = None
         if prior_close_col is not None and pdf[prior_close_col].notna().any():
             prior = float(pdf[prior_close_col].dropna().iloc[0])
-        events = list(zip(pdf[time_col], pdf[close_col]))
-        signals, _ = run_engine(events, prior_close=prior, hull_length=hull_length)
         sym = pdf[symbol_col].iloc[0]
+        closes = pd.to_numeric(pdf[close_col], errors="coerce")
+        clean = ~closes.isna()
+        unique_times = not pdf[time_col][clean].duplicated().any()
+        if unique_times and int(clean.sum()) <= CANDLE_CAP:
+            signals, _ = replay_series(
+                list(pdf[time_col][clean]),
+                closes[clean].to_numpy(dtype=float),
+                prior_close=prior,
+                hull_length=hull_length,
+            )
+        else:
+            events = list(zip(pdf[time_col], pdf[close_col]))
+            signals, _ = run_engine(
+                events, prior_close=prior, hull_length=hull_length
+            )
         rows = [{"symbol": sym, **s} for s in signals]
         cols = [f.strip().split(" ")[0] for f in SIGNAL_SCHEMA.split(",")]
         return pd.DataFrame(rows, columns=cols)

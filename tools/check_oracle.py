@@ -26,6 +26,54 @@ from tastytrade_sdk_spark.sources.tables import TABLE_NAMES
 import __spark_entry__ as entrymod
 
 
+def type_tag(t: str) -> str:
+    """Collapse engine-specific type names into comparable families.
+
+    The driver serializes results via Arrow-ish value rendering, so a
+    DuckDB HUGEINT (arrow decimal128(38,0)) hashes differently from
+    Spark's BIGINT even when the values are numerically equal. DuckDB
+    sum(INTEGER) returns HUGEINT, so any un-cast integer sum in an
+    oracle is a latent driver-hash failure — this check catches it
+    locally (the pack_sequences r2 red row was exactly this)."""
+    t = str(t).lower()
+    if "decimal" in t or "hugeint" in t:
+        return "decimal"
+    if t in ("int8", "int16", "int32", "int64", "uint8", "uint16",
+             "uint32", "uint64", "bigint", "int", "integer", "smallint",
+             "tinyint", "long", "short", "byte"):
+        return "int"
+    if t in ("float", "double", "float32", "float64", "halffloat", "real"):
+        return "float"
+    if "bool" in t:
+        return "bool"
+    if "timestamp" in t:
+        return "ts"
+    if "date" in t:
+        return "date"
+    if "string" in t or "varchar" in t:
+        return "str"
+    if t.startswith("list") or t.startswith("array"):
+        return "list"
+    return t
+
+
+def type_issues(spark_schema, duck_cols, duck_types):
+    """Compare Spark column type families vs DuckDB's logical result
+    types (rel.types — available from the plan, no re-execution)."""
+    issues = []
+    stypes = {f.name: type_tag(f.dataType.simpleString())
+              for f in spark_schema.fields}
+    for name, dtype in zip(duck_cols, duck_types):
+        dtag = type_tag(dtype)
+        stag = stypes.get(name)
+        if stag is not None and dtag != stag:
+            issues.append(
+                f"TYPES col {name}: duck={dtype}({dtag}) vs "
+                f"spark({stag}) — driver hash would diverge; add a cast"
+            )
+    return issues
+
+
 def norm_cell(v):
     if v is None:
         return None
@@ -115,12 +163,15 @@ def main():
         try:
             rel = con.sql(oracles[name])
             duck_cols = rel.columns
+            tissues = type_issues(sdf.schema, rel.columns, rel.types)
             duck_rows = rel.fetchall()
         except Exception as e:
             print(f"✗ {name}: DUCKDB ERROR {str(e)[:300]}")
             failures += 1
             continue
-        issues = compare(name, spark_rows, duck_rows, spark_cols, duck_cols)
+        issues = tissues + compare(
+            name, spark_rows, duck_rows, spark_cols, duck_cols
+        )
         if issues:
             failures += 1
             print(f"✗ {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
