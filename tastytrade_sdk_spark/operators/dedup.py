@@ -113,6 +113,11 @@ def cdc_apply(
 
     Same single-shuffle keep-last plan as D2; the delete filter is a
     post-window predicate, so applying a day's change log at lake
-    scale costs exactly one shuffle on the key."""
+    scale costs exactly one shuffle on the key.
+
+    A NULL op is treated as an upsert, not silently dropped:
+    ``~isin(...)`` evaluates to NULL for NULL input and a bare filter
+    would discard the row — the coalesce keeps it."""
     last = keep_last(changes, keys, order_by)
-    return last.filter(~F.col(op_col).isin(*[str(o) for o in delete_ops]))
+    keep = ~F.col(op_col).isin(*[str(o) for o in delete_ops])
+    return last.filter(F.coalesce(keep, F.lit(True)))

@@ -44,6 +44,7 @@ def range_join_binned(
     end: str,
     bin_width_ms: int,
     how: str = "inner",
+    max_bins_per_interval: int = 100_000,
 ) -> DataFrame:
     """Join point rows to interval rows with ``start <= point_time < end``.
 
@@ -51,6 +52,14 @@ def range_join_binned(
     carries the whole join). ``how`` supports 'inner' and 'left'
     (point-preserving). Interval columns keep their names; callers
     project/alias beforehand if the two sides share names.
+
+    Corrupt-input guards: inverted intervals (``end < start`` — an
+    empty half-open range, and a DESCENDING F.sequence emitting
+    spurious bins) are dropped before the explode, and an interval
+    spanning more than ``max_bins_per_interval`` bins (one bad
+    far-future end date would otherwise explode into millions of rows
+    and OOM an executor) raises at execution time rather than
+    silently truncating coverage.
     """
     if how not in ("inner", "left"):
         raise ValueError("range_join_binned supports how='inner'|'left' only")
@@ -61,11 +70,26 @@ def range_join_binned(
     )
     lo_bin = F.floor(_epoch_ms(F.col(start)) / F.lit(bin_width_ms))
     hi_bin = F.floor(_epoch_ms(F.col(end)) / F.lit(bin_width_ms))
+    guarded_hi = F.when(
+        hi_bin - lo_bin > F.lit(max_bins_per_interval),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "range_join_binned: interval spans more than "
+                    f"{max_bins_per_interval} bins of {bin_width_ms}ms "
+                    "(corrupt end timestamp?): start="
+                ),
+                F.col(start).cast("string"),
+                F.lit(" end="),
+                F.col(end).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(hi_bin)
     # half-open [start, end): an interval ending exactly on a bin edge
     # contributes nothing to that edge bin, but emitting it is harmless
     # (the post-filter rejects) and keeps the expression branch-free
-    iv = intervals.withColumn(
-        bin_col, F.explode(F.sequence(lo_bin, hi_bin))
+    iv = intervals.filter(F.col(end) >= F.col(start)).withColumn(
+        bin_col, F.explode(F.sequence(lo_bin, guarded_hi))
     )
     between = (F.col(point_time) >= F.col(start)) & (F.col(point_time) < F.col(end))
 

@@ -696,7 +696,9 @@ def strategy_max_profit_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           CAST((CAST(sum(delta4 * qty) AS BIGINT) + 50) // 100 AS DOUBLE) / 100
+           CAST(sign(CAST(sum(delta4 * qty) AS BIGINT))
+                * ((abs(CAST(sum(delta4 * qty) AS BIGINT)) + 50) // 100)
+                AS DOUBLE) / 100
              AS net_delta,
            count(*) AS num_legs,
            string_agg(qty || 'x ' || direction || ' ' || event_type, ', '
@@ -734,9 +736,14 @@ def position_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ", ",
     )
+    # sign-aware scaled round (half away from zero, mirrored in the
+    # oracle): floor((s+50)/100) alone would round negative .xx5
+    # midpoints toward +infinity — latent divergence if signed deltas
+    # ever appear (today delta4 >= 0 so both forms agree)
+    s = F.sum(F.col("delta4") * F.col("qty"))
     return legs.groupBy("user_id").agg(
         (
-            F.floor((F.sum(F.col("delta4") * F.col("qty")) + 50) / 100)
+            (F.signum(s) * F.floor((F.abs(s) + 50) / 100))
             .cast("double") / 100
         ).alias("net_delta"),
         F.count(F.lit(1)).alias("num_legs"),

@@ -140,6 +140,21 @@ def additive_agg_batch(
         with open(epoch_file) as fh:
             committed = int(fh.read().strip())
     if epoch_id <= committed:
+        # A replayed epoch (== committed, or trailing a restart) is
+        # idempotent-skip territory. But a REGRESSION far below the
+        # committed epoch means the stream's checkpoint was deleted or
+        # recreated — epoch ids restarted at 0 — and silently skipping
+        # would drop every new batch until the counter catches up:
+        # quiet data loss. Fail loudly; the operator must either
+        # restore the checkpoint or reset the sink's _epoch sidecar.
+        if epoch_id < committed:
+            raise ValueError(
+                f"additive_agg_batch: epoch regression (batch epoch "
+                f"{epoch_id} < committed {committed}) at {path} — the "
+                f"streaming checkpoint was likely deleted/recreated; "
+                f"restore it or remove the sink's _epoch sidecar to "
+                f"re-seed"
+            )
         return  # replayed epoch: already folded in
     for d in (tmp, old):
         if os.path.exists(d):

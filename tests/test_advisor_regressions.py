@@ -101,3 +101,66 @@ def test_gap_fill_real_bucket_with_null_value_not_synthetic(spark):
         df, ["sym"], "t", "1 hour", ["v"], only_synthetic=True
     ).collect()
     assert [r["t"] for r in synth] == [t0 + dt.timedelta(hours=2)]
+
+
+def test_cdc_apply_null_op_is_upsert_not_dropped(spark):
+    from tastytrade_sdk_spark.operators.dedup import cdc_apply
+
+    rows = [
+        ("k1", 1, "upsert", 10.0),
+        ("k1", 2, "delete", None),
+        ("k2", 1, None, 20.0),     # NULL op: must survive as an upsert
+        ("k3", 1, "delete", None),
+        ("k3", 2, None, 30.0),     # delete then NULL-op change resurrects
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, op string, v double")
+    out = {r["k"]: r for r in cdc_apply(df, ["k"], ["seq"]).collect()}
+    assert "k1" not in out          # last op delete
+    assert out["k2"]["v"] == 20.0   # NULL op kept
+    assert out["k3"]["v"] == 30.0   # resurrection via NULL-op row
+
+
+def test_additive_agg_epoch_regression_raises(spark, tmp_path):
+    from tastytrade_sdk_spark.streaming.sinks import additive_agg_batch
+
+    path = str(tmp_path / "agg")
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    additive_agg_batch(df, path, ["k"], ["v"], epoch_id=5)
+    # same epoch replayed: silently absorbed (idempotent)
+    additive_agg_batch(df, path, ["k"], ["v"], epoch_id=5)
+    assert spark.read.parquet(path).collect()[0]["v"] == 1.0
+    # REGRESSED epoch (checkpoint deleted, ids restarted): loud failure
+    with pytest.raises(ValueError, match="epoch regression"):
+        additive_agg_batch(df, path, ["k"], ["v"], epoch_id=0)
+
+
+def test_range_join_inverted_interval_emits_nothing(spark):
+    from tastytrade_sdk_spark.operators.rangejoin import range_join_binned
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    pts = spark.createDataFrame([("A", t0)], "k string, pt timestamp")
+    ivs = spark.createDataFrame(
+        [("A", t0 + dt.timedelta(hours=1), t0 - dt.timedelta(hours=1), "inv")],
+        "k string, s timestamp, e timestamp, tag string",
+    )
+    out = range_join_binned(
+        pts, ivs, ["k"], "pt", "s", "e", bin_width_ms=60_000
+    )
+    assert out.collect() == []  # no spurious descending-sequence bins
+
+
+def test_range_join_runaway_interval_raises(spark):
+    from tastytrade_sdk_spark.operators.rangejoin import range_join_binned
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    pts = spark.createDataFrame([("A", t0)], "k string, pt timestamp")
+    ivs = spark.createDataFrame(
+        [("A", t0, dt.datetime(2224, 1, 1), "runaway")],  # 200-year interval
+        "k string, s timestamp, e timestamp, tag string",
+    )
+    out = range_join_binned(
+        pts, ivs, ["k"], "pt", "s", "e", bin_width_ms=60_000,
+        max_bins_per_interval=1000,
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        out.collect()
