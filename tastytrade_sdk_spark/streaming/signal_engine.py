@@ -343,8 +343,115 @@ def detect_signals_batch(
 STATE_SCHEMA = (
     "hull_direction string, macd_position string, hull_armed string, "
     "macd_armed string, bullish_open boolean, bearish_open boolean, "
-    "times array<timestamp>, closes array<double>, prior_close double"
+    "times array<timestamp>, closes array<double>, prior_close double, "
+    # O(1) incremental indicator registers (W5): rolling WMA windows +
+    # EMA values, carried across micro-batches so the steady-state
+    # in-order path never re-reads the candle buffer
+    "ind_valid boolean, hull_pad double, w_half array<double>, "
+    "w_full array<double>, w_sqrt array<double>, prev_hma double, "
+    "ema_fast double, ema_slow double, ema_signal double"
 )
+
+
+def _fresh_incr(hull_length: int, prior_close):
+    from tastytrade_sdk_spark.streaming.incremental import (
+        IncrementalHull,
+        IncrementalMACD,
+    )
+
+    return (
+        IncrementalHull(length=hull_length, pad_value=prior_close),
+        IncrementalMACD(prior_close=prior_close),
+    )
+
+
+def _incr_from_fields(
+    hull_length, prior_close, pad, w_half, w_full, w_sqrt, prev_hma,
+    ema_fast, ema_slow, ema_signal,
+):
+    hull, macd = _fresh_incr(hull_length, prior_close)
+    hull.pad_value = pad
+    for w, vals in ((hull._half, w_half), (hull._full, w_full),
+                    (hull._sqrt, w_sqrt)):
+        w.pad_value = pad
+        w.window = list(vals or [])
+    hull._prev_hma = prev_hma
+    macd._fast._value = ema_fast
+    macd._slow._value = ema_slow
+    macd._signal._value = ema_signal
+    return (hull, macd)
+
+
+def _incr_fields(incr):
+    if incr is None:
+        return (False, None, [], [], [], None, None, None, None)
+    hull, macd = incr
+    return (
+        True, hull.pad_value, list(hull._half.window),
+        list(hull._full.window), list(hull._sqrt.window), hull._prev_hma,
+        macd._fast._value, macd._slow._value, macd._signal._value,
+    )
+
+
+def _rebuild_incr(state: EngineState, hull_length: int):
+    """Replay the (sorted, capped) buffer through fresh registers —
+    value-identical to the numpy recompute (same left-associative WMA
+    accumulation, same seeded-EMA recurrence)."""
+    hull, macd = _fresh_incr(hull_length, state.prior_close)
+    for c in state.closes:
+        hull.update(c)
+        macd.update(c)
+    return (hull, macd)
+
+
+def _process_streaming_candle(
+    state: EngineState,
+    incr,
+    t,
+    close,
+    hull_length: int,
+    earliest_entry: dt.time = DEFAULT_EARLIEST_ENTRY,
+    latest_entry: dt.time = DEFAULT_LATEST_ENTRY,
+):
+    """One candle through the streaming engine. Steady state (in-order
+    candle, buffer under CANDLE_CAP, registers valid): O(1) register
+    update, no buffer re-read — the reference's StreamingIndicators
+    form. Out-of-order or same-time revisions fall back to the exact
+    buffer-replay recompute and then rebuild the registers; once the
+    buffer has been capped the engine stays on the buffer path (the
+    trimmed window's EMA re-seed cannot be carried incrementally).
+    Returns (signals, incr)."""
+    if close is None or (isinstance(close, float) and np.isnan(close)):
+        return [], incr
+    close = float(close)
+    in_order = not state.times or t > state.times[-1]
+    if incr is not None and in_order and len(state.times) < CANDLE_CAP:
+        state.times.append(t)
+        state.closes.append(close)
+        hull, macd = incr
+        hma, color = hull.update(close)
+        value, avg, diff = macd.update(close)
+        if len(state.times) < 2:
+            return [], incr
+        macd_pos = "bullish" if value > avg else "bearish"
+        return (
+            _step(
+                state, t, close, color, macd_pos, hma, value, avg, diff,
+                earliest_entry=earliest_entry, latest_entry=latest_entry,
+            ),
+            incr,
+        )
+    # slow path: upsert + full-buffer recompute (exact legacy behavior)
+    signals = process_candle(
+        state, t, close, hull_length=hull_length,
+        earliest_entry=earliest_entry, latest_entry=latest_entry,
+    )
+    incr = (
+        _rebuild_incr(state, hull_length)
+        if len(state.times) < CANDLE_CAP
+        else None
+    )
+    return signals, incr
 
 
 def detect_signals_streaming(
@@ -355,7 +462,11 @@ def detect_signals_streaming(
     hull_length: int = 20,
 ):
     """Streaming form via applyInPandasWithState: per-symbol state
-    carries the candle buffer and machine flags across micro-batches.
+    carries the candle buffer, machine flags, AND the O(1) incremental
+    indicator registers across micro-batches — in-order candles update
+    rolling WMA windows and EMA values without re-reading the buffer
+    (reference keeps the same dual form: batch recompute + streaming
+    O(1) indicators, src/tastytrade/charting/indicators.py:26-284).
     Feeding the same candles in N micro-batches or 1 batch emits the
     identical signal sequence (asserted in tests)."""
     import pandas as pd
@@ -363,27 +474,41 @@ def detect_signals_streaming(
 
     def func(key, pdf_iter, group_state):
         if group_state.exists:
-            (hd, mp, ha, ma, bo, beo, times, closes, pc) = group_state.get
+            (hd, mp, ha, ma, bo, beo, times, closes, pc,
+             iv, pad, w_half, w_full, w_sqrt, prev_hma,
+             ema_fast, ema_slow, ema_signal) = group_state.get
             state = EngineState(
                 hull_direction=hd, macd_position=mp, hull_armed=ha,
                 macd_armed=ma, bullish_open=bool(bo), bearish_open=bool(beo),
                 times=list(times or []), closes=list(closes or []),
                 prior_close=pc,
             )
+            incr = (
+                _incr_from_fields(
+                    hull_length, pc, pad, w_half, w_full, w_sqrt,
+                    prev_hma, ema_fast, ema_slow, ema_signal,
+                )
+                if iv
+                else None
+            )
         else:
             state = EngineState()
+            incr = _fresh_incr(hull_length, None)
         all_signals = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(time_col, kind="mergesort")
-            events = list(zip(pdf[time_col], pdf[close_col]))
-            signals, state = run_engine(events, state=state, hull_length=hull_length)
-            all_signals.extend(signals)
+            for t, close in zip(pdf[time_col], pdf[close_col]):
+                signals, incr = _process_streaming_candle(
+                    state, incr, t, close, hull_length
+                )
+                all_signals.extend(signals)
         group_state.update(
             (
                 state.hull_direction, state.macd_position, state.hull_armed,
                 state.macd_armed, state.bullish_open, state.bearish_open,
                 list(state.times), list(state.closes), state.prior_close,
             )
+            + _incr_fields(incr)
         )
         cols = [f.strip().split(" ")[0] for f in SIGNAL_SCHEMA.split(",")]
         rows = [{"symbol": key[0], **s} for s in all_signals]

@@ -439,6 +439,66 @@ class TestIncrementalIndicators:
         assert [g[0] for g in got] == pytest.approx(list(v), abs=1e-9)
 
 
+    def test_streaming_candle_path_equals_legacy_with_revision(self):
+        """The O(1) register path + slow-path fallback (out-of-order
+        revision) emit exactly the legacy per-candle recompute's
+        signals, including indicator float values."""
+        from tastytrade_sdk_spark.streaming.signal_engine import (
+            _fresh_incr,
+            _process_streaming_candle,
+        )
+
+        events = candle_seq(trending_series())
+        # inject a same-time revision and an out-of-order candle
+        events.insert(20, (events[12][0], events[12][1] + 0.7))
+        events.insert(25, (events[18][0] + dt.timedelta(minutes=1), 99.0))
+
+        legacy_sigs, _ = run_engine(list(events), hull_length=4)
+
+        state = EngineState()
+        incr = _fresh_incr(4, None)
+        got = []
+        for t, c in events:
+            sigs, incr = _process_streaming_candle(state, incr, t, c, 4)
+            got.extend(sigs)
+        assert got == legacy_sigs
+
+    def test_register_roundtrip_resumes_o1_path(self):
+        """Serializing registers to state-schema fields and restoring
+        them continues the O(1) path with identical emissions."""
+        from tastytrade_sdk_spark.streaming.signal_engine import (
+            _fresh_incr,
+            _incr_fields,
+            _incr_from_fields,
+            _process_streaming_candle,
+        )
+
+        events = candle_seq(trending_series())
+        full_state = EngineState()
+        full_incr = _fresh_incr(4, None)
+        expected = []
+        for t, c in events:
+            sigs, full_incr = _process_streaming_candle(
+                full_state, full_incr, t, c, 4
+            )
+            expected.extend(sigs)
+
+        # same series, but state/registers round-trip at the midpoint
+        state = EngineState()
+        incr = _fresh_incr(4, None)
+        got = []
+        for i, (t, c) in enumerate(events):
+            if i == len(events) // 2:
+                fields = _incr_fields(incr)
+                assert fields[0] is True
+                incr = _incr_from_fields(
+                    4, state.prior_close, *fields[1:]
+                )
+            sigs, incr = _process_streaming_candle(state, incr, t, c, 4)
+            got.extend(sigs)
+        assert got == expected
+
+
 class TestTransformWithStateLatest:
     def test_tws_latest_equals_batch_keep_last(self, spark):
         """The transformWithStateInPandas latest table, driven through
