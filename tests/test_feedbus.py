@@ -1,0 +1,279 @@
+"""Kafka-shaped feed-bus source adapter (S1/S4/ST7): envelope schema,
+startingOffsets resume, fromTime backfill, runtime subscription
+add/remove via stream-static join, re-delivery absorb, and the same
+downstream pipeline driven from either the plain file source or the
+feed bus (source-parameterized equivalence)."""
+
+import datetime as dt
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.sources.feedbus import (
+    absorb_redelivery,
+    feed_bus_stream,
+    kafka_reader_options,
+    subscribed,
+    write_feed_batch,
+)
+from tastytrade_sdk_spark.streaming.streams import streaming_ohlcv
+
+T0 = dt.datetime(2024, 3, 1, 14, 0, 0)
+
+
+def _rows(channel, symbol, start_offset, n, price=100.0):
+    return [
+        (
+            channel,
+            symbol,
+            start_offset + i,
+            T0 + dt.timedelta(minutes=i),
+            json.dumps({"price": price + i}),
+        )
+        for i in range(n)
+    ]
+
+
+def _drain(stream, name):
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+class TestFeedBus:
+    def test_starting_offsets_latest_skips_history(self, spark):
+        src = tempfile.mkdtemp(prefix="bus_")
+        try:
+            write_feed_batch(spark, src, _rows("quote", "SPY", 0, 5))
+            stream = feed_bus_stream(spark, src, starting_offsets="latest")
+            q = _drain(stream, "bus_latest")
+            write_feed_batch(spark, src, _rows("quote", "SPY", 5, 3))
+            q.processAllAvailable()
+            q.stop()
+            got = sorted(
+                r["offset"] for r in spark.sql("select * from bus_latest").collect()
+            )
+            assert got == [5, 6, 7]  # history before query build skipped
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    def test_starting_offsets_dict_resumes_per_channel(self, spark):
+        src = tempfile.mkdtemp(prefix="bus_")
+        try:
+            write_feed_batch(spark, src, _rows("quote", "SPY", 0, 5))
+            write_feed_batch(spark, src, _rows("trade", "SPY", 0, 5))
+            stream = feed_bus_stream(
+                spark, src, starting_offsets={"quote": 2}
+            )
+            q = _drain(stream, "bus_resume")
+            q.stop()
+            got = sorted(
+                (r["channel"], r["offset"])
+                for r in spark.sql("select * from bus_resume").collect()
+            )
+            # quote resumes AFTER offset 2; trade (no position) replays all
+            assert got == [
+                ("quote", 3), ("quote", 4),
+                ("trade", 0), ("trade", 1), ("trade", 2),
+                ("trade", 3), ("trade", 4),
+            ]
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    def test_from_time_backfill_bounds_event_time(self, spark):
+        src = tempfile.mkdtemp(prefix="bus_")
+        try:
+            write_feed_batch(spark, src, _rows("candle", "SPY", 0, 10))
+            stream = feed_bus_stream(
+                spark,
+                src,
+                from_time=T0 + dt.timedelta(minutes=4),
+                to_time=T0 + dt.timedelta(minutes=8),
+            )
+            q = _drain(stream, "bus_time")
+            q.stop()
+            got = sorted(
+                r["offset"] for r in spark.sql("select * from bus_time").collect()
+            )
+            assert got == [4, 5, 6, 7]  # [fromTime, toTime)
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    def test_subscription_change_via_checkpoint_restart(self, spark):
+        """S4/ST7: changing the symbol set = restart against the SAME
+        checkpoint — committed offsets make it exactly-once, so the
+        added symbol starts at the restart position, the removed one
+        stops, and nothing re-delivers (the reference's reconnect +
+        re-subscription flow, sockets.py:366-448)."""
+        src = tempfile.mkdtemp(prefix="bus_")
+        ckpt = tempfile.mkdtemp(prefix="bus_ckpt_")
+        out = tempfile.mkdtemp(prefix="bus_out_")
+        try:
+            write_feed_batch(
+                spark, src,
+                _rows("quote", "SPY", 0, 2) + _rows("quote", "QQQ", 0, 2),
+            )
+
+            def run_until_drained(symbols):
+                stream = subscribed(feed_bus_stream(spark, src), symbols)
+                q = (
+                    stream.writeStream.outputMode("append")
+                    .format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", ckpt)
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+
+            run_until_drained(["SPY"])
+            # FEED_SUBSCRIPTION: add QQQ, remove SPY; restart, same ckpt
+            write_feed_batch(
+                spark, src,
+                _rows("quote", "SPY", 2, 2) + _rows("quote", "QQQ", 2, 2),
+            )
+            run_until_drained(["QQQ"])
+            got = sorted(
+                (r["symbol"], r["offset"])
+                for r in spark.read.parquet(out).collect()
+            )
+            # run 1 delivered SPY's first batch; run 2 delivered only
+            # the post-restart batch of the newly-added symbol — the
+            # first batch's QQQ offsets were committed, not re-delivered
+            assert got == [
+                ("QQQ", 2), ("QQQ", 3),
+                ("SPY", 0), ("SPY", 1),
+            ]
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_subscribed_asof_changelog_replay(self, spark):
+        """Event-time-correct replay of a FEED_SUBSCRIPTION changelog:
+        an event survives iff the last op for its symbol at-or-before
+        its timestamp is an add."""
+        from tastytrade_sdk_spark.sources.feedbus import subscribed_asof
+
+        ev = spark.createDataFrame(
+            [("SPY", T0 + dt.timedelta(minutes=m)) for m in range(6)]
+            + [("QQQ", T0 + dt.timedelta(minutes=m)) for m in range(6)],
+            "symbol string, ts timestamp",
+        )
+        log = spark.createDataFrame(
+            [
+                ("SPY", "add", T0, 1),
+                ("SPY", "remove", T0 + dt.timedelta(minutes=3), 2),
+                ("QQQ", "add", T0 + dt.timedelta(minutes=2), 3),
+            ],
+            "symbol string, op string, ts timestamp, seq int",
+        )
+        got = sorted(
+            (r["symbol"], r["ts"].minute)
+            for r in subscribed_asof(ev, log).collect()
+        )
+        # SPY subscribed [0,3), QQQ from minute 2 on; never-subscribed
+        # minutes (QQQ 0-1) and post-remove (SPY 3+) are dropped
+        assert got == [
+            ("QQQ", 2), ("QQQ", 3), ("QQQ", 4), ("QQQ", 5),
+            ("SPY", 0), ("SPY", 1), ("SPY", 2),
+        ]
+
+    def test_redelivery_absorbed(self, spark):
+        src = tempfile.mkdtemp(prefix="bus_")
+        try:
+            write_feed_batch(spark, src, _rows("trade", "SPY", 0, 3))
+            # at-least-once transport re-delivers offsets 1-2
+            write_feed_batch(spark, src, _rows("trade", "SPY", 1, 2))
+            stream = absorb_redelivery(feed_bus_stream(spark, src))
+            q = _drain(stream, "bus_dedup")
+            q.stop()
+            got = sorted(
+                r["offset"] for r in spark.sql("select * from bus_dedup").collect()
+            )
+            assert got == [0, 1, 2]
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    def test_kafka_reader_option_mapping(self):
+        opts = kafka_reader_options(
+            "broker:9092", ["quote", "trade"], starting_offsets="earliest"
+        )
+        assert opts["subscribe"] == "quote,trade"
+        assert opts["startingOffsets"] == "earliest"
+        assert opts["failOnDataLoss"] == "false"
+
+        by_pos = kafka_reader_options(
+            "broker:9092", ["quote"],
+            starting_offsets={"quote": {"0": 7}},
+        )
+        assert json.loads(by_pos["startingOffsets"]) == {"quote": {"0": 7}}
+
+        by_time = kafka_reader_options(
+            "broker:9092", ["candle"], from_time_ms=1_700_000_000_000
+        )
+        assert json.loads(by_time["startingOffsetsByTimestamp"]) == {
+            "candle": {"*": 1_700_000_000_000}
+        }
+        assert "startingOffsets" not in by_time
+
+
+@pytest.mark.parametrize("source", ["plain_file", "feed_bus"])
+def test_streaming_ohlcv_same_from_either_source(spark, source):
+    """The same candle pipeline produces identical bars whether fed
+    from the plain file source or through the feed-bus envelope —
+    the adapter is a drop-in in front of existing operators."""
+    src = tempfile.mkdtemp(prefix=f"ohlcv_{source}_")
+    try:
+        rows = _rows("quote", "SPY", 0, 12, price=50.0)
+        if source == "plain_file":
+            spark.createDataFrame(
+                [(r[1], r[3], 50.0 + i) for i, r in enumerate(rows)],
+                "symbol string, ts timestamp, price double",
+            ).coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(
+                "symbol string, ts timestamp, price double"
+            ).parquet(src)
+        else:
+            write_feed_batch(spark, src, rows)
+            env = feed_bus_stream(spark, src)
+            stream = env.select(
+                "symbol",
+                "ts",
+                F.get_json_object("payload", "$.price")
+                .cast("double")
+                .alias("price"),
+            )
+        candles = streaming_ohlcv(
+            stream, symbol_col="symbol", time_col="ts", price_col="price",
+            interval="5 minutes", watermark="30 minutes",
+        )
+        q = (
+            candles.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(f"ohlcv_{source}")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["symbol"], r["time"]): (r["open"], r["high"], r["low"], r["close"])
+            for r in spark.sql(f"select * from ohlcv_{source}").collect()
+        }
+        # 12 one-minute ticks -> three 5-minute bars, identical from
+        # either source
+        assert got == {
+            ("SPY", T0): (50.0, 54.0, 50.0, 54.0),
+            ("SPY", T0 + dt.timedelta(minutes=5)): (55.0, 59.0, 55.0, 59.0),
+            ("SPY", T0 + dt.timedelta(minutes=10)): (60.0, 61.0, 60.0, 61.0),
+        }
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
