@@ -1054,3 +1054,190 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vmin", 6).alias("vmin"),
         F.round("vmax", 6).alias("vmax"),
     )
+
+
+@_q(
+    "account_order_fills",
+    """
+    WITH legs AS (
+      SELECT l_orderkey AS id,
+             CAST(l_linenumber AS BIGINT) AS leg_index,
+             l_quantity AS q,
+             l_extendedprice AS price,
+             floor(l_quantity / 2) AS q1
+      FROM lineitem
+    ), fills AS (
+      SELECT id, leg_index, q1 AS fq, price FROM legs WHERE q1 > 0
+      UNION ALL
+      SELECT id, leg_index, q - q1 AS fq, price FROM legs WHERE q - q1 > 0
+    )
+    SELECT f.id AS order_id,
+           'ACC' || CAST(o.o_custkey AS VARCHAR) AS account_number,
+           o.o_orderstatus AS status,
+           CAST(count(DISTINCT f.leg_index) AS BIGINT) AS n_legs,
+           CAST(count(*) AS BIGINT) AS n_fills,
+           CAST(sum(CAST(f.fq AS DECIMAL(18,2))) AS DOUBLE) AS filled_qty,
+           CAST(sum(CAST(f.fq AS DECIMAL(18,2)) * CAST(f.price AS DECIMAL(18,2)))
+                AS DOUBLE) AS notional
+    FROM fills f JOIN orders o ON o.o_orderkey = f.id
+    GROUP BY 1, 2, 3
+    """,
+)
+def account_order_fills(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 typed account-event envelope: build nested PlacedOrder
+    order->leg->fill envelopes (reference accounts/models.py:813-946),
+    unwind them with the explode path, and summarize fills per order.
+
+    The nest (two keyed collect_list shuffles) -> explode (narrow)
+    round-trip is the load-bearing part; the oracle computes the same
+    summary flat, so a hash match proves the envelope is lossless.
+    Fill synthesis (both engines): each leg splits into floor(q/2) and
+    q - floor(q/2) fills at the leg's extended price, zero-qty fills
+    dropped. DECIMAL money math for the sums (campaign_summary rule).
+    """
+    from tastytrade_sdk_spark.sources.accounts import (
+        explode_order_fills,
+        nest_order_envelope,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+
+    q1 = F.floor(F.col("l_quantity") / 2).cast("double")
+    base = li.select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_linenumber").cast("long").alias("leg_index"),
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit("Equity Option"))
+        .otherwise(F.lit("Equity"))
+        .alias("instrument_type"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("symbol"),
+        F.when(F.col("l_returnflag") == "R", F.lit("Sell to Close"))
+        .otherwise(F.lit("Buy to Open"))
+        .alias("action"),
+        F.col("l_quantity").alias("quantity"),
+        q1.alias("q1"),
+        (F.col("l_quantity") - q1).alias("q2"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    fid = F.concat(F.lit("F"), F.col("id"), F.lit("-"), F.col("leg_index"))
+    fills = base.select(
+        "id", "leg_index", "instrument_type", "symbol", "action", "quantity",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(fid, F.lit("-A")).alias("fill_id"),
+                    F.col("q1").alias("fill_quantity"),
+                    F.col("price").alias("fill_price"),
+                ),
+                F.struct(
+                    F.concat(fid, F.lit("-B")).alias("fill_id"),
+                    F.col("q2").alias("fill_quantity"),
+                    F.col("price").alias("fill_price"),
+                ),
+            )
+        ).alias("fill"),
+    ).select(
+        "id", "leg_index", "instrument_type", "symbol", "action", "quantity",
+        F.col("fill.fill_id").alias("fill_id"),
+        F.col("fill.fill_quantity").alias("fill_quantity"),
+        F.col("fill.fill_price").alias("fill_price"),
+    ).filter(F.col("fill_quantity") > 0)
+
+    nested = nest_order_envelope(fills)
+    env = nested.join(o, nested["id"] == o["o_orderkey"]).select(
+        F.struct(
+            F.col("id"),
+            F.concat(F.lit("ACC"), F.col("o_custkey")).alias("account_number"),
+            F.lit("Limit").alias("order_type"),
+            F.lit("Day").alias("time_in_force"),
+            F.col("o_totalprice").alias("price"),
+            F.lit("Debit").alias("price_effect"),
+            F.col("o_orderstatus").alias("status"),
+            F.lit(True).alias("cancellable"),
+            F.lit(False).alias("editable"),
+            F.lit(None).cast("string").alias("underlying_symbol"),
+            F.col("legs"),
+        ).alias("order")
+    )
+    flat = explode_order_fills(env)
+    qd = F.col("fill_quantity").cast("decimal(18,2)")
+    pd_ = F.col("fill_price").cast("decimal(18,2)")
+    return flat.groupBy(
+        F.col("order_id"), F.col("account_number"), F.col("status")
+    ).agg(
+        F.countDistinct("leg_index").alias("n_legs"),
+        F.count(F.lit(1)).alias("n_fills"),
+        F.sum(qd).cast("double").alias("filled_qty"),
+        F.sum(qd * pd_).cast("double").alias("notional"),
+    )
+
+
+@_q(
+    "trade_chain_rollforward",
+    """
+    WITH nodes AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             (o_orderstatus = 'O') AS is_open,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice::DECIMAL(18,2)
+                  ELSE -(o_totalprice::DECIMAL(18,2)) END AS signed_cost,
+             (o_orderkey % 3 = 0) AS roll
+      FROM orders
+    )
+    SELECT 'CH' || CAST(o_custkey AS VARCHAR) AS chain_id,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           bool_or(is_open) AS open,
+           CAST(sum(signed_cost) AS DOUBLE) AS realized_gain,
+           CASE WHEN sum(signed_cost) >= 0 THEN 'Credit' ELSE 'Debit' END
+             AS realized_gain_effect,
+           (sum(signed_cost) > 0) AS winner_realized,
+           CAST(count(*) FILTER (WHERE roll) AS BIGINT) AS roll_count,
+           min(o_orderdate) AS opened_at,
+           max(o_orderdate) AS last_occurred_at
+    FROM nodes GROUP BY o_custkey
+    """,
+)
+def trade_chain_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-chain lifecycle rollforward (reference
+    accounts/models.py:995-1146 TradeChain/TradeChainComputedData):
+    per-account node arrays built with one keyed collect_list, then
+    the chain's computed data (open flag, Credit/Debit-signed realized
+    gain, winner flags, roll count, opened/last timestamps) derived
+    ENTIRELY from the nested node array via higher-order expressions
+    (sources/accounts.chain_computed_data) — no second shuffle, codegen
+    throughout. The oracle computes the same rollforward flat, so a
+    hash match proves the nested derivation. Node synthesis (both
+    engines): order -> node, 'open-positions' iff status 'O', Credit
+    iff 'F', roll iff orderkey % 3 = 0. DECIMAL money in the fold.
+    """
+    from tastytrade_sdk_spark.sources.accounts import chain_computed_data
+
+    o = load_table(spark, "orders", sf_dir)
+    node = F.struct(
+        F.col("o_orderdate").alias("occurred_at"),
+        F.col("o_orderkey").alias("node_id"),
+        F.when(F.col("o_orderstatus") == "O", F.lit("open-positions"))
+        .otherwise(F.lit("order"))
+        .alias("node_type"),
+        F.col("o_orderpriority").alias("description"),
+        F.col("o_totalprice").alias("total_fill_cost"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("Credit"))
+        .otherwise(F.lit("Debit"))
+        .alias("total_fill_cost_effect"),
+        (F.col("o_orderkey") % 3 == 0).alias("roll"),
+    )
+    chains = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list(node)).alias("lite_nodes")
+    )
+    nodes = F.col("lite_nodes")
+    cd = chain_computed_data(nodes)
+    return chains.select(
+        F.concat(F.lit("CH"), F.col("o_custkey")).alias("chain_id"),
+        F.size(nodes).cast("long").alias("n_nodes"),
+        cd.getField("open").alias("open"),
+        cd.getField("realized_gain").alias("realized_gain"),
+        cd.getField("realized_gain_effect").alias("realized_gain_effect"),
+        cd.getField("winner_realized").alias("winner_realized"),
+        cd.getField("roll_count").alias("roll_count"),
+        cd.getField("opened_at").alias("opened_at"),
+        cd.getField("last_occurred_at").alias("last_occurred_at"),
+    )

@@ -1,0 +1,131 @@
+"""Typed account-event envelope: wire-JSON parse, demux, nest/explode.
+
+Models the reference account streamer's typed-queue surface
+(reference src/tastytrade/accounts/streamer.py:1-50,
+accounts/models.py:813-946) as Spark schemas + expressions.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.sources.accounts import (
+    ACCOUNT_EVENT_SCHEMA,
+    ACCOUNT_EVENT_TYPES,
+    PLACED_ORDER_SCHEMA,
+    demux_account_events,
+    explode_order_fills,
+    nest_order_envelope,
+    parse_order_json,
+)
+
+WIRE_ORDER_JSON = (
+    '{"id": 42, "account-number": "5WT0001", "order-type": "Limit",'
+    ' "time-in-force": "Day", "price": 1.25, "price-effect": "Credit",'
+    ' "status": "Filled", "cancellable": false, "editable": false,'
+    ' "underlying-symbol": "SPY",'
+    ' "legs": [{"leg-index": 1, "instrument-type": "Equity Option",'
+    '   "symbol": "SPY 260306C00500000", "action": "Sell to Open",'
+    '   "quantity": 2.0, "remaining-quantity": 0.0,'
+    '   "fills": [{"fill-id": "f1", "quantity": 2.0, "fill-price": 1.25,'
+    '     "filled-at": "2026-03-06T14:30:00", "destination-venue": "CBOE"}]},'
+    '  {"leg-index": 2, "instrument-type": "Equity Option",'
+    '   "symbol": "SPY 260306C00510000", "action": "Buy to Open",'
+    '   "quantity": 2.0, "remaining-quantity": 2.0, "fills": []}]}'
+)
+
+
+def test_parse_order_json_wire_aliases(spark):
+    df = spark.createDataFrame([(WIRE_ORDER_JSON,)], ["payload"])
+    parsed = parse_order_json(df, "payload")
+    # from_json output is all-nullable; compare shape, not nullability
+    assert (
+        parsed.schema["order"].dataType.simpleString()
+        == PLACED_ORDER_SCHEMA.simpleString()
+    )
+    row = parsed.select("order").collect()[0]["order"]
+    assert row["id"] == 42
+    assert row["account_number"] == "5WT0001"
+    assert row["underlying_symbol"] == "SPY"
+    legs = row["legs"]
+    assert [leg["leg_index"] for leg in legs] == [1, 2]
+    assert legs[0]["action"] == "Sell to Open"
+    fill = legs[0]["fills"][0]
+    assert fill["fill_id"] == "f1"
+    assert fill["fill_price"] == 1.25
+    assert fill["filled_at"] == dt.datetime(2026, 3, 6, 14, 30)
+    assert legs[1]["fills"] == []
+
+
+def test_parse_then_explode_fills(spark):
+    df = spark.createDataFrame([(WIRE_ORDER_JSON,)], ["payload"])
+    flat = explode_order_fills(parse_order_json(df))
+    rows = flat.collect()
+    # leg 2 has no fills -> only leg 1's single fill survives
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["order_id"], r["leg_index"], r["fill_id"]) == (42, 1, "f1")
+    assert r["fill_quantity"] == 2.0
+
+
+def test_demux_account_events(spark):
+    now = dt.datetime(2026, 1, 2, 9, 30)
+    rows = [
+        ("Order", "A1", now, None, None, None),
+        ("CurrentPosition", "A1", now, None, None, None),
+        ("CurrentPosition", "A2", now, None, None, None),
+        ("AccountBalance", "A2", now, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, ACCOUNT_EVENT_SCHEMA)
+    out = demux_account_events(df)
+    assert set(out) == set(ACCOUNT_EVENT_TYPES)
+    assert out["Order"].count() == 1
+    assert out["CurrentPosition"].count() == 2
+    assert out["AccountBalance"].count() == 1
+
+
+def test_nest_explode_roundtrip(spark):
+    flat = spark.createDataFrame(
+        [
+            (10, 1, "Equity", "AAPL", "Buy to Open", 3.0, "f-10-1-A", 1.0, 100.0),
+            (10, 1, "Equity", "AAPL", "Buy to Open", 3.0, "f-10-1-B", 2.0, 100.0),
+            (10, 2, "Equity", "MSFT", "Sell to Close", 1.0, "f-10-2-A", 1.0, 200.0),
+            (11, 1, "Equity", "TSLA", "Buy to Open", 5.0, "f-11-1-A", 5.0, 300.0),
+        ],
+        [
+            "id", "leg_index", "instrument_type", "symbol", "action",
+            "quantity", "fill_id", "fill_quantity", "fill_price",
+        ],
+    )
+    nested = nest_order_envelope(flat)
+    assert nested.count() == 2
+    legs_10 = {r["id"]: r["legs"] for r in nested.collect()}[10]
+    assert [leg["leg_index"] for leg in legs_10] == [1, 2]
+    assert [f["fill_id"] for f in legs_10[0]["fills"]] == ["f-10-1-A", "f-10-1-B"]
+
+    env = nested.select(
+        F.struct(
+            F.col("id"),
+            F.lit("ACC1").alias("account_number"),
+            F.lit("Limit").alias("order_type"),
+            F.lit("Day").alias("time_in_force"),
+            F.lit(None).cast("double").alias("price"),
+            F.lit("Debit").alias("price_effect"),
+            F.lit("Filled").alias("status"),
+            F.lit(False).alias("cancellable"),
+            F.lit(False).alias("editable"),
+            F.lit(None).cast("string").alias("underlying_symbol"),
+            F.col("legs"),
+        ).alias("order")
+    )
+    back = explode_order_fills(env)
+    got = {
+        (r["order_id"], r["leg_index"], r["fill_id"], r["fill_quantity"], r["fill_price"])
+        for r in back.collect()
+    }
+    assert got == {
+        (10, 1, "f-10-1-A", 1.0, 100.0),
+        (10, 1, "f-10-1-B", 2.0, 100.0),
+        (10, 2, "f-10-2-A", 1.0, 200.0),
+        (11, 1, "f-11-1-A", 5.0, 300.0),
+    }

@@ -52,7 +52,7 @@ def type_tag(t: str) -> str:
         return "date"
     if "string" in t or "varchar" in t:
         return "str"
-    if t.startswith("list") or t.startswith("array"):
+    if t.startswith("list") or t.startswith("array") or t.endswith("[]"):
         return "list"
     return t
 
@@ -134,17 +134,20 @@ def compare(name, spark_rows, duck_rows, spark_cols, duck_cols):
     return issues
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle-check", cpus=8)
+def run_gate(spark, sf_dir, only=None, verbose=True):
+    """Run every declared query against its DuckDB oracle twin.
+
+    Returns {name: [issue, ...]} for failing queries only (empty dict
+    == full green). Reusable from pytest (tests/test_full_gate.py)
+    with the shared session fixture, and from main() below.
+    """
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    failures = 0
+    failing: dict[str, list[str]] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -154,11 +157,14 @@ def main():
             spark_cols = sdf.columns
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            print(f"✗ {name}: SPARK ERROR {e}")
-            failures += 1
+            failing[name] = [f"SPARK ERROR {e}"]
+            if verbose:
+                print(f"✗ {name}: SPARK ERROR {e}")
             continue
         if name not in oracles:
-            print(f"~ {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s) — no oracle")
+            if verbose:
+                print(f"~ {name}: rows-only ({len(spark_rows)} rows, "
+                      f"{time.time()-t0:.1f}s) — no oracle")
             continue
         try:
             rel = con.sql(oracles[name])
@@ -166,21 +172,31 @@ def main():
             tissues = type_issues(sdf.schema, rel.columns, rel.types)
             duck_rows = rel.fetchall()
         except Exception as e:
-            print(f"✗ {name}: DUCKDB ERROR {str(e)[:300]}")
-            failures += 1
+            failing[name] = [f"DUCKDB ERROR {str(e)[:300]}"]
+            if verbose:
+                print(f"✗ {name}: DUCKDB ERROR {str(e)[:300]}")
             continue
         issues = tissues + compare(
             name, spark_rows, duck_rows, spark_cols, duck_cols
         )
         if issues:
-            failures += 1
-            print(f"✗ {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
-            for i in issues:
-                print(f"    {i}")
-        else:
+            failing[name] = issues
+            if verbose:
+                print(f"✗ {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+                for i in issues:
+                    print(f"    {i}")
+        elif verbose:
             print(f"✓ {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
-    print(f"\n{'FAIL' if failures else 'PASS'}: {failures} failing")
-    sys.exit(1 if failures else 0)
+    return failing
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check", cpus=8)
+    failing = run_gate(spark, sf_dir, only=only)
+    print(f"\n{'FAIL' if failing else 'PASS'}: {len(failing)} failing")
+    sys.exit(1 if failing else 0)
 
 
 if __name__ == "__main__":
