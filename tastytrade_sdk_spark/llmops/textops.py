@@ -184,3 +184,42 @@ def predicted_lang(tokens: Column) -> Column:
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, s).otherwise(best_score)
     return best
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonicalize a URL for URL-level dedup (the RefinedWeb /
+    CommonCrawl-pipeline normalization): lowercase; drop the scheme;
+    drop a leading ``www.``; strip tracking query params (``utm_*``,
+    ``ref``) and any dangling ``?``/``&``; strip one trailing slash.
+
+    Pure regexp/string expressions — scan-bound, no shuffle, and the
+    exact same regex chain runs on the DuckDB oracle (patterns are
+    RE2-and-Java-regex compatible: no lookaround, no backrefs).
+    """
+    u = F.lower(_c(url))
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    # kill tracking params wherever they sit in the query string
+    u = F.regexp_replace(u, r"(utm_[a-z0-9]+|ref)=[^&#]*", "")
+    # collapse separators left behind: "?&", "&&", trailing "?"/"&"
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+#: DuckDB twin of canonical_url — same chain, 'g' flag where Spark
+#: replaces globally by default. {u} is the input SQL expression.
+CANONICAL_URL_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace("
+    "lower({u}),"
+    " '^https?://', ''),"
+    " '^www\\.', ''),"
+    " '(utm_[a-z0-9]+|ref)=[^&#]*', '', 'g'),"
+    " '\\?&+', '?', 'g'),"
+    " '&&+', '&', 'g'),"
+    " '[?&]+$', ''),"
+    " '/$', '')"
+)

@@ -1119,6 +1119,13 @@ def account_order_fills(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity") - q1).alias("q2"),
         F.col("l_extendedprice").alias("price"),
     )
+    # One exchange for the whole nest/explode pipeline: partitioning by
+    # id BEFORE the fill-explode (half the rows cross the wire) also
+    # satisfies the leg-level groupBy (keys ⊇ id), the order-level
+    # collect_list, and — via the partitioning-preserving broadcast
+    # join — the final per-order aggregate. Without it the plan
+    # shuffles twice more, post-explode, on wider keys.
+    base = base.repartition(F.col("id"))
     fid = F.concat(F.lit("F"), F.col("id"), F.lit("-"), F.col("leg_index"))
     fills = base.select(
         "id", "leg_index", "instrument_type", "symbol", "action", "quantity",

@@ -129,3 +129,50 @@ def test_nest_explode_roundtrip(spark):
         (10, 2, "f-10-2-A", 1.0, 200.0),
         (11, 1, "f-11-1-A", 5.0, 300.0),
     }
+
+
+def test_streaming_demux_per_type_sinks(spark):
+    """S10 as a second streaming source: an account-event envelope
+    stream demuxes into per-type streaming sinks (the reference's
+    typed queues), each receiving exactly its own events."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    now = dt.datetime(2026, 1, 2, 9, 30)
+    rows = [
+        ("Order", "A1", now, None, None, None),
+        ("CurrentPosition", "A1", now, None, None, None),
+        ("CurrentPosition", "A2", now, None, None, None),
+        ("AccountBalance", "A2", now, None, None, None),
+        ("Order", "A2", now, None, None, None),
+    ]
+    src = tempfile.mkdtemp(prefix="acct_src_")
+    spark.createDataFrame(rows, ACCOUNT_EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(ACCOUNT_EVENT_SCHEMA).parquet(src)
+    demuxed = demux_account_events(stream)
+    queries = []
+    try:
+        for etype, sdf in demuxed.items():
+            assert sdf.isStreaming
+            q = (
+                sdf.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(f"acct_{etype}")
+                .start()
+            )
+            queries.append(q)
+        for q in queries:
+            q.processAllAvailable()
+        got = {
+            etype: spark.sql(f"select account_number from acct_{etype}").collect()
+            for etype in demuxed
+        }
+    finally:
+        for q in queries:
+            q.stop()
+    assert sorted(r[0] for r in got["Order"]) == ["A1", "A2"]
+    assert sorted(r[0] for r in got["CurrentPosition"]) == ["A1", "A2"]
+    assert [r[0] for r in got["AccountBalance"]] == ["A2"]

@@ -539,3 +539,19 @@ def test_frequent_span_removal_reconstruction(spark):
     assert out[4]["clean_text"] == rows[3][1]
     assert out[4]["n_removed"] == 0
     assert out[5]["clean_text"] == "oscar papa"
+
+
+def test_canonical_url_edge_cases(spark):
+    from tastytrade_sdk_spark.llmops.textops import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM/A/B/", "example.com/a/b"),
+        ("https://example.com/x?utm_source=a&id=7&ref=rss", "example.com/x?id=7"),
+        ("https://example.com/x?utm_a=1&utm_b=2", "example.com/x"),
+        ("example.com/plain", "example.com/plain"),
+        ("https://www.example.com", "example.com"),
+        ("https://example.com/x?id=7&utm_c=9", "example.com/x?id=7"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    assert got == [want for _, want in cases]
