@@ -354,15 +354,23 @@ def chain_computed_data(nodes):
     )
 
 
-def explode_order_fills(nested: DataFrame, envelope_col: str = "order") -> DataFrame:
+def explode_order_fills(
+    nested: DataFrame, envelope_col: str = "order", outer: bool = False
+) -> DataFrame:
     """Unwind a typed order envelope back to one row per fill with
-    order and leg context — ``explode`` twice, narrow (no shuffle)."""
+    order and leg context — ``explode`` twice, narrow (no shuffle).
+
+    With ``outer=False`` (default) orders with no legs and legs with
+    no fills vanish (inner-explode semantics — right for fill
+    summaries). ``outer=True`` keeps them as rows with null leg/fill
+    columns (right for audits that must see every order)."""
+    expl = F.explode_outer if outer else F.explode
     o = F.col(envelope_col)
     legs = nested.select(
         o.getField("id").alias("order_id"),
         o.getField("account_number").alias("account_number"),
         o.getField("status").alias("status"),
-        F.explode(o.getField("legs")).alias("leg"),
+        expl(o.getField("legs")).alias("leg"),
     )
     return legs.select(
         "order_id",
@@ -373,7 +381,7 @@ def explode_order_fills(nested: DataFrame, envelope_col: str = "order") -> DataF
         F.col("leg.action").alias("action"),
         F.col("leg.instrument_type").alias("instrument_type"),
         F.col("leg.quantity").alias("leg_quantity"),
-        F.explode(F.col("leg.fills")).alias("fill"),
+        expl(F.col("leg.fills")).alias("fill"),
     ).select(
         "order_id",
         "account_number",

@@ -176,3 +176,74 @@ def test_streaming_demux_per_type_sinks(spark):
     assert sorted(r[0] for r in got["Order"]) == ["A1", "A2"]
     assert sorted(r[0] for r in got["CurrentPosition"]) == ["A1", "A2"]
     assert [r[0] for r in got["AccountBalance"]] == ["A2"]
+
+
+def test_explode_outer_keeps_legless_orders(spark):
+    df = spark.createDataFrame([(WIRE_ORDER_JSON,)], ["payload"])
+    flat = explode_order_fills(parse_order_json(df), outer=True)
+    rows = flat.collect()
+    # leg 1 -> its fill; leg 2 -> kept with null fill columns
+    assert len(rows) == 2
+    by_leg = {r["leg_index"]: r for r in rows}
+    assert by_leg[1]["fill_id"] == "f1"
+    assert by_leg[2]["fill_id"] is None and by_leg[2]["fill_quantity"] is None
+
+
+def test_nest_explode_roundtrip_randomized(spark):
+    """Seeded-random envelope round-trip: nest -> explode must be the
+    identity on the fill set for arbitrary leg/fill multiplicities,
+    unicode symbols, and extreme quantities."""
+    import random
+
+    rng = random.Random(20260814)
+    symbols = ["AAPL", "SPY 260306C00500000", "ünïcode™", "./F GCZ6", ""]
+    flat_rows = []
+    for oid in range(40):
+        for leg in range(1, rng.randint(2, 6)):
+            sym = rng.choice(symbols)
+            qty = rng.choice([0.0, 1.0, 1e12, -3.5, 0.001])
+            for f in range(rng.randint(1, 4)):
+                flat_rows.append(
+                    (
+                        oid,
+                        leg,
+                        "Equity",
+                        sym,
+                        "Buy to Open",
+                        qty,
+                        f"f-{oid}-{leg}-{f}",
+                        rng.choice([0.5, 2.0, 1e9]),
+                        rng.choice([0.01, 12345.67]),
+                    )
+                )
+    flat = spark.createDataFrame(
+        flat_rows,
+        [
+            "id", "leg_index", "instrument_type", "symbol", "action",
+            "quantity", "fill_id", "fill_quantity", "fill_price",
+        ],
+    )
+    nested = nest_order_envelope(flat)
+    env = nested.select(
+        F.struct(
+            F.col("id"),
+            F.lit("A").alias("account_number"),
+            F.lit("Limit").alias("order_type"),
+            F.lit("Day").alias("time_in_force"),
+            F.lit(None).cast("double").alias("price"),
+            F.lit("Debit").alias("price_effect"),
+            F.lit("Filled").alias("status"),
+            F.lit(False).alias("cancellable"),
+            F.lit(False).alias("editable"),
+            F.lit(None).cast("string").alias("underlying_symbol"),
+            F.col("legs"),
+        ).alias("order")
+    )
+    back = explode_order_fills(env)
+    got = {
+        (r["order_id"], r["leg_index"], r["symbol"], r["leg_quantity"],
+         r["fill_id"], r["fill_quantity"], r["fill_price"])
+        for r in back.collect()
+    }
+    want = {(r[0], r[1], r[3], r[5], r[6], r[7], r[8]) for r in flat_rows}
+    assert got == want
