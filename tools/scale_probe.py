@@ -1,0 +1,154 @@
+"""Empirical scaling probe: run representative queries at 1x / 10x /
+100x the sf0.1 data volume and record wall-clock, to verify the plans
+scale ~linearly (the "would this hold at 1000x?" check, measured).
+
+Replicas are key-shifted copies of /root/testdata/sf0.1 (join keys
+shifted consistently across fact tables so join/group semantics are
+preserved; nation/region stay fixed — they are true dimensions;
+document text and embedding directions are perturbed per replica so
+dedup/similarity workloads don't degenerate into N-fold duplicate
+classes). This is ENGINEERING EVIDENCE only — correctness is gated by
+tools/check_oracle.py on the driver's own testdata, never on these
+synthetic replicas.
+
+Usage: python tools/scale_probe.py [mult ...]   (default: 10 100)
+Writes /tmp/scale{mult}/ once, then times the PROBE queries with the
+noop sink (min of 2 runs) and prints one JSON line per scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+BASE = "/root/testdata/sf0.1"
+
+PROBE = [
+    # scans + aggregates
+    "pricing_summary",
+    "latest_event_per_user",
+    "ohlcv_hourly",
+    "gap_fill_hourly",
+    # joins (broadcast at 1x; AQE decides as dims grow)
+    "nation_revenue",
+    "asof_entry_price",
+    "account_order_fills",
+    "range_join_window_views",
+    # window/indicator chain
+    "hull_ma_hourly",
+    # Python kernels
+    "signal_detection",
+    "lifo_entry_credit",
+    # LLM-pipeline path
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "dedup_clusters",
+    "pack_sequences",
+    "knn_cosine_topk",
+]
+
+
+def build_replica(mult: int, out_dir: str) -> None:
+    """Key-shifted union of `mult` copies of sf0.1 (DuckDB, fast)."""
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{BASE}/{t}.parquet'")
+    # key spans (shift amounts) — max+1 per key domain
+    spans = {
+        k: con.execute(q).fetchone()[0] + 1
+        for k, q in {
+            "order": "SELECT max(o_orderkey) FROM orders",
+            "cust": "SELECT max(c_custkey) FROM customer",
+            "part": "SELECT max(p_partkey) FROM part",
+            "supp": "SELECT max(s_suppkey) FROM supplier",
+            "event": "SELECT max(event_id) FROM events",
+            "user": "SELECT max(user_id) FROM events",
+            "doc": "SELECT max(doc_id) FROM documents",
+            "vec": "SELECT max(vec_id) FROM embeddings",
+        }.items()
+    }
+    rep = f"range({mult}) r(i)"
+    sqls = {
+        "region": "SELECT * FROM region",
+        "nation": "SELECT * FROM nation",
+        "customer": f"""SELECT c_custkey + i*{spans['cust']} AS c_custkey,
+            c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer, {rep}""",
+        "supplier": f"""SELECT s_suppkey + i*{spans['supp']} AS s_suppkey,
+            s_name, s_nationkey, s_acctbal FROM supplier, {rep}""",
+        "part": f"""SELECT p_partkey + i*{spans['part']} AS p_partkey,
+            p_name, p_brand, p_type, p_size, p_retailprice
+            FROM part, {rep}""",
+        "orders": f"""SELECT o_orderkey + i*{spans['order']} AS o_orderkey,
+            o_custkey + i*{spans['cust']} AS o_custkey,
+            o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM orders, {rep}""",
+        "lineitem": f"""SELECT l_orderkey + i*{spans['order']} AS l_orderkey,
+            l_partkey + i*{spans['part']} AS l_partkey,
+            l_suppkey + i*{spans['supp']} AS l_suppkey,
+            l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+            l_returnflag, l_linestatus, l_shipdate
+            FROM lineitem, {rep}""",
+        "events": f"""SELECT event_id + i*{spans['event']} AS event_id,
+            ts, user_id + i*{spans['user']} AS user_id,
+            event_type, value, props FROM events, {rep}""",
+        # text varied per replica so exact/near-dup classes stay realistic
+        "documents": f"""SELECT doc_id + i*{spans['doc']} AS doc_id,
+            CASE WHEN i = 0 THEN text
+                 ELSE text || ' r' || CAST(i AS VARCHAR) END AS text,
+            lang, source, n_chars FROM documents, {rep}""",
+        # direction-perturbed per replica (scale AND rotate-ish), so
+        # cosine structure varies instead of collapsing to N duplicates
+        "embeddings": f"""SELECT vec_id + i*{spans['vec']} AS vec_id,
+            list_transform(embedding,
+              x -> CAST(x * (1.0 + 0.01*i) + 0.05 * sin(x * (i + 1)) AS FLOAT))
+              AS embedding,
+            label FROM embeddings, {rep}""",
+    }
+    for t, q in sqls.items():
+        dest = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dest):
+            con.execute(f"COPY ({q}) TO '{dest}' (FORMAT PARQUET)")
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [10, 100]
+    from tastytrade_sdk_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("scale-probe")
+    queries = entrymod.queries()
+
+    def run(thunk) -> float:
+        # time plan CONSTRUCTION + execution: iterative operators
+        # (connected components) do eager checkpoint rounds while the
+        # query function builds its DataFrame, not at sink time
+        t0 = time.perf_counter()
+        thunk().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    for mult in [1] + mults:
+        sf_dir = BASE if mult == 1 else f"/tmp/scale{mult}"
+        if mult != 1:
+            build_replica(mult, sf_dir)
+        out: dict[str, float] = {}
+        for name in PROBE:
+            fn = queries[name]
+            best = run(lambda: fn(spark, sf_dir))
+            best = min(best, run(lambda: fn(spark, sf_dir)))
+            out[name] = round(best, 2)
+        print(json.dumps({"mult": mult, "total": round(sum(out.values()), 1),
+                          "queries": out}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
