@@ -119,8 +119,56 @@ def build_replica(mult: int, out_dir: str) -> None:
             con.execute(f"COPY ({q}) TO '{dest}' (FORMAT PARQUET)")
 
 
+def bucketing_demo(spark, sf_dir: str) -> None:
+    """Measure the bucketed-layout lever on the big join: lineitem ⋈
+    orders on the order key, plain parquet vs bucketBy(32) tables
+    (operators/scale.write_bucketed). Prints time + exchange count for
+    each. The one-time layout write is reported too — it amortizes
+    over every downstream consumer of the layout."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.operators.scale import read_bucketed, write_bucketed
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def join_agg(l, r):
+        return (
+            l.join(r, l["l_orderkey"] == r["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def t(df, label):
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        print(json.dumps({
+            "bucketing_demo": label, "sec": round(best, 2),
+            "exchanges": len(re.findall("Exchange", plan)),
+        }), flush=True)
+
+    t(join_agg(li, o), "plain")
+    t0 = time.perf_counter()
+    write_bucketed(li, "li_bucketed", "l_orderkey", 32)
+    write_bucketed(o, "o_bucketed", "o_orderkey", 32)
+    print(json.dumps({"bucketing_demo": "layout_write_once",
+                      "sec": round(time.perf_counter() - t0, 1)}), flush=True)
+    t(join_agg(read_bucketed(spark, "li_bucketed"),
+               read_bucketed(spark, "o_bucketed")), "bucketed")
+
+
 def main() -> None:
-    mults = [int(a) for a in sys.argv[1:]] or [10, 100]
+    args = [a for a in sys.argv[1:] if a != "--bucketing"]
+    mults = [int(a) for a in args] or [10, 100]
     from tastytrade_sdk_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -148,6 +196,8 @@ def main() -> None:
             out[name] = round(best, 2)
         print(json.dumps({"mult": mult, "total": round(sum(out.values()), 1),
                           "queries": out}), flush=True)
+        if "--bucketing" in sys.argv and mult == max(mults + [1]):
+            bucketing_demo(spark, sf_dir)
 
 
 if __name__ == "__main__":
