@@ -166,8 +166,51 @@ def bucketing_demo(spark, sf_dir: str) -> None:
                read_bucketed(spark, "o_bucketed")), "bucketed")
 
 
+def skew_demo(sf_dir: str) -> None:
+    """Measure salted_join on a 90%-hot-key join (AQE's skew splitter
+    and broadcast disabled, to isolate the lever: on a cluster you get
+    BOTH — salting for the keys AQE can't split, e.g. inside
+    aggregations, and AQE for the rest)."""
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.operators.scale import salted_join
+    from tastytrade_sdk_spark.session import get_spark
+
+    spark = get_spark("skew-demo", extra_conf={
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    })
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fact = ev.select(
+        (F.when(F.col("event_id") % 10 != 0, 0)
+          .otherwise(F.col("user_id") % 10000)).alias("k"),
+        "value",
+    )
+    dim = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+
+    def agg(j):
+        return j.groupBy().agg(
+            F.sum(F.col("value") * F.col("w")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def t(df, label):
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"skew_demo": label, "sec": round(best, 2)}),
+              flush=True)
+
+    t(agg(fact.join(dim, "k")), "plain_90pct_hot")
+    t(agg(salted_join(fact, dim, "k", n_salts=32)), "salted_32")
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--bucketing"]
+    args = [a for a in sys.argv[1:] if a not in ("--bucketing", "--skew")]
     mults = [int(a) for a in args] or [10, 100]
     from tastytrade_sdk_spark.session import get_spark
 
@@ -198,6 +241,8 @@ def main() -> None:
                           "queries": out}), flush=True)
         if "--bucketing" in sys.argv and mult == max(mults + [1]):
             bucketing_demo(spark, sf_dir)
+        if "--skew" in sys.argv and mult == max(mults + [1]):
+            skew_demo(sf_dir)
 
 
 if __name__ == "__main__":
