@@ -176,10 +176,15 @@ def skew_demo(sf_dir: str) -> None:
     from tastytrade_sdk_spark.operators.scale import salted_join
     from tastytrade_sdk_spark.session import get_spark
 
-    spark = get_spark("skew-demo", extra_conf={
-        "spark.sql.adaptive.skewJoin.enabled": "false",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    })
+    spark = get_spark("skew-demo")
+    # set-and-restore runtime confs explicitly: getOrCreate would
+    # silently mutate the shared session for later callers
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )}
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     fact = ev.select(
         (F.when(F.col("event_id") % 10 != 0, 0)
@@ -205,8 +210,12 @@ def skew_demo(sf_dir: str) -> None:
         print(json.dumps({"skew_demo": label, "sec": round(best, 2)}),
               flush=True)
 
-    t(agg(fact.join(dim, "k")), "plain_90pct_hot")
-    t(agg(salted_join(fact, dim, "k", n_salts=32)), "salted_32")
+    try:
+        t(agg(fact.join(dim, "k")), "plain_90pct_hot")
+        t(agg(salted_join(fact, dim, "k", n_salts=32)), "salted_32")
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 def main() -> None:
