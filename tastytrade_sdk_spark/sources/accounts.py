@@ -215,6 +215,7 @@ def _wire_struct(schema: StructType) -> StructType:
 
 
 PLACED_ORDER_WIRE_SCHEMA = _wire_struct(PLACED_ORDER_SCHEMA)
+TRADE_CHAIN_WIRE_SCHEMA = _wire_struct(TRADE_CHAIN_SCHEMA)
 
 
 def _snakeify_elem(elem: StructType):
@@ -251,6 +252,15 @@ def parse_order_json(df: DataFrame, json_col: str = "payload") -> DataFrame:
     expressions)."""
     wire = F.from_json(F.col(json_col), PLACED_ORDER_WIRE_SCHEMA)
     return df.withColumn("order", _snakeify(wire, PLACED_ORDER_SCHEMA))
+
+
+def parse_trade_chain_json(df: DataFrame, json_col: str = "payload") -> DataFrame:
+    """Parse a kebab-case TradeChain JSON column (OrderChain event wire
+    format, reference accounts/models.py:1116-1146) into a typed
+    ``trade_chain`` struct — same expression-only alias layer, three
+    nesting levels deep (chain -> nodes -> legs, plus computed-data)."""
+    wire = F.from_json(F.col(json_col), TRADE_CHAIN_WIRE_SCHEMA)
+    return df.withColumn("trade_chain", _snakeify(wire, TRADE_CHAIN_SCHEMA))
 
 
 # ---------------------------------------------------------------------------

@@ -247,3 +247,46 @@ def test_nest_explode_roundtrip_randomized(spark):
     }
     want = {(r[0], r[1], r[3], r[5], r[6], r[7], r[8]) for r in flat_rows}
     assert got == want
+
+
+WIRE_CHAIN_JSON = (
+    '{"id": "ch-1", "description": "Iron Condor", "underlying-symbol": "SPX",'
+    ' "computed-data": {"open": false, "realized-gain": 210.5,'
+    '   "realized-gain-effect": "Credit", "winner-realized": true,'
+    '   "roll-count": 2, "opened-at": "2026-01-05T10:00:00",'
+    '   "last-occurred-at": "2026-02-20T15:45:00"},'
+    ' "lite-nodes": [{"occurred-at": "2026-01-05T10:00:00", "node-id": 1,'
+    '   "node-type": "order", "description": "Opening",'
+    '   "total-fill-cost": 310.0, "total-fill-cost-effect": "Credit",'
+    '   "total-fees": 4.4, "roll": false,'
+    '   "legs": [{"symbol": "SPX 260320P05800000",'
+    '     "instrument-type": "Equity Option", "action": "Sell to Open",'
+    '     "fill-quantity": 1.0, "order-quantity": 1.0}]}]}'
+)
+
+
+def test_parse_trade_chain_json(spark):
+    from tastytrade_sdk_spark.sources.accounts import (
+        TRADE_CHAIN_SCHEMA,
+        parse_trade_chain_json,
+    )
+
+    df = spark.createDataFrame([(WIRE_CHAIN_JSON,)], ["payload"])
+    parsed = parse_trade_chain_json(df)
+    assert (
+        parsed.schema["trade_chain"].dataType.simpleString()
+        == TRADE_CHAIN_SCHEMA.simpleString()
+    )
+    ch = parsed.select("trade_chain").collect()[0]["trade_chain"]
+    assert ch["id"] == "ch-1"
+    assert ch["underlying_symbol"] == "SPX"
+    cd = ch["computed_data"]
+    assert cd["realized_gain"] == 210.5
+    assert cd["winner_realized"] is True
+    assert cd["roll_count"] == 2
+    node = ch["lite_nodes"][0]
+    assert node["node_id"] == 1
+    assert node["total_fill_cost_effect"] == "Credit"
+    leg = node["legs"][0]
+    assert leg["action"] == "Sell to Open"
+    assert leg["fill_quantity"] == 1.0
