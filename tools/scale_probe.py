@@ -218,8 +218,48 @@ def skew_demo(sf_dir: str) -> None:
             spark.conf.set(k, v)
 
 
+def zorder_demo(spark, sf_dir: str) -> None:
+    """Reproduce the honest negative recorded in SCALING.md: at these
+    file sizes (one parquet row group per ~15 MB file) Z-order does
+    NOT beat a linear sort for a pushable 2-D range predicate —
+    skipping granularity is the file. Kept as a probe so the claim
+    stays re-checkable as file sizing changes."""
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.operators.scale import zorder_key
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice"
+    )
+    base = "/tmp/zorder_probe"
+    li.write.mode("overwrite").parquet(base + "/plain")
+    (li.repartitionByRange(64, "l_partkey")
+       .sortWithinPartitions("l_partkey")
+       .write.mode("overwrite").parquet(base + "/linear"))
+    z = li.withColumn(
+        "__z", zorder_key([F.col("l_partkey"), F.col("l_suppkey")], bits=12)
+    )
+    (z.repartitionByRange(64, "__z").sortWithinPartitions("__z").drop("__z")
+      .write.mode("overwrite").parquet(base + "/zorder"))
+
+    for layout in ("plain", "linear", "zorder"):
+        df = spark.read.parquet(f"{base}/{layout}")
+        q = df.filter(
+            F.col("l_partkey").between(100000, 120000)
+            & F.col("l_suppkey").between(5000, 8000)
+        ).agg(F.sum("l_extendedprice").alias("s"), F.count(F.lit(1)).alias("n"))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({"zorder_demo": layout, "sec": round(best, 3)}),
+              flush=True)
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--bucketing", "--skew")]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--bucketing", "--skew", "--zorder")]
     mults = [int(a) for a in args] or [10, 100]
     from tastytrade_sdk_spark.session import get_spark
 
@@ -252,6 +292,8 @@ def main() -> None:
             bucketing_demo(spark, sf_dir)
         if "--skew" in sys.argv and mult == max(mults + [1]):
             skew_demo(sf_dir)
+        if "--zorder" in sys.argv and mult == max(mults + [1]):
+            zorder_demo(spark, sf_dir)
 
 
 if __name__ == "__main__":
