@@ -119,6 +119,16 @@ def build_replica(mult: int, out_dir: str) -> None:
             con.execute(f"COPY ({q}) TO '{dest}' (FORMAT PARQUET)")
 
 
+def _time_noop(df, runs: int = 2) -> float:
+    """Min-of-N wall clock of a full noop-sink materialization."""
+    best = 1e9
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def bucketing_demo(spark, sf_dir: str) -> None:
     """Measure the bucketed-layout lever on the big join: lineitem ⋈
     orders on the order key, plain parquet vs bucketBy(32) tables
@@ -145,14 +155,10 @@ def bucketing_demo(spark, sf_dir: str) -> None:
         )
 
     def t(df, label):
-        best = 1e9
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        best = _time_noop(df, 2)
         plan = df._jdf.queryExecution().executedPlan().toString()
         print(json.dumps({
-            "bucketing_demo": label, "sec": round(best, 2),
+            "bucketing_demo": label, "sec": best,
             "exchanges": len(re.findall("Exchange", plan)),
         }), flush=True)
 
@@ -202,12 +208,7 @@ def skew_demo(sf_dir: str) -> None:
         )
 
     def t(df, label):
-        best = 1e9
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        print(json.dumps({"skew_demo": label, "sec": round(best, 2)}),
+        print(json.dumps({"skew_demo": label, "sec": _time_noop(df, 2)}),
               flush=True)
 
     try:
@@ -219,11 +220,14 @@ def skew_demo(sf_dir: str) -> None:
 
 
 def zorder_demo(spark, sf_dir: str) -> None:
-    """Reproduce the honest negative recorded in SCALING.md: at these
-    file sizes (one parquet row group per ~15 MB file) Z-order does
-    NOT beat a linear sort for a pushable 2-D range predicate —
-    skipping granularity is the file. Kept as a probe so the claim
-    stays re-checkable as file sizing changes."""
+    """Measure layout-driven parquet skipping for a pushable 2-D range
+    predicate: plain writer order vs linear sort on one dimension vs
+    Z-order on both. Each dimension is range-bucketed ORDER-PRESERVINGLY
+    into [0, 2^bits) before interleaving — zorder_key's documented
+    precondition (operators/scale.py); feeding raw wide-domain keys
+    would wrap mod 2^bits and scatter ranges instead of clustering
+    them. Run with one dimension probed (filter on l_suppkey only) and
+    both, since that is where linear-vs-zorder differ."""
     from pyspark.sql import functions as F
 
     from tastytrade_sdk_spark.operators.scale import zorder_key
@@ -231,30 +235,45 @@ def zorder_demo(spark, sf_dir: str) -> None:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice"
     )
+    bits = 12
+    spans = li.agg(
+        (F.max("l_partkey") + 1).alias("ps"), (F.max("l_suppkey") + 1).alias("ss")
+    ).collect()[0]
+
+    def bucketed(col, span):
+        return F.floor(F.col(col).cast("double") * (2 ** bits) / span).cast("long")
+
     base = "/tmp/zorder_probe"
     li.write.mode("overwrite").parquet(base + "/plain")
     (li.repartitionByRange(64, "l_partkey")
        .sortWithinPartitions("l_partkey")
        .write.mode("overwrite").parquet(base + "/linear"))
     z = li.withColumn(
-        "__z", zorder_key([F.col("l_partkey"), F.col("l_suppkey")], bits=12)
+        "__z",
+        zorder_key(
+            [bucketed("l_partkey", spans["ps"]), bucketed("l_suppkey", spans["ss"])],
+            bits=bits,
+        ),
     )
     (z.repartitionByRange(64, "__z").sortWithinPartitions("__z").drop("__z")
       .write.mode("overwrite").parquet(base + "/zorder"))
 
+    part_hi = int(spans["ps"] * 0.01)
+    supp_hi = int(spans["ss"] * 0.03)
     for layout in ("plain", "linear", "zorder"):
         df = spark.read.parquet(f"{base}/{layout}")
-        q = df.filter(
-            F.col("l_partkey").between(100000, 120000)
-            & F.col("l_suppkey").between(5000, 8000)
+        both = df.filter(
+            F.col("l_partkey").between(0, part_hi)
+            & F.col("l_suppkey").between(0, supp_hi)
         ).agg(F.sum("l_extendedprice").alias("s"), F.count(F.lit(1)).alias("n"))
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            q.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        print(json.dumps({"zorder_demo": layout, "sec": round(best, 3)}),
-              flush=True)
+        supp_only = df.filter(
+            F.col("l_suppkey").between(0, supp_hi)
+        ).agg(F.sum("l_extendedprice").alias("s"), F.count(F.lit(1)).alias("n"))
+        print(json.dumps({
+            "zorder_demo": layout,
+            "both_dims_sec": _time_noop(both, 3),
+            "second_dim_only_sec": _time_noop(supp_only, 3),
+        }), flush=True)
 
 
 def main() -> None:
