@@ -105,3 +105,86 @@ def test_zorder_key_vs_python_interleave(spark):
     }
     for i, a, b, c in rows:
         assert got[i] == morton([a, b, c])
+
+
+def test_asof_join_vs_brute_force(spark):
+    """Randomized differential test of the union-tag as-of join: for
+    each left row the latest right row with t_r <= t_l (ties broken by
+    the order column, last wins; all-null payload rows skipped) —
+    checked against an O(L*R) Python walk on the same data."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.operators.asof import asof_join
+
+    rng = random.Random(20260814)
+    base = dt.datetime(2026, 1, 1)
+    syms = ["A", "B", "C"]
+    left_rows, right_rows = [], []
+    for i in range(300):
+        left_rows.append((rng.choice(syms), base + dt.timedelta(seconds=rng.randint(0, 5000)), i))
+    for j in range(200):
+        # ~10% all-null payloads must be skipped by the walk-back
+        px = None if rng.random() < 0.1 else round(rng.uniform(1, 100), 2)
+        right_rows.append((rng.choice(syms), base + dt.timedelta(seconds=rng.randint(0, 5000)), j, px))
+    left = spark.createDataFrame(left_rows, "sym string, t timestamp, lid long")
+    right = spark.createDataFrame(right_rows, "sym string, rt timestamp, seq long, px double")
+
+    got = {
+        (r["lid"], r["px"])
+        for r in asof_join(
+            left, right, on=["sym"], left_time="t", right_time="rt",
+            value_cols=["px"], right_order="seq",
+        ).collect()
+    }
+
+    want = set()
+    for sym, t, lid in left_rows:
+        cands = [
+            (rt, seq, px)
+            for (rsym, rt, seq, px) in right_rows
+            if rsym == sym and rt <= t and px is not None
+        ]
+        px = max(cands)[2] if cands else None  # (rt, seq) lexicographic: last wins
+        want.add((lid, px))
+    assert got == want
+
+
+def test_range_join_vs_brute_force(spark):
+    """Randomized differential test of the bin-explode range join
+    (start <= t < end) against the O(P*I) Python scan, including
+    intervals not aligned to bins and inverted intervals (dropped)."""
+    import datetime as dt
+    import random
+
+    from tastytrade_sdk_spark.operators.rangejoin import range_join_binned
+
+    rng = random.Random(99)
+    base = dt.datetime(2026, 3, 1)
+    pts, ivs = [], []
+    for i in range(400):
+        pts.append(("k%d" % (i % 3), base + dt.timedelta(seconds=rng.randint(0, 7200)), i))
+    for j in range(120):
+        s = base + dt.timedelta(seconds=rng.randint(0, 7200))
+        # ~10% inverted intervals must be dropped, not emit bins
+        dur = rng.randint(-600, 1800)
+        ivs.append(("k%d" % (j % 3), s, s + dt.timedelta(seconds=dur), j))
+    points = spark.createDataFrame(pts, "k string, t timestamp, pid long")
+    intervals = spark.createDataFrame(ivs, "k string, s timestamp, e timestamp, iid long")
+
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_binned(
+            points, intervals, on=["k"], point_time="t",
+            start="s", end="e", bin_width_ms=300_000,
+        ).collect()
+    }
+    want = {
+        (pid, iid)
+        for (pk, t, pid) in pts
+        for (ik, s, e, iid) in ivs
+        if pk == ik and s <= t < e
+    }
+    assert got == want
