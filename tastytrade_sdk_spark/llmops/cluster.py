@@ -48,17 +48,9 @@ def connected_components(
     instead — raise max_iters, or switch to the large-star/small-star
     variant for pathological chain graphs.
     """
-    # symmetrize with one explode (a self-union would duplicate the
-    # upstream pair-generation subtree — it would run twice even for
-    # the single checkpoint materialization below)
-    sym = edges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col(src).alias("__n"), F.col(dst).alias("__m")),
-                F.struct(F.col(dst).alias("__n"), F.col(src).alias("__m")),
-            )
-        ).alias("__e")
-    ).select("__e.__n", "__e.__m")
+    from tastytrade_sdk_spark.llmops.dedup import symmetrize_pairs
+
+    sym = symmetrize_pairs(edges, src, dst, "__n", "__m")
     # materialize the edge list ONCE: every propagation round joins
     # against it, and without the barrier the upstream pair-generation
     # pipeline (e.g. the whole MinHash-LSH plan) would re-execute per

@@ -389,3 +389,32 @@ def frequent_span_removal(
             F.transform(keep, lambda j: F.element_at(F.col("__t"), j)), " "
         ).alias("clean_text"),
     )
+
+
+def symmetrize_pairs(
+    pairs: DataFrame,
+    a: str,
+    b: str,
+    out_a: str,
+    out_b: str,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Emit each (a, b) pair in both directions with ONE explode.
+
+    The naive form — unionByName of two selects of the same DataFrame
+    — duplicates the upstream plan subtree, so an expensive
+    pair-generation pipeline (shingle join, LSH banding) executes
+    twice. A single explode over [struct(a,b), struct(b,a)] keeps one
+    copy of the subtree and is a narrow op. ``carry`` columns ride
+    along unchanged."""
+    carry = carry or []
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias(out_a), F.col(b).alias(out_b)),
+                F.struct(F.col(b).alias(out_a), F.col(a).alias(out_b)),
+            )
+        ).alias("__sym"),
+        *carry,
+    )
+    return sym.select(f"__sym.{out_a}", f"__sym.{out_b}", *carry)

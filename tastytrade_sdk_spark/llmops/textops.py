@@ -194,32 +194,39 @@ def canonical_url(url: Column | str) -> Column:
 
     Pure regexp/string expressions — scan-bound, no shuffle, and the
     exact same regex chain runs on the DuckDB oracle (patterns are
-    RE2-and-Java-regex compatible: no lookaround, no backrefs).
+    RE2-and-Java-regex compatible: no lookaround; the one backref in
+    the replacement differs only in syntax, $1 vs \\1).
     """
     u = F.lower(_c(url))
     u = F.regexp_replace(u, r"^https?://", "")
     u = F.regexp_replace(u, r"^www\.", "")
-    # kill tracking params wherever they sit in the query string
-    u = F.regexp_replace(u, r"(utm_[a-z0-9]+|ref)=[^&#]*", "")
-    # collapse separators left behind: "?&", "&&", trailing "?"/"&"
+    # kill tracking params wherever they sit in the query string —
+    # anchored on the preceding ?/& (kept via backref) so params whose
+    # names merely CONTAIN "ref"/"utm_" (href=, pref=) are untouched
+    u = F.regexp_replace(u, r"([?&])(utm_[a-z0-9]+|ref)=[^&#]*", "$1")
+    # collapse separators left behind: "?&", "&&", then a dangling
+    # "?"/"&" before a fragment or at end of string
     u = F.regexp_replace(u, r"\?&+", "?")
     u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+#", "#")
     u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"/$", "")
     return u
 
 
 #: DuckDB twin of canonical_url — same chain, 'g' flag where Spark
-#: replaces globally by default. {u} is the input SQL expression.
+#: replaces globally by default (backref spelled \\1 instead of $1).
+#: {u} is the input SQL expression.
 CANONICAL_URL_SQL = (
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-    "regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
     "lower({u}),"
     " '^https?://', ''),"
     " '^www\\.', ''),"
-    " '(utm_[a-z0-9]+|ref)=[^&#]*', '', 'g'),"
+    " '([?&])(utm_[a-z0-9]+|ref)=[^&#]*', '\\1', 'g'),"
     " '\\?&+', '?', 'g'),"
     " '&&+', '&', 'g'),"
+    " '[?&]+#', '#', 'g'),"
     " '[?&]+$', ''),"
     " '/$', '')"
 )

@@ -202,7 +202,14 @@ def _wire_name(snake: str) -> str:
 
 def _wire_struct(schema: StructType) -> StructType:
     """Kebab-case twin of a typed schema (the reference's pydantic
-    ``Field(alias="fill-id")`` mapping, declared once)."""
+    ``Field(alias="fill-id")`` mapping, declared once).
+
+    Leaf fields parse as STRING and are cast to their typed form in
+    ``_snakeify``: the reference wire encodes quantities/money as JSON
+    strings in places (TradeChain models, accounts/models.py:995-1014)
+    and as numbers elsewhere — from_json's StringType accepts either
+    token and keeps its text, where a DoubleType field would null out
+    the whole record on a quoted number (PERMISSIVE-mode data loss)."""
     fields = []
     for f in schema.fields:
         dt = f.dataType
@@ -210,6 +217,8 @@ def _wire_struct(schema: StructType) -> StructType:
             dt = _wire_struct(dt)
         elif isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType):
             dt = ArrayType(_wire_struct(dt.elementType))
+        else:
+            dt = StringType()
         fields.append(StructField(_wire_name(f.name), dt, True))
     return StructType(fields)
 

@@ -62,10 +62,12 @@ def kafka_reader_options(
 
     ``channels`` become the subscribed topics. ``starting_offsets``
     follows the same forms as :func:`feed_bus_stream`; ``from_time_ms``
-    (the candle `fromTime` backfill) maps to
-    ``startingOffsetsByTimestamp`` for every topic — Kafka resolves the
-    first offset at-or-after the timestamp per partition, which is
-    exactly the snapshot-then-live backfill position."""
+    (the candle `fromTime` backfill) maps to ``startingTimestamp``
+    (Spark 3.3+), which Kafka resolves per partition to the first
+    offset at-or-after the timestamp — exactly the snapshot-then-live
+    backfill position. (``startingOffsetsByTimestamp`` would need the
+    explicit per-partition map — its keys must be integer partition
+    ids, there is no wildcard form.)"""
     opts: dict[str, str] = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": ",".join(channels),
@@ -73,9 +75,7 @@ def kafka_reader_options(
         "failOnDataLoss": "false",
     }
     if from_time_ms is not None:
-        opts["startingOffsetsByTimestamp"] = json.dumps(
-            {c: {"*": from_time_ms} for c in channels}
-        )
+        opts["startingTimestamp"] = str(from_time_ms)
     elif isinstance(starting_offsets, dict):
         opts["startingOffsets"] = json.dumps(starting_offsets)
     else:
@@ -85,11 +85,22 @@ def kafka_reader_options(
 
 def kafka_envelope(raw: DataFrame) -> DataFrame:
     """Project a real Kafka source DataFrame (key/value binary,
-    topic/partition/offset/timestamp) onto the envelope schema."""
+    topic/partition/offset/timestamp) onto the envelope schema.
+
+    The envelope ``offset`` is partition-qualified
+    (``partition * 2^40 + offset``): a bare Kafka offset is only
+    unique per (topic, partition), so deduping on (channel, symbol,
+    offset) would silently merge distinct messages from different
+    partitions of the same topic (e.g. null-keyed round-robin
+    producers). 2^40 offsets/partition (~1.1e12) keeps the composite
+    inside a long for any realistic retention."""
     return raw.select(
         F.col("topic").alias("channel"),
         F.col("key").cast("string").alias("symbol"),
-        F.col("offset").cast("long").alias("offset"),
+        (
+            F.col("partition").cast("long") * F.lit(1 << 40)
+            + F.col("offset").cast("long")
+        ).alias("offset"),
         F.col("timestamp").alias("ts"),
         F.col("value").cast("string").alias("payload"),
     )
@@ -185,9 +196,20 @@ def subscribed(
     their file listing at plan time, so in-flight edits to a
     subscriptions table are NOT visible to a running query)."""
     if isinstance(subscriptions, DataFrame):
-        subs = subscriptions.select(
-            F.col(subscriptions.columns[0]).alias(symbol_col)
-        ).distinct()
+        # pick the symbol column by NAME when present; only fall back
+        # to positional for an unambiguous single-column frame —
+        # silently semi-joining against whatever happens to be first
+        # would drop every event without an error
+        if symbol_col in subscriptions.columns:
+            src = symbol_col
+        elif len(subscriptions.columns) == 1:
+            src = subscriptions.columns[0]
+        else:
+            raise ValueError(
+                f"subscriptions frame has no '{symbol_col}' column and "
+                f"is not single-column: {subscriptions.columns}"
+            )
+        subs = subscriptions.select(F.col(src).alias(symbol_col)).distinct()
         return stream.join(F.broadcast(subs), symbol_col, "left_semi")
     return stream.filter(F.col(symbol_col).isin(*list(subscriptions)))
 

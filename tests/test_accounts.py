@@ -290,3 +290,34 @@ def test_parse_trade_chain_json(spark):
     leg = node["legs"][0]
     assert leg["action"] == "Sell to Open"
     assert leg["fill_quantity"] == 1.0
+
+
+def test_parse_trade_chain_quantities_as_strings(spark):
+    """The reference's TradeChain wire encodes quantities/money as JSON
+    strings; the wire layer must parse them (and plain numbers) into
+    typed doubles rather than nulling the record."""
+    from tastytrade_sdk_spark.sources.accounts import parse_trade_chain_json
+
+    wire = (
+        '{"id": "ch-2", "description": "Vertical", "underlying-symbol": "QQQ",'
+        ' "computed-data": {"open": "false", "realized-gain": "12.25",'
+        '   "realized-gain-effect": "Credit", "winner-realized": "true",'
+        '   "roll-count": "0", "opened-at": "2026-01-05T10:00:00",'
+        '   "last-occurred-at": "2026-01-06T10:00:00"},'
+        ' "lite-nodes": [{"occurred-at": "2026-01-05T10:00:00", "node-id": "7",'
+        '   "node-type": "order", "description": "Opening",'
+        '   "total-fill-cost": "55.0", "total-fill-cost-effect": "Debit",'
+        '   "total-fees": "1.1", "roll": "false",'
+        '   "legs": [{"symbol": "QQQ 260320C00500000",'
+        '     "instrument-type": "Equity Option", "action": "Buy to Open",'
+        '     "fill-quantity": "2", "order-quantity": "2"}]}]}'
+    )
+    df = spark.createDataFrame([(wire,)], ["payload"])
+    ch = parse_trade_chain_json(df).select("trade_chain").collect()[0]["trade_chain"]
+    assert ch["computed_data"]["realized_gain"] == 12.25
+    assert ch["computed_data"]["winner_realized"] is True
+    assert ch["computed_data"]["roll_count"] == 0
+    node = ch["lite_nodes"][0]
+    assert node["node_id"] == 7
+    assert node["total_fill_cost"] == 55.0
+    assert node["legs"][0]["fill_quantity"] == 2.0

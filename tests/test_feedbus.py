@@ -220,10 +220,12 @@ class TestFeedBus:
         by_time = kafka_reader_options(
             "broker:9092", ["candle"], from_time_ms=1_700_000_000_000
         )
-        assert json.loads(by_time["startingOffsetsByTimestamp"]) == {
-            "candle": {"*": 1_700_000_000_000}
-        }
+        # all-partition timestamp start uses startingTimestamp —
+        # startingOffsetsByTimestamp has no wildcard partition form
+        # (its keys must be integer partition ids)
+        assert by_time["startingTimestamp"] == "1700000000000"
         assert "startingOffsets" not in by_time
+        assert "startingOffsetsByTimestamp" not in by_time
 
 
 @pytest.mark.parametrize("source", ["plain_file", "feed_bus"])
@@ -277,3 +279,28 @@ def test_streaming_ohlcv_same_from_either_source(spark, source):
         }
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_kafka_envelope_partition_qualified_offsets(spark):
+    """Two partitions of one topic can carry the same bare offset; the
+    envelope offset must stay distinct (partition-qualified) so the
+    redelivery absorb's dedup key is a real message identity."""
+    import datetime as dt
+
+    from tastytrade_sdk_spark.sources.feedbus import kafka_envelope
+
+    ts = dt.datetime(2026, 1, 2, 9, 30)
+    raw = spark.createDataFrame(
+        [
+            ("quote", bytearray(b"SPY"), bytearray(b"p1"), 0, 5, ts),
+            ("quote", bytearray(b"SPY"), bytearray(b"p2"), 1, 5, ts),
+        ],
+        "topic string, key binary, value binary, partition int, offset long, timestamp timestamp",
+    )
+    env = kafka_envelope(raw).collect()
+    assert [r["channel"] for r in env] == ["quote", "quote"]
+    assert [r["symbol"] for r in env] == ["SPY", "SPY"]
+    assert [r["payload"] for r in env] == ["p1", "p2"]
+    offs = {r["offset"] for r in env}
+    assert len(offs) == 2  # distinct despite equal bare offsets
+    assert min(offs) == 5 and max(offs) == (1 << 40) + 5

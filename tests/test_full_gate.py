@@ -4,9 +4,10 @@ are still gated per commit (the driver samples a subset per round;
 this is the local full replica of that gate).
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from check_oracle import run_gate  # noqa: E402
 

@@ -551,6 +551,11 @@ def test_canonical_url_edge_cases(spark):
         ("example.com/plain", "example.com/plain"),
         ("https://www.example.com", "example.com"),
         ("https://example.com/x?id=7&utm_c=9", "example.com/x?id=7"),
+        # params whose names merely CONTAIN ref/utm_ must survive
+        ("https://example.com/x?href=abc", "example.com/x?href=abc"),
+        ("https://example.com/x?pref=1&id=2", "example.com/x?pref=1&id=2"),
+        # dangling separator before a fragment
+        ("https://example.com/x?utm_c=1#frag", "example.com/x#frag"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r[0] for r in df.select(canonical_url("url")).collect()]
