@@ -18,6 +18,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def candle_agg_exprs(
+    time_col: str,
+    price_col: str,
+    size_col: str | None = None,
+    order_col: str | None = None,
+) -> list[Column]:
+    """The OHLCV aggregate expression list, shared by the batch and
+    streaming candle builders so the two schemas cannot drift (every
+    expression is streaming-legal: min_by/max_by/min/max/sum/count)."""
+    ord_expr: Column = F.struct(
+        F.col(time_col), F.col(order_col) if order_col else F.col(time_col)
+    )
+    aggs = [
+        F.min_by(F.col(price_col), ord_expr).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(F.col(price_col), ord_expr).alias("close"),
+    ]
+    if size_col is not None:
+        aggs += [
+            F.sum(size_col).alias("volume"),
+            (
+                F.sum(F.col(price_col) * F.col(size_col)) / F.sum(size_col)
+            ).alias("vwap"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("count"))
+    return aggs
+
+
 def ohlcv(
     df: DataFrame,
     symbol_col: str = "eventSymbol",
@@ -33,26 +62,8 @@ def ohlcv(
     the time column itself; pass a sequence id when trades can share a
     timestamp).
     """
-    ord_expr: Column = F.struct(
-        F.col(time_col), F.col(order_col) if order_col else F.col(time_col)
-    )
     bucket = F.window(F.col(time_col), interval)
-    aggs = [
-        F.min_by(F.col(price_col), ord_expr).alias("open"),
-        F.max(price_col).alias("high"),
-        F.min(price_col).alias("low"),
-        F.max_by(F.col(price_col), ord_expr).alias("close"),
-    ]
-    if size_col is not None:
-        aggs += [
-            F.sum(size_col).alias("volume"),
-            (
-                F.sum(F.col(price_col) * F.col(size_col)) / F.sum(size_col)
-            ).alias("vwap"),
-        ]
-        aggs.append(F.count(F.lit(1)).alias("count"))
-    else:
-        aggs.append(F.count(F.lit(1)).alias("count"))
+    aggs = candle_agg_exprs(time_col, price_col, size_col, order_col)
     out = df.groupBy(F.col(symbol_col).alias("symbol"), bucket.alias("w")).agg(*aggs)
     return out.select(
         "symbol",

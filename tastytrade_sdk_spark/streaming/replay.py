@@ -60,9 +60,17 @@ def run_backtest(
     time_col: str = "time",
     close_col: str = "close",
     hull_length: int = 20,
+    pricing_order_col: str | None = None,
 ) -> DataFrame:
     """Replay signal-interval candles through the engine; suppress
     warm-up emissions; as-of-enrich with pricing-interval entry price.
+
+    ``pricing_order_col`` breaks ties among pricing candles sharing a
+    timestamp (e.g. a late revision not deduped upstream) — without it
+    the as-of window's order among equal times is undefined and the
+    entry price (and P&L) could differ between runs on identical
+    input. When the pricing frame is keep-last-deduped upstream (the
+    normal prepared input) it can stay None.
 
     Returns the BacktestSignal-shaped frame (FIXTURES.md §10).
     """
@@ -78,11 +86,14 @@ def run_backtest(
         hull_length=hull_length,
     )
     live = signals.filter(F.col("start_time") >= F.lit(start))  # ST8 suppress
-    pricing = pricing_candles.select(
+    pricing_cols = [
         F.col(symbol_col).alias("symbol"),
         F.col(time_col).alias("p_time"),
         F.col(close_col).alias("p_close"),
-    )
+    ]
+    if pricing_order_col is not None:
+        pricing_cols.append(F.col(pricing_order_col).alias("p_seq"))
+    pricing = pricing_candles.select(*pricing_cols)
     return asof_join(
         live,
         pricing,
@@ -90,4 +101,5 @@ def run_backtest(
         left_time="start_time",
         right_time="p_time",
         value_cols=["p_close"],
+        right_order="p_seq" if pricing_order_col is not None else None,
     ).withColumnRenamed("p_close", "entry_price")

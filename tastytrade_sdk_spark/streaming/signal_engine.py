@@ -329,7 +329,11 @@ def detect_signals_batch(
                 hull_length=hull_length,
             )
         else:
-            events = list(zip(pdf[time_col], pdf[close_col]))
+            # same numeric coercion as the fast path: string-coded
+            # closes become floats, junk becomes NaN (skipped by the
+            # engine's NaN guard) — not a raw value that would raise
+            # inside float() or poison the buffer
+            events = list(zip(pdf[time_col], closes.astype(float)))
             signals, _ = run_engine(
                 events, prior_close=prior, hull_length=hull_length
             )
@@ -459,6 +463,7 @@ def detect_signals_streaming(
     symbol_col: str = "symbol",
     time_col: str = "time",
     close_col: str = "close",
+    prior_close_col: str | None = None,
     hull_length: int = 20,
 ):
     """Streaming form via applyInPandasWithState: per-symbol state
@@ -493,15 +498,42 @@ def detect_signals_streaming(
             )
         else:
             state = EngineState()
-            incr = _fresh_incr(hull_length, None)
+            incr = None  # seeded below once the first chunk is seen
         all_signals = []
-        for pdf in pdf_iter:
+        # applyInPandasWithState hands a group over as an ITERATOR of
+        # Arrow chunks with arbitrary row order across chunks — sorting
+        # per chunk would process a >maxRecordsPerBatch group out of
+        # global time order and diverge from the batch twin. Concat
+        # first, sort ONCE (the group's rows for this micro-batch are
+        # in memory either way; the cross-batch buffer is capped).
+        chunks = list(pdf_iter)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else (chunks[0] if chunks else None)
+        )
+        if pdf is not None and len(pdf):
             pdf = pdf.sort_values(time_col, kind="mergesort")
-            for t, close in zip(pdf[time_col], pdf[close_col]):
+            if incr is None and not group_state.exists:
+                # mirror detect_signals_batch's prior_close_col seed:
+                # first non-null prior close of a NEW group seeds the
+                # EMA/pad registers (ST6 batch==stream with seeding)
+                prior = None
+                if (
+                    prior_close_col is not None
+                    and pdf[prior_close_col].notna().any()
+                ):
+                    prior = float(pdf[prior_close_col].dropna().iloc[0])
+                state.prior_close = prior
+                incr = _fresh_incr(hull_length, prior)
+            closes = pd.to_numeric(pdf[close_col], errors="coerce")
+            for t, close in zip(pdf[time_col], closes.astype(float)):
                 signals, incr = _process_streaming_candle(
                     state, incr, t, close, hull_length
                 )
                 all_signals.extend(signals)
+        if incr is None and not group_state.exists:
+            incr = _fresh_incr(hull_length, None)
         group_state.update(
             (
                 state.hull_direction, state.macd_position, state.hull_armed,

@@ -25,19 +25,12 @@ def streaming_ohlcv(
     """A8 as a watermarked tumbling-window aggregation. Late rows
     within the watermark update the open bar (ST3); beyond it they are
     dropped — the bounded-state replacement for the reference's
-    unbounded keep-last frames (ST5)."""
-    ord_expr: Column = F.struct(
-        F.col(time_col), F.col(order_col) if order_col else F.col(time_col)
-    )
-    aggs = [
-        F.min_by(F.col(price_col), ord_expr).alias("open"),
-        F.max(price_col).alias("high"),
-        F.min(price_col).alias("low"),
-        F.max_by(F.col(price_col), ord_expr).alias("close"),
-        F.count(F.lit(1)).alias("count"),
-    ]
-    if size_col:
-        aggs.append(F.sum(size_col).alias("volume"))
+    unbounded keep-last frames (ST5). The aggregate list is SHARED
+    with the batch twin (operators/candles.candle_agg_exprs) so the
+    two schemas — including vwap and column order — cannot drift."""
+    from tastytrade_sdk_spark.operators.candles import candle_agg_exprs
+
+    aggs = candle_agg_exprs(time_col, price_col, size_col, order_col)
     agg = (
         stream.withWatermark(time_col, watermark)
         .groupBy(
@@ -57,15 +50,23 @@ def streaming_latest(
     keys: Sequence[str],
     time_col: str,
     watermark: str = "1 hour",
+    order_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """D1 latest-value table in update mode: max_by over event time.
     Emits one updated row per key per micro-batch (the Redis HSET
-    'latest' shape, redis.py:36-38)."""
+    'latest' shape, redis.py:36-38).
+
+    ``order_cols`` extends the max_by ordering past the event time
+    (e.g. ``[time_col, "event_id"]``): with equal timestamps and no
+    tiebreak the winner is arbitrary and can FLIP between micro-batch
+    replays, breaking the replay-convergence (ST7) story — same
+    deterministic-total-order contract as operators/dedup.keep_last."""
     payload = F.struct(*[F.col(c) for c in stream.columns])
+    order = F.struct(*[F.col(c) for c in (list(order_cols) if order_cols else [time_col])])
     agg = (
         stream.withWatermark(time_col, watermark)
         .groupBy(*keys)
-        .agg(F.max_by(payload, F.col(time_col)).alias("__latest"))
+        .agg(F.max_by(payload, order).alias("__latest"))
     )
     value_cols = [c for c in stream.columns if c not in keys]
     return agg.select(*keys, *[F.col(f"__latest.{c}").alias(c) for c in value_cols])
@@ -152,7 +153,10 @@ def streaming_latest_tws(
         statefulProcessor=LatestProcessor(),
         outputStructType=schema,
         outputMode="Update",
-        timeMode="None",
+        # TTL state REQUIRES ProcessingTime mode — Spark raises
+        # STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL if a
+        # ttlDurationMs state is registered under timeMode="None"
+        timeMode="ProcessingTime" if state_ttl_ms else "None",
     )
 
 
