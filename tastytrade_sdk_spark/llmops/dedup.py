@@ -139,7 +139,16 @@ def band_hashes(
     every LSH consumer (pair generation, streaming dedup store)."""
     assert k % bands == 0
     rows = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    # shingle-less docs (fewer than shingle_n tokens) come back from
+    # minhash_signatures with an all-NULL signature; concat_ws skips
+    # NULLs, so WITHOUT this filter every short doc would share the
+    # md5("") band hash in every band — a full candidate-pair CLIQUE
+    # of unrelated short docs (quadratic blowup + bogus near-dups).
+    # A doc with no shingles has no similarity evidence: it gets no
+    # band keys and so no candidate pairs.
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n).filter(
+        F.col("sig_0").isNotNull()
+    )
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
@@ -361,7 +370,15 @@ def frequent_span_removal(
         sh.groupBy("shingle")
         .agg(F.count_distinct(F.col(id_col)).alias("nd_sh"))
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("nd_sh") >= F.lit(min_doc_frac) * F.col("n_docs"))
+        # absolute >=2-docs floor: "cross-document" needs at least two
+        # documents by definition — on a corpus smaller than
+        # 1/min_doc_frac docs the bare fraction would let a shingle
+        # seen in ONE doc qualify, and every document's entire text
+        # would be scrubbed to '' (silent total data loss)
+        .filter(
+            F.col("nd_sh")
+            >= F.greatest(F.lit(2.0), F.lit(min_doc_frac) * F.col("n_docs"))
+        )
         .select("shingle")
     )
     cov = (

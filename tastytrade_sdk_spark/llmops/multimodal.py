@@ -89,7 +89,9 @@ def extract_features(
     deterministic fake above."""
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            # derive the id type from the input — hardcoding LongType
+            # breaks Arrow conversion for string/int ids
+            T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )

@@ -33,33 +33,60 @@ _D = "[0-9]"
 # both engines. Word-ish boundaries are expressed with explicit
 # guards (start/end or a non-digit neighbor) instead of \b, which RE2
 # and Java agree on only for ASCII.
-PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+# (name, core pattern, placeholder, (leading guard, trailing guard)).
+# Guards are CAPTURING groups re-emitted around the placeholder ($1/$2
+# in Spark, \1/\2 in DuckDB — regexp_replace backref syntax is the one
+# engine difference, handled by spark_replacement/duck_replacement).
+# Without them a core pattern matches INSIDE longer runs: 'sku
+# 123-456-78901' would lose its first 12 chars to <PHONE>, '1.2.3.4.5'
+# would become '<IP>.5', and a 26-digit run would be HALF-masked
+# (19 digits -> <NUM>, 7 left raw beside it — a partial-redaction
+# leak). One guard char is consumed per match, so two PII spans
+# separated by a single character redact on the left-most first —
+# acceptable for a scrub pass, and identical on both engines.
+_PII_RULES: tuple[tuple[str, str, str, tuple[str, str]], ...] = (
     (
         "email",
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
         "<EMAIL>",
+        ("(^|[^A-Za-z0-9._%+-])", "($|[^A-Za-z0-9.-])"),
     ),
     (
         "ssn",
         f"{_D}{{3}}-{_D}{{2}}-{_D}{{4}}",
         "<SSN>",
+        ("(^|[^0-9-])", "($|[^0-9-])"),
     ),
     (
         "phone",
         f"{_D}{{3}}-{_D}{{3}}-{_D}{{4}}",
         "<PHONE>",
+        ("(^|[^0-9-])", "($|[^0-9-])"),
     ),
     (
         "ipv4",
         f"{_D}{{1,3}}[.]{_D}{{1,3}}[.]{_D}{{1,3}}[.]{_D}{{1,3}}",
         "<IP>",
+        ("(^|[^0-9.])", "($|[^0-9.])"),
     ),
     (
         "digit_run",
         f"{_D}{{13,19}}",  # card-like long digit runs
         "<NUM>",
+        ("(^|[^0-9])", "($|[^0-9])"),
     ),
 )
+
+#: (name, guarded pattern, Spark replacement) — guards baked in.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = tuple(
+    (name, f"{gl}(?:{core}){gr}", f"$1{tag}$2")
+    for name, core, tag, (gl, gr) in _PII_RULES
+)
+
+
+def duck_replacement(spark_repl: str) -> str:
+    """DuckDB's regexp_replace spells backrefs \\1, not $1."""
+    return spark_repl.replace("$", "\\")
 
 
 def _c(col: Column | str) -> Column:

@@ -47,13 +47,21 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Small-file inputs arrive single-partition; pair-scan stages must
-    not run single-task."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# one shared repartition heuristic for every llmops module
+from tastytrade_sdk_spark.llmops.dedup import _spread  # noqa: E402
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row — with a CLEAR
+    error on an empty frame (first() returns None, and len(None[0])
+    would raise an opaque TypeError deep in plan construction)."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer vector dim: no non-null '{vec_col}' rows "
+            "(empty corpus?) — filter upstream or pass a non-empty frame"
+        )
+    return len(row[0])
 
 
 def with_unit_vector(
@@ -344,11 +352,14 @@ def ivf_topk(
         )
         .withColumn("__list", F.explode(probe_udf(F.col("__qvec"))))
     )
+    # no distinct needed: each corpus row carries exactly ONE __list
+    # and the probe lists per query are unique, so a (query, candidate)
+    # pair cannot duplicate — a dedup here would be a full shuffle of
+    # the widest rows (both embedding arrays) for nothing
     cands = (
         cb.join(F.broadcast(qb), "__list")
         .filter(F.col(id_col) != F.col("__qid"))
         .select("__qid", id_col, vec_col, "__qvec")
-        .distinct()
     )
     scored = cands.withColumn(
         "cosine", F.round(cos_udf(F.col("__qvec"), F.col(vec_col)), round_dp)
@@ -382,7 +393,7 @@ def random_projection(
     the projection is exactly reproducible anywhere. The flat
     ``proj_*`` columns are the natural input for cheaper brute-force
     or LSH search at lake scale."""
-    dim = len(df.select(vec_col).first()[0])
+    dim = _vec_dim(df, vec_col)
     planes = hyperplanes(out_dim, dim, seed) / np.sqrt(out_dim)
     cols = []
     for i in range(out_dim):
@@ -422,7 +433,7 @@ def lsh_topk(
 
     assert n_planes % bands == 0
     rows = n_planes // bands
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _vec_dim(corpus, vec_col)
     planes = hyperplanes(n_planes, dim, seed)
     weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
 

@@ -55,6 +55,12 @@ def asof_join(
     (e.g. an arrival-sequence column) — last wins.
     """
     keys = list(on)
+    if not value_cols:
+        raise ValueError(
+            "asof_join requires at least one value column: with none to "
+            "carry over there is nothing to join (and the all-null "
+            "payload guard would be vacuous)"
+        )
     out_names = [c + suffix for c in value_cols]
 
     payload = F.struct(

@@ -89,9 +89,13 @@ def gap_fill(
     # flag synthetics by JOIN MEMBERSHIP, not value nullness: a real
     # bucket whose first value column happens to be NULL must not be
     # treated as manufactured (the reference fills only missing
-    # buckets, time_series.py:152-179)
+    # buckets, time_series.py:152-179). FULL outer, not left: a real
+    # row whose timestamp is not aligned to the min(t)-anchored grid
+    # (odd first timestamp, DST-shifted bucket) must stay in the
+    # output — a left join FROM the scaffold would silently drop it
+    # (the USING-join coalesces the key columns for both sides).
     dense = cal.join(
-        df.withColumn("__real", F.lit(True)), on=[*key_cols, time_col], how="left"
+        df.withColumn("__real", F.lit(True)), on=[*key_cols, time_col], how="full"
     )
     dense = dense.withColumn("__synth", F.col("__real").isNull()).drop("__real")
     filled = forward_fill(dense, value_cols, key_cols, [time_col])

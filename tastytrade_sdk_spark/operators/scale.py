@@ -123,6 +123,12 @@ def zorder_key(cols: Sequence[Column], bits: int = 8) -> Column:
     engine-agnostic). Callers bucket each dimension to [0, 2^bits)
     first (e.g. ``pmod(hash(c), 256)`` or a range bucket)."""
     k = len(cols)
+    if bits * k > 63:
+        raise ValueError(
+            f"zorder_key needs bits*len(cols) <= 63 to fit a signed "
+            f"long (got {bits}*{k}={bits * k}): a shift past bit 62 "
+            f"overflows the literal and corrupts the sort order"
+        )
     out = F.lit(0).cast("long")
     for i in range(bits):
         for c_idx, c in enumerate(cols):

@@ -560,3 +560,45 @@ def test_canonical_url_edge_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r[0] for r in df.select(canonical_url("url")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_pii_boundary_guards(spark):
+    from tastytrade_sdk_spark.llmops.pii import redact_pii
+
+    rows = [
+        (1, "sku 123-456-78901 is fine"),        # 12-digit prefix != phone
+        (2, "version v10.2.30.45 and 1.2.3.4.5"),  # dotted chains != IP
+        (3, "run 12345678901234567890123456 raw"),  # 26 digits: no partial mask
+        (4, "call 555-123-4567 now"),             # real phone still masked
+        (5, "ip 10.2.30.45 ok"),                  # real IP still masked
+    ]
+    got = {
+        r["doc_id"]: r["red"]
+        for r in spark.createDataFrame(rows, "doc_id int, text string")
+        .select("doc_id", redact_pii(F.col("text")).alias("red"))
+        .collect()
+    }
+    assert got[1] == "sku 123-456-78901 is fine"
+    assert got[2] == "version v<IP> and 1.2.3.4.5"
+    assert got[3] == "run 12345678901234567890123456 raw"
+    assert got[4] == "call <PHONE> now"
+    assert got[5] == "ip <IP> ok"
+
+
+def test_short_docs_get_no_lsh_band_clique(spark):
+    """Docs with fewer than shingle_n tokens have no similarity
+    evidence: they must produce NO band keys (an all-NULL signature
+    used to hash to md5('') in every band, putting all short docs in
+    one full candidate-pair clique)."""
+    from tastytrade_sdk_spark.llmops.dedup import band_hashes, lsh_candidate_pairs
+
+    rows = [
+        (1, "hi"), (2, "ok"), (3, "yes"), (4, "no"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = band_hashes(docs)
+    assert bands.filter(F.col("doc_id") < 5).count() == 0
+    pairs = lsh_candidate_pairs(docs).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(5, 6)}

@@ -162,3 +162,30 @@ def test_forward_fill(spark):
     )
     out = forward_fill(df, ["v"], ["sym"], ["t"]).orderBy("sym", "t").collect()
     assert [r["v"] for r in out] == [1.0, 1.0, 1.0, 4.0, None]
+
+
+def test_gap_fill_keeps_unaligned_real_rows(spark):
+    """A real row off the min(t)-anchored grid (e.g. 00:45 on a 30m
+    grid) must survive gap-fill, not vanish into the scaffold join."""
+    import datetime as dt
+
+    from tastytrade_sdk_spark.operators.gapfill import gap_fill
+
+    t0 = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [
+            ("A", t0, 1.0),
+            ("A", t0 + dt.timedelta(minutes=45), 9.0),
+            ("A", t0 + dt.timedelta(minutes=60), 2.0),
+        ],
+        "k string, t timestamp, v double",
+    )
+    out = {
+        (r["t"].hour * 60 + r["t"].minute, r["is_synthetic"]): r["v"]
+        for r in gap_fill(df, ["k"], "t", "30 minutes", ["v"]).collect()
+    }
+    # grid rows 00:00/00:30/01:00 plus the real off-grid 00:45 row
+    assert out[(0, False)] == 1.0
+    assert out[(30, True)] == 1.0   # filled from 00:00
+    assert out[(45, False)] == 9.0  # REAL row preserved
+    assert out[(60, False)] == 2.0
