@@ -78,7 +78,10 @@ def macd_np(
     if len(closes) == 0:
         return np.empty(0), np.empty(0), np.empty(0)
     if prior_close is None:
-        prior_close = float(closes[0])
+        # first NON-NaN close, like the reference's validated series —
+        # seeding with a NaN head would poison both EMA states
+        finite = closes[~np.isnan(closes)]
+        prior_close = float(finite[0]) if len(finite) else float("nan")
     value = ema_seeded_np(closes, fast_length, prior_close) - ema_seeded_np(
         closes, slow_length, prior_close
     )

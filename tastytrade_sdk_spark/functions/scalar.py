@@ -42,9 +42,15 @@ def mid_price(bid: Column | str = "bidPrice", ask: Column | str = "askPrice") ->
 
 
 def apply_effect(amount: Column | str, effect: Column | str) -> Column:
-    """'Credit' -> +amount, 'Debit' -> -amount, else NULL-safe passthrough."""
+    """'Credit' -> +amount, 'Debit' -> -amount; a NULL amount signs to
+    0 — the reference treats a missing amount as Decimal('0')
+    (analytics/positions.py apply_effect), so a NULL must not
+    propagate into totals where the reference reports a finite sum."""
     amt = F.col(amount) if isinstance(amount, str) else amount
     eff = F.col(effect) if isinstance(effect, str) else effect
+    # untyped zero literal: coalesce promotes it to amt's own type
+    # (decimal stays decimal at the money sites)
+    amt = F.coalesce(amt, F.lit(0))
     return F.when(eff == "Debit", -amt).otherwise(amt)
 
 
@@ -66,12 +72,23 @@ _INTERVAL_MS = {"s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000, "w": 6
 
 
 def interval_to_ms(interval: Column | str) -> Column:
-    """``"5m"`` / ``"h"`` / ``"2d"`` -> milliseconds (bare unit => count 1)."""
+    """``"5m"`` / ``"h"`` / ``"2d"`` -> milliseconds (bare unit =>
+    count 1; case-insensitive like the reference's interval.lower(),
+    messages.py parse_interval).
+
+    The count and unit are parsed with ONE anchored whole-string
+    match: separately anchoring count at the start and unit at the end
+    would silently mis-read compound or junk strings ('5m30s' -> 5s,
+    '5xm' -> 5m). Malformed input yields NULL — the expression-layer
+    error signal — rather than a wrong bucket width.
+    """
     s = F.col(interval) if isinstance(interval, str) else interval
+    s = F.lower(s)
+    pat = r"^([0-9]*)([smhdw])$"
     count = F.coalesce(
-        F.nullif(F.regexp_extract(s, r"^(\d*)", 1), F.lit("")).cast("long"), F.lit(1)
+        F.nullif(F.regexp_extract(s, pat, 1), F.lit("")).cast("long"), F.lit(1)
     )
-    unit = F.regexp_extract(s, r"([smhdw])$", 1)
+    unit = F.regexp_extract(s, pat, 2)
     unit_ms = F.lit(None).cast("long")
     for u, ms in _INTERVAL_MS.items():
         unit_ms = F.when(unit == u, F.lit(ms)).otherwise(unit_ms)

@@ -309,9 +309,15 @@ def _match_ratio(legs):
     return None
 
 
-def _match_pair_diff_type(legs):
+def _match_pair_diff_type(legs, want: str):
     """Straddle / strangle / synthetic share the call+put same-exp
-    skeleton (patterns.py:517-604); dispatch on strike/direction."""
+    skeleton (patterns.py:517-604); dispatch on strike/direction.
+
+    ``want`` selects which family this scan is FOR: the reference runs
+    three independent full scans (patterns.py match_straddle /
+    match_strangle / match_synthetic), so a strangle pair earlier in
+    combination order must not shadow a straddle pair later in the
+    list — each wrapper keeps scanning until a pair of ITS kind."""
     options = [l for l in legs if l.is_option]
     for a, b in combinations(options, 2):
         if (
@@ -324,36 +330,41 @@ def _match_pair_diff_type(legs):
         same_strike = a.strike == b.strike and a.strike is not None
         same_dir = a.is_long == b.is_long
         if same_strike and same_dir:
-            return ("Long Straddle" if a.is_long else "Short Straddle"), [a, b]
-        if (
+            kind = ("Long Straddle" if a.is_long else "Short Straddle"), [a, b]
+            fam = "Straddle"
+        elif (
             not same_strike
             and a.strike is not None
             and b.strike is not None
             and same_dir
         ):
-            return ("Long Strangle" if a.is_long else "Short Strangle"), [a, b]
-        if same_strike and not same_dir:
+            kind = ("Long Strangle" if a.is_long else "Short Strangle"), [a, b]
+            fam = "Strangle"
+        elif same_strike and not same_dir:
             call = a if a.is_call else b
             put = b if a.is_call else a
             if call.is_long and put.is_short:
-                return "Synthetic Long", [a, b]
-            return "Synthetic Short", [a, b]
+                kind = "Synthetic Long", [a, b]
+            else:
+                kind = "Synthetic Short", [a, b]
+            fam = "Synthetic"
+        else:
+            continue
+        if fam == want:
+            return kind
     return None
 
 
 def _match_straddle(legs):
-    r = _match_pair_diff_type(legs)
-    return r if r and "Straddle" in r[0] else None
+    return _match_pair_diff_type(legs, "Straddle")
 
 
 def _match_strangle(legs):
-    r = _match_pair_diff_type(legs)
-    return r if r and "Strangle" in r[0] else None
+    return _match_pair_diff_type(legs, "Strangle")
 
 
 def _match_synthetic(legs):
-    r = _match_pair_diff_type(legs)
-    return r if r and "Synthetic" in r[0] else None
+    return _match_pair_diff_type(legs, "Synthetic")
 
 
 def _match_calendar(legs):
@@ -477,7 +488,7 @@ def classify_strategies(
         legs = [
             Leg(
                 symbol=r["symbol"],
-                underlying=r["underlying"],
+                underlying=r[underlying_col],
                 instrument_type=r["instrument_type"],
                 signed_quantity=float(r["signed_quantity"]),
                 option_type=(

@@ -69,10 +69,25 @@ def replay_one_symbol(rows: list[dict], current_qty: int) -> dict:
     price_x_qty = Decimal("0")
     taken_qty = Decimal("0")
 
+    def _dec(v):
+        # the reference replays VALIDATED models (non-null Decimals);
+        # raw rows here may carry NULL/NaN — treat the field as absent
+        # rather than raising Decimal("None") in the executor
+        if v is None:
+            return None
+        try:
+            d = Decimal(str(v))
+        except Exception:
+            return None
+        return None if d.is_nan() else d
+
     for r in ordered:
         if remaining == 0:
             break
-        qty = int(r["quantity"])
+        rq = r["quantity"]
+        if rq is None or (isinstance(rq, float) and rq != rq):
+            continue  # malformed fill: no quantity, nothing to replay
+        qty = int(rq)
         action = r["action"]
         if action in CLOSE_ACTIONS:
             close_buffer += qty
@@ -85,12 +100,23 @@ def replay_one_symbol(rows: list[dict], current_qty: int) -> dict:
         take = min(surviving, remaining)
         if take > 0:
             fraction = Decimal(take) / Decimal(qty)
-            value = Decimal(str(r["value"]))
-            net_value = Decimal(str(r["net_value"]))
+            value = _dec(r["value"])
+            net_value = _dec(r["net_value"])
+            price = _dec(r["price"])
+            if value is None or net_value is None or price is None:
+                # a consumed open fill with missing money fields makes
+                # the position's entry credit unknowable — report
+                # uncovered instead of crashing the job
+                return {
+                    "entry_credit": None,
+                    "fees": None,
+                    "weighted_price": None,
+                    "covered": False,
+                }
             sign = Decimal(1) if r["value_effect"] == "Credit" else Decimal(-1)
             entry_credit += value * fraction * sign
             fees += abs(net_value - value) * fraction
-            price_x_qty += Decimal(str(r["price"])) * take
+            price_x_qty += price * take
             taken_qty += take
             remaining -= take
 
@@ -136,7 +162,20 @@ def lifo_entry_credits(
 
     def kernel(recs: list[dict]) -> list[dict]:
         symbol = recs[0]["symbol"]
-        current_qty = int(recs[0]["__current_qty"])
+        raw_qty = recs[0]["__current_qty"]
+        if raw_qty is None or pd.isna(raw_qty):
+            # NULL position quantity: the replay target is undefined —
+            # emit an uncovered row instead of int(None) killing the job
+            return [
+                {
+                    "symbol": symbol,
+                    "entry_credit": None,
+                    "fees": None,
+                    "weighted_price": None,
+                    "covered": False,
+                }
+            ]
+        current_qty = int(raw_qty)
         fills = [r for r in recs if not pd.isna(r["executed_at"])]
         res = replay_one_symbol(fills, current_qty)
         return [

@@ -76,7 +76,10 @@ def closest_dte_expirations(
     targets = contracts.sparkSession.createDataFrame(
         [(t,) for t in target_dtes], "target_dte int"
     )
-    dtes = contracts.select(dte_col).distinct()
+    # a NULL dte would out-rank every real one (ASC window order is
+    # NULLS FIRST and abs(NULL - target) is NULL) and then equi-join
+    # to nothing — silently emptying the result for every target
+    dtes = contracts.select(dte_col).filter(F.col(dte_col).isNotNull()).distinct()
     ranked = (
         dtes.crossJoin(F.broadcast(targets))
         .withColumn(

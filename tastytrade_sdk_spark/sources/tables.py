@@ -39,7 +39,21 @@ def _nanos_ts_columns(path: str) -> list[str]:
     import pyarrow.parquet as pq
 
     try:
-        schema = pq.read_schema(path)
+        if os.path.isdir(path):
+            # directory-shaped table (partitioned layout): read the
+            # schema off the first part file — pq.read_schema only
+            # accepts a single file and would silently return [] here,
+            # leaving NANOS columns undetected and the Spark read to
+            # fail on them
+            parts = sorted(
+                f for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            if not parts:
+                return []
+            schema = pq.read_schema(os.path.join(path, parts[0]))
+        else:
+            schema = pq.read_schema(path)
     except Exception:
         return []
     out = []

@@ -227,3 +227,32 @@ class TestClassifier:
         assert ("SPY", "Iron Condor") in by_und
         assert ("QQQ", "Covered Call") in by_und
         assert len(out) == 2
+
+
+def test_straddle_not_shadowed_by_earlier_strangle_pair():
+    """Reference runs independent scans per pattern family
+    (patterns.py match_straddle/match_strangle): a strangle pair
+    earlier in combination order must not stop a straddle pair later
+    in the leg list from classifying."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from tastytrade_sdk_spark.kernels.classifier import Leg, classify_group
+
+    e = dt.date(2024, 3, 15)
+
+    def leg(sym, ot, strike, qty):
+        return Leg(
+            symbol=sym, underlying="XYZ", instrument_type="Equity Option",
+            signed_quantity=qty, option_type=ot,
+            strike=Decimal(strike), expiration=e,
+        )
+
+    legs = [
+        leg("C100", "C", "100", 1.0),
+        leg("P90", "P", "90", 1.0),
+        leg("C105", "C", "105", 1.0),
+        leg("P105", "P", "105", 1.0),
+    ]
+    names = sorted(name for name, _ in classify_group(legs))
+    assert names == ["Long Straddle", "Long Strangle"]

@@ -112,3 +112,21 @@ def test_dte(spark):
         [(dt.date(2024, 2, 1), dt.date(2024, 1, 15))], "e date, t date"
     )
     assert df.select(dte("e", "t").alias("o")).collect()[0]["o"] == 17
+
+
+def test_apply_effect_null_amount_is_zero(spark):
+    # reference analytics/positions.apply_effect: missing amount -> 0
+    df = spark.createDataFrame(
+        [(None, "Credit"), (None, "Debit")], "amt double, eff string"
+    )
+    out = [r["o"] for r in df.select(apply_effect("amt", "eff").alias("o")).collect()]
+    assert out == [0.0, -0.0] or out == [0.0, 0.0]
+
+
+def test_interval_to_ms_strict_and_case_insensitive(spark):
+    from tastytrade_sdk_spark.functions.scalar import interval_to_ms
+
+    rows = [("5m",), ("5M",), ("h",), ("5m30s",), ("5xm",), ("30s",)]
+    df = spark.createDataFrame(rows, "iv string")
+    out = [r["ms"] for r in df.select(interval_to_ms("iv").alias("ms")).collect()]
+    assert out == [300000, 300000, 3600000, None, None, 30000]
