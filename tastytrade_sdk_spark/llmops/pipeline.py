@@ -262,3 +262,101 @@ def stratified_hash_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k_per_stratum)
     )
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: str = "shuf-v1",
+) -> DataFrame:
+    """Deterministic global training order: every row gets a shard, a
+    position within the shard, and a single corpus-wide position —
+    the "globally shuffled dataset" op a training pipeline runs last
+    (reference-free; standard corpus-prep practice).
+
+    Spark-first scale shape: a true global row_number() would funnel
+    100 TB through ONE task (Window with no partitionBy). Instead the
+    md5 order key is bucketed into ``n_shards`` hash shards; each
+    shard enumerates locally (one shuffle, n_shards-way parallel), and
+    the global position is reconstructed exactly as
+    ``shard_offset + pos_in_shard`` where the offsets are a running
+    sum over the (tiny, n_shards-row) shard-size aggregate,
+    broadcast-joined back. Total: two scans of a 2-column projection,
+    one fat shuffle, zero driver collects; raise n_shards with the
+    cluster. The order is identical to ORDER BY (shard, key, id), and
+    hash-sharding makes it a uniform random permutation of the corpus.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    shard = h32(key) % n_shards
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    in_shard = keyed.withColumn(
+        "pos_in_shard", (F.row_number().over(w) - F.lit(1)).cast("long")
+    )
+    sizes = keyed.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    off_w = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # n_shards rows total: the single-partition window is bounded
+    offsets = sizes.select(
+        "shard",
+        F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("shard_offset"),
+    )
+    return (
+        in_shard.join(F.broadcast(offsets), "shard")
+        .select(
+            id_col,
+            "shuffle_key",
+            F.col("shard").cast("long").alias("shard"),
+            "pos_in_shard",
+            (F.col("shard_offset") + F.col("pos_in_shard"))
+            .cast("long")
+            .alias("global_pos"),
+        )
+    )
+
+
+def source_rollup(
+    docs: DataFrame,
+    quality_col,
+    max_dup_rate: float = 0.5,
+    min_avg_quality: float = 0.3,
+) -> DataFrame:
+    """Per-source corpus health rollup — the C4/RefinedWeb-style
+    domain-level gate: how many docs, how much exact duplication, how
+    language-diverse, and how good on average each source is, plus a
+    keep/drop decision for source-level filtering.
+
+    Scale shape: one aggregation keyed on source. The two DISTINCT
+    aggregates plan as an Expand (row ×2 with partial aggregation on
+    (source, hash) / (source, lang) first), so the shuffle carries
+    near-distinct row counts, not the corpus; source cardinality is
+    low, but AQE's skew handling plus the partial agg keeps any one
+    reducer bounded. quality_col is computed scan-side (expressions
+    only).
+    """
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("__h"),
+        quality_col.alias("__q"),
+    )
+    n = F.count(F.lit(1))
+    nd = F.count_distinct(F.col("__h"))
+    dup_rate = F.lit(1.0) - nd.cast("double") / n.cast("double")
+    avg_q = F.avg("__q")
+    return per_doc.groupBy("source").agg(
+        n.alias("n_docs"),
+        nd.alias("n_distinct_texts"),
+        F.round(dup_rate, 6).alias("dup_rate"),
+        F.round(avg_q, 6).alias("avg_quality"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        ((dup_rate <= max_dup_rate) & (avg_q >= min_avg_quality)).alias(
+            "keep"
+        ),
+    )

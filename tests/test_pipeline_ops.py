@@ -187,3 +187,53 @@ def test_macd_kernel_prior_seed_matches_expression(spark):
     for t in kern:
         assert kern[t][0] == pytest.approx(expr[t][0], abs=1e-9)
         assert kern[t][1] == pytest.approx(expr[t][1], abs=1e-9)
+
+
+def test_training_shuffle_is_exact_permutation(spark):
+    from tastytrade_sdk_spark.llmops.pipeline import training_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = training_shuffle(df, id_col="doc_id", n_shards=8).collect()
+    assert len(out) == 500
+    # global_pos is exactly 0..n-1 (a permutation, no gaps/dups)
+    assert sorted(r["global_pos"] for r in out) == list(range(500))
+    # global order == ORDER BY (shard, shuffle_key, doc_id)
+    by_pos = sorted(out, key=lambda r: r["global_pos"])
+    by_key = sorted(out, key=lambda r: (r["shard"], r["shuffle_key"], r["doc_id"]))
+    assert [r["doc_id"] for r in by_pos] == [r["doc_id"] for r in by_key]
+    # deterministic across runs
+    again = training_shuffle(df, id_col="doc_id", n_shards=8).collect()
+    assert {r["doc_id"]: r["global_pos"] for r in again} == {
+        r["doc_id"]: r["global_pos"] for r in out
+    }
+    # different shard counts permute differently but stay permutations
+    other = training_shuffle(df, id_col="doc_id", n_shards=4).collect()
+    assert sorted(r["global_pos"] for r in other) == list(range(500))
+
+
+def test_source_rollup_flags_low_quality_sources(spark):
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.llmops.pipeline import source_rollup
+
+    rows = (
+        # src_good: 4 distinct quality docs
+        [("src_good", "en", f"the quick brown fox {i}", 0.9) for i in range(4)]
+        # src_dupes: 6 docs, only 2 distinct texts -> dup_rate 2/3
+        + [("src_dupes", "en", f"copy {i % 2}", 0.8) for i in range(6)]
+        # src_junk: quality below the floor
+        + [("src_junk", "de", f"junk {i}", 0.05) for i in range(3)]
+    )
+    docs = spark.createDataFrame(
+        rows, "source string, lang string, text string, q double"
+    )
+    out = {
+        r["source"]: r
+        for r in source_rollup(docs, F.col("q")).collect()
+    }
+    g, d, j = out["src_good"], out["src_dupes"], out["src_junk"]
+    assert g["keep"] and g["dup_rate"] == 0.0 and g["n_docs"] == 4
+    assert not d["keep"] and d["n_distinct_texts"] == 2
+    assert abs(d["dup_rate"] - (1 - 2 / 6)) < 1e-6  # rounded to 6 dp
+    assert not j["keep"] and j["avg_quality"] == 0.05
+    assert j["n_langs"] == 1
