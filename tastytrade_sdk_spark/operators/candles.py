@@ -39,8 +39,12 @@ def candle_agg_exprs(
     if size_col is not None:
         aggs += [
             F.sum(size_col).alias("volume"),
-            (
-                F.sum(F.col(price_col) * F.col(size_col)) / F.sum(size_col)
+            # try_divide: a bucket whose size-sum is 0 (possible when a
+            # synthetic stream reuses a signed value column as size)
+            # yields NULL vwap instead of an ANSI DIVIDE_BY_ZERO that
+            # kills the whole (streaming) query
+            F.try_divide(
+                F.sum(F.col(price_col) * F.col(size_col)), F.sum(size_col)
             ).alias("vwap"),
         ]
     aggs.append(F.count(F.lit(1)).alias("count"))
