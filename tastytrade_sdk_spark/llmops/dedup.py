@@ -435,3 +435,72 @@ def symmetrize_pairs(
         *carry,
     )
     return sym.select(f"__sym.{out_a}", f"__sym.{out_b}", *carry)
+
+
+def cross_snapshot_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: classify each NEW document
+    against an EXISTING corpus as ``exact_dup`` (byte-identical text
+    already present), ``near_dup`` (shares >=1 MinHash-LSH band with a
+    corpus doc), or ``new`` (keep) — the continuous-ingestion gate a
+    growing training corpus applies to every arriving batch instead of
+    re-deduplicating the whole lake.
+
+    Exact-dup wins when both hold (it is the stronger claim and the
+    cheaper re-check).
+
+    Scale shape: the corpus is touched by exactly two hash-keyed
+    semi-joins — distinct text-md5 set and distinct (band_id,
+    band_hash) set — both of which shrink to near-distinct volume
+    map-side before shuffling, and BOTH are keyed on uniform hashes
+    (no skew). The new batch (typically orders of magnitude smaller
+    than the lake) is scanned twice; nothing is ever joined
+    |new| x |corpus|, and AQE broadcast-promotes the batch side when
+    it fits. Band keys reuse the same md5-derived MinHash as the
+    batch dedup operators, so the verdicts are consistent with what a
+    full-corpus LSH pass would produce.
+    """
+    new_h = new_docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    corpus_h = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    exact = (
+        new_h.join(corpus_h, "__h", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+    corpus_bands = (
+        band_hashes(corpus, text_col, id_col, k, bands, shingle_n)
+        .select("band_id", "band_hash")
+        .distinct()
+    )
+    near = (
+        band_hashes(new_docs, text_col, id_col, k, bands, shingle_n)
+        .join(corpus_bands, ["band_id", "band_hash"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    verdict = (
+        F.when(F.col("__exact"), F.lit("exact_dup"))
+        .when(F.col("__near"), F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+    )
+    return (
+        new_docs.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            verdict.alias("verdict"),
+            (F.col("__exact").isNull() & F.col("__near").isNull()).alias(
+                "keep"
+            ),
+        )
+    )

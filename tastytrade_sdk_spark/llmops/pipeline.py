@@ -360,3 +360,119 @@ def source_rollup(
             "keep"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG/context-window chunking: split each document's token array
+    into fixed-size chunks with overlap (chunk_size - stride tokens
+    shared between neighbours), emitting exact token offsets plus a
+    content hash per chunk — the retrieval-index / context-packing
+    prep step every RAG or long-context training pipeline runs.
+
+    Chunk i covers tokens [i*stride, min(i*stride + chunk_size, n));
+    a doc with n tokens yields floor((n-1)/stride) + 1 chunks (zero-
+    token docs yield none — there is nothing to index).
+
+    Scale shape: a single narrow projection — sequence + explode over
+    per-doc chunk counts, slice + hash computed element-wise. No
+    shuffle at all; output size is corpus tokens x (chunk_size/stride)
+    overlap factor, linear in the input. At 100 TB this is scan-bound
+    and embarrassingly parallel.
+    """
+    if stride <= 0 or chunk_size <= 0 or stride > chunk_size:
+        raise ValueError("need 0 < stride <= chunk_size")
+    toks = (
+        F.col(tokens_col) if tokens_col else tokens_expr(F.col("text"))
+    )
+    n = F.size(toks)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    chunk_idx = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.floor((F.col("n_tokens") - 1) / F.lit(stride)).cast("int"),
+        )
+    )
+    start = (F.col("chunk_idx").cast("long") * F.lit(stride)).cast("long")
+    end = F.least(start + F.lit(chunk_size), F.col("n_tokens").cast("long"))
+    return (
+        base.select(
+            id_col, "__toks", "n_tokens", chunk_idx.alias("chunk_idx")
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            start.alias("start_tok"),
+            end.alias("end_tok"),
+            (end - start).cast("int").alias("chunk_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("__toks"),
+                        (start + 1).cast("int"),
+                        (end - start).cast("int"),
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def ngram_topk_per_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Corpus n-gram frequency profile: the k most frequent word
+    n-grams per group (language, source, split, ...) — the standard
+    corpus-inspection / boilerplate-discovery statistic an LM data
+    pipeline reports per shard.
+
+    Ties break on the n-gram string ascending so the top-k set is
+    deterministic across engines and partitionings.
+
+    Scale shape: explode n-grams -> ONE count aggregation keyed on
+    (group, ngram) with map-side partial aggregation (the shuffle
+    carries near-distinct n-gram counts, not corpus tokens), then a
+    per-group top-k window over the aggregated — already small —
+    frequency table. Group cardinality is low, but the window input
+    is the distinct-ngram table, not the corpus, so no reducer sees
+    raw-corpus volume.
+    """
+    from tastytrade_sdk_spark.llmops.textops import shingles_expr
+
+    # tokens materialized in their own Project under the Generate:
+    # shingles_expr's lambda references the token array n times per
+    # shingle, and inlining tokens_expr there would re-run the regex
+    # split ~n*n_shingles times per doc. Catalyst never collapses a
+    # Project into a Generate, so the two-step is a stable barrier.
+    toked = df.select(
+        F.col(group_col), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    grams = toked.select(
+        F.col(group_col),
+        F.explode(shingles_expr(F.col("__toks"), n)).alias("ngram"),
+    )
+    counts = grams.groupBy(group_col, "ngram").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("freq").desc(), F.col("ngram").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "ngram", "freq", F.col("rank").cast("int").alias("rank"))
+    )

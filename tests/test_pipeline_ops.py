@@ -237,3 +237,98 @@ def test_source_rollup_flags_low_quality_sources(spark):
     assert abs(d["dup_rate"] - (1 - 2 / 6)) < 1e-6  # rounded to 6 dp
     assert not j["keep"] and j["avg_quality"] == 0.05
     assert j["n_langs"] == 1
+
+
+def test_chunk_documents_offsets_and_coverage(spark):
+    from tastytrade_sdk_spark.llmops.pipeline import chunk_documents
+
+    # 10 tokens, chunk 4 / stride 3 -> starts 0,3,6,9; last chunk short
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "only two"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = chunk_documents(docs, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # zero-token doc emits nothing
+    assert 3 not in by_doc
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [(r["start_tok"], r["end_tok"]) for r in c1] == [
+        (0, 4), (3, 7), (6, 10), (9, 10)
+    ]
+    assert [r["chunk_tokens"] for r in c1] == [4, 4, 4, 1]
+    # full token coverage: union of [start, end) == [0, 10)
+    covered = set()
+    for r in c1:
+        covered.update(range(r["start_tok"], r["end_tok"]))
+    assert covered == set(range(10))
+    # short doc: single chunk, correct hash of its token join
+    import hashlib
+
+    (c2,) = by_doc[2]
+    assert (c2["start_tok"], c2["end_tok"]) == (0, 2)
+    assert c2["chunk_hash"] == hashlib.md5(b"only two").hexdigest()
+    # no overlap when stride == chunk_size
+    flat = chunk_documents(docs, chunk_size=5, stride=5).collect()
+    starts = sorted(
+        r["start_tok"] for r in flat if r["doc_id"] == 1
+    )
+    assert starts == [0, 5]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=4, stride=5)
+
+
+def test_ngram_topk_deterministic_tiebreak(spark):
+    from tastytrade_sdk_spark.llmops.pipeline import ngram_topk_per_group
+
+    docs = spark.createDataFrame(
+        [
+            ("en", "a b c a b c a b c"),   # 'a b c' x3, 'b c a' x2, 'c a b' x2
+            ("en", "z z z z"),             # 'z z z' x2
+            ("de", "x y z"),               # single shingle
+        ],
+        "lang string, text string",
+    )
+    out = ngram_topk_per_group(docs, group_col="lang", n=3, k=2).collect()
+    en = sorted(
+        [r for r in out if r["lang"] == "en"], key=lambda r: r["rank"]
+    )
+    assert [(r["ngram"], r["freq"], r["rank"]) for r in en] == [
+        ("a b c", 3, 1),
+        ("b c a", 2, 2),  # freq-2 tie ('b c a','c a b','z z z') -> asc
+    ]
+    de = [r for r in out if r["lang"] == "de"]
+    assert [(r["ngram"], r["freq"], r["rank"]) for r in de] == [
+        ("x y z", 1, 1)
+    ]
+
+
+def test_cross_snapshot_dedup_verdicts(spark):
+    from tastytrade_sdk_spark.llmops.dedup import cross_snapshot_dedup
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, long_text), (2, "some other corpus document entirely"),
+         (3, "tiny doc")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # byte-identical -> exact_dup (wins even though bands collide)
+            (10, long_text),
+            # same tokens, different bytes (punctuation/case) -> same
+            # shingles/bands but different md5 -> near_dup
+            (11, long_text.upper() + "!"),
+            # genuinely new content
+            (12, "completely fresh unseen material never stored before"),
+            # short doc (< 3 tokens): no bands, not exact -> new
+            (13, "tiny doc!!"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in cross_snapshot_dedup(new, corpus).collect()}
+    assert out[10]["verdict"] == "exact_dup" and not out[10]["keep"]
+    assert out[11]["verdict"] == "near_dup" and not out[11]["keep"]
+    assert out[12]["verdict"] == "new" and out[12]["keep"]
+    assert out[13]["verdict"] == "new" and out[13]["keep"]
