@@ -437,14 +437,40 @@ def symmetrize_pairs(
     return sym.select(f"__sym.{out_a}", f"__sym.{out_b}", *carry)
 
 
-def cross_snapshot_dedup(
-    new_docs: DataFrame,
+def corpus_dedup_state(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistent dedup state for a corpus snapshot: the
+    distinct text-md5 set and the distinct (band_id, band_hash) LSH
+    band set. This is the ONE full-corpus pass; a continuous-ingestion
+    pipeline writes both to the lake and, after accepting a batch,
+    unions the batch's own hashes/bands in — the corpus raw text is
+    never re-tokenized per arriving batch."""
+    text_hashes = corpus.select(
+        F.md5(F.col(text_col)).alias("text_md5")
+    ).distinct()
+    band_set = (
+        band_hashes(corpus, text_col, id_col, k, bands, shingle_n)
+        .select("band_id", "band_hash")
+        .distinct()
+    )
+    return text_hashes, band_set
+
+
+def cross_snapshot_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    corpus_state: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental (cross-snapshot) dedup: classify each NEW document
     against an EXISTING corpus as ``exact_dup`` (byte-identical text
@@ -453,32 +479,41 @@ def cross_snapshot_dedup(
     growing training corpus applies to every arriving batch instead of
     re-deduplicating the whole lake.
 
+    Pass ``corpus_state`` (the persisted output of
+    :func:`corpus_dedup_state`, incrementally unioned with each
+    accepted batch) on the steady-state path; passing ``corpus`` raw
+    instead recomputes that state from the corpus text — correct, but
+    a full-lake MinHash pass per batch, so it is the bootstrap/test
+    path only.
+
     Exact-dup wins when both hold (it is the stronger claim and the
     cheaper re-check).
 
-    Scale shape: the corpus is touched by exactly two hash-keyed
+    Scale shape: the state is touched by exactly two hash-keyed
     semi-joins — distinct text-md5 set and distinct (band_id,
-    band_hash) set — both of which shrink to near-distinct volume
-    map-side before shuffling, and BOTH are keyed on uniform hashes
-    (no skew). The new batch (typically orders of magnitude smaller
-    than the lake) is scanned twice; nothing is ever joined
-    |new| x |corpus|, and AQE broadcast-promotes the batch side when
-    it fits. Band keys reuse the same md5-derived MinHash as the
-    batch dedup operators, so the verdicts are consistent with what a
-    full-corpus LSH pass would produce.
+    band_hash) set — both already near-distinct volume and keyed on
+    uniform hashes (no skew). The new batch (typically orders of
+    magnitude smaller than the lake) is scanned twice; nothing is
+    ever joined |new| x |corpus|, and AQE broadcast-promotes the
+    batch side when it fits. Band keys reuse the same md5-derived
+    MinHash as the batch dedup operators, so the verdicts are
+    consistent with what a full-corpus LSH pass would produce.
     """
-    new_h = new_docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
-    corpus_h = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    if corpus_state is None:
+        if corpus is None:
+            raise ValueError("pass either corpus or corpus_state")
+        corpus_state = corpus_dedup_state(
+            corpus, text_col, id_col, k, bands, shingle_n
+        )
+    corpus_h, corpus_bands = corpus_state
+    new_h = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_md5")
+    )
     exact = (
-        new_h.join(corpus_h, "__h", "left_semi")
+        new_h.join(corpus_h, "text_md5", "left_semi")
         .select(id_col)
         .distinct()
         .withColumn("__exact", F.lit(True))
-    )
-    corpus_bands = (
-        band_hashes(corpus, text_col, id_col, k, bands, shingle_n)
-        .select("band_id", "band_hash")
-        .distinct()
     )
     near = (
         band_hashes(new_docs, text_col, id_col, k, bands, shingle_n)

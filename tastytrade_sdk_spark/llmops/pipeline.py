@@ -287,8 +287,13 @@ def training_shuffle(
     cluster. The order is identical to ORDER BY (shard, key, id), and
     hash-sharding makes it a uniform random permutation of the corpus.
     """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
     key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
-    shard = h32(key) % n_shards
+    # key is already a uniform md5 digest: the shard comes from its
+    # leading 8 hex digits directly (a second md5 via h32(key) would
+    # double the per-row hashing cost of both corpus scans)
+    shard = F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
     keyed = df.select(
         F.col(id_col),
         key.alias("shuffle_key"),
@@ -376,8 +381,11 @@ def chunk_documents(
     prep step every RAG or long-context training pipeline runs.
 
     Chunk i covers tokens [i*stride, min(i*stride + chunk_size, n));
-    a doc with n tokens yields floor((n-1)/stride) + 1 chunks (zero-
-    token docs yield none — there is nothing to index).
+    a doc with n tokens yields 1 + max(0, ceil((n - chunk_size) /
+    stride)) chunks (zero-token docs yield none — there is nothing to
+    index). The count stops at the first chunk whose end reaches n: a
+    further chunk would be a strict suffix of its predecessor —
+    duplicate content that only inflates the retrieval index.
 
     Scale shape: a single narrow projection — sequence + explode over
     per-doc chunk counts, slice + hash computed element-wise. No
@@ -399,7 +407,13 @@ def chunk_documents(
     chunk_idx = F.explode(
         F.sequence(
             F.lit(0),
-            F.floor((F.col("n_tokens") - 1) / F.lit(stride)).cast("int"),
+            F.greatest(
+                F.lit(0),
+                F.ceil(
+                    (F.col("n_tokens") - F.lit(chunk_size))
+                    / F.lit(float(stride))
+                ),
+            ).cast("int"),
         )
     )
     start = (F.col("chunk_idx").cast("long") * F.lit(stride)).cast("long")
@@ -468,11 +482,31 @@ def ngram_topk_per_group(
     counts = grams.groupBy(group_col, "ngram").agg(
         F.count(F.lit(1)).alias("freq")
     )
+    # Two-phase top-k: a bare per-group window would funnel EVERY
+    # distinct (group, ngram) row through one reducer — and distinct
+    # n-grams grow near-linearly with the corpus, so that reducer sees
+    # lake-scale volume. Phase 1 takes the top-k within each of 64
+    # hash-salted slices (the global top-k is a subset of the union of
+    # per-salt top-ks, since a row's rank within its salt bounds its
+    # global rank); phase 2's window then sees at most 64*k rows per
+    # group. The salt only prunes — output is unchanged.
+    n_salts = 64
+    w_salt = Window.partitionBy(group_col, "__salt").orderBy(
+        F.col("freq").desc(), F.col("ngram").asc()
+    )
+    pruned = (
+        counts.withColumn(
+            "__salt", F.pmod(F.xxhash64("ngram"), F.lit(n_salts))
+        )
+        .withColumn("__r", F.row_number().over(w_salt))
+        .filter(F.col("__r") <= k)
+        .drop("__salt", "__r")
+    )
     w = Window.partitionBy(group_col).orderBy(
         F.col("freq").desc(), F.col("ngram").asc()
     )
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(group_col, "ngram", "freq", F.col("rank").cast("int").alias("rank"))
     )

@@ -254,10 +254,12 @@ def test_chunk_documents_offsets_and_coverage(spark):
     # zero-token doc emits nothing
     assert 3 not in by_doc
     c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # stops at the first chunk whose end reaches n: a 4th chunk (9,10)
+    # would be a strict suffix of (6,10) — pure duplicate content
     assert [(r["start_tok"], r["end_tok"]) for r in c1] == [
-        (0, 4), (3, 7), (6, 10), (9, 10)
+        (0, 4), (3, 7), (6, 10)
     ]
-    assert [r["chunk_tokens"] for r in c1] == [4, 4, 4, 1]
+    assert [r["chunk_tokens"] for r in c1] == [4, 4, 4]
     # full token coverage: union of [start, end) == [0, 10)
     covered = set()
     for r in c1:
@@ -332,3 +334,13 @@ def test_cross_snapshot_dedup_verdicts(spark):
     assert out[11]["verdict"] == "near_dup" and not out[11]["keep"]
     assert out[12]["verdict"] == "new" and out[12]["keep"]
     assert out[13]["verdict"] == "new" and out[13]["keep"]
+    # steady-state path: precomputed (persisted) state gives identical
+    # verdicts without touching the corpus text again
+    from tastytrade_sdk_spark.llmops.dedup import corpus_dedup_state
+
+    state = corpus_dedup_state(corpus)
+    out2 = {
+        r["doc_id"]: r["verdict"]
+        for r in cross_snapshot_dedup(new, corpus_state=state).collect()
+    }
+    assert out2 == {k: v["verdict"] for k, v in out.items()}
