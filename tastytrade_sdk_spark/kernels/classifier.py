@@ -414,27 +414,32 @@ def _single_leg_type(leg: Leg) -> str:
     return "Custom"
 
 
-# Greedy priority order — mirrors patterns.py:678-704 exactly.
+# Greedy priority order — mirrors patterns.py:678-704 exactly. The
+# paired int is the matcher's STRUCTURAL minimum group size (4 options
+# for the iron family, stock+3 for the covered lizard, ...): a matcher
+# can never match a group smaller than its skeleton, so classify_group
+# skips it outright — for the dominant 1-2 leg portfolios this removes
+# most of the 19-matcher scan without touching match semantics.
 MATCHERS = [
-    lambda legs: _match_iron_family(legs, "condor"),
-    lambda legs: _match_iron_family(legs, "butterfly"),
-    lambda legs: _match_iron_family(legs, "bwb"),
-    _match_covered_jade_lizard,
-    _match_big_lizard,
-    lambda legs: _match_butterfly_family(legs, "C", broken=False),
-    lambda legs: _match_butterfly_family(legs, "P", broken=False),
-    lambda legs: _match_butterfly_family(legs, None, broken=True),
-    _match_jade_lizard,
-    _match_collar,
-    _match_covered_call,
-    _match_protective_put,
-    _match_vertical,
-    _match_ratio,
-    _match_straddle,
-    _match_strangle,
-    _match_synthetic,
-    _match_calendar,
-    _match_diagonal,
+    (lambda legs: _match_iron_family(legs, "condor"), 4),
+    (lambda legs: _match_iron_family(legs, "butterfly"), 4),
+    (lambda legs: _match_iron_family(legs, "bwb"), 4),
+    (_match_covered_jade_lizard, 4),
+    (_match_big_lizard, 3),
+    (lambda legs: _match_butterfly_family(legs, "C", broken=False), 3),
+    (lambda legs: _match_butterfly_family(legs, "P", broken=False), 3),
+    (lambda legs: _match_butterfly_family(legs, None, broken=True), 3),
+    (_match_jade_lizard, 3),
+    (_match_collar, 3),
+    (_match_covered_call, 2),
+    (_match_protective_put, 2),
+    (_match_vertical, 2),
+    (_match_ratio, 2),
+    (_match_straddle, 2),
+    (_match_strangle, 2),
+    (_match_synthetic, 2),
+    (_match_calendar, 2),
+    (_match_diagonal, 2),
 ]
 
 
@@ -444,8 +449,8 @@ def classify_group(legs: list[Leg]) -> list[tuple[str, list[Leg]]]:
     single-leg strategies (classifier.py:128-163)."""
     remaining = list(legs)
     out: list[tuple[str, list[Leg]]] = []
-    for matcher in MATCHERS:
-        while remaining:
+    for matcher, min_n in MATCHERS:
+        while len(remaining) >= min_n:
             res = matcher(remaining)
             if res is None:
                 break
