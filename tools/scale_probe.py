@@ -51,6 +51,11 @@ PROBE = [
     "dedup_clusters",
     "pack_sequences",
     "knn_cosine_topk",
+    # corpus-prep additions (round 3)
+    "training_shuffle_order",
+    "rag_chunk_documents",
+    "ngram_topk_per_lang",
+    "cross_snapshot_dedup",
 ]
 
 
@@ -278,7 +283,12 @@ def zorder_demo(spark, sf_dir: str) -> None:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]
-            if a not in ("--bucketing", "--skew", "--zorder")]
+            if a not in ("--bucketing", "--skew", "--zorder")
+            and not a.startswith("--only=")]
+    probe = PROBE
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            probe = a[len("--only="):].split(",")
     mults = [int(a) for a in args] or [10, 100]
     from tastytrade_sdk_spark.session import get_spark
 
@@ -300,7 +310,7 @@ def main() -> None:
         if mult != 1:
             build_replica(mult, sf_dir)
         out: dict[str, float] = {}
-        for name in PROBE:
+        for name in probe:
             fn = queries[name]
             best = run(lambda: fn(spark, sf_dir))
             best = min(best, run(lambda: fn(spark, sf_dir)))
