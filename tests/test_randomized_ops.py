@@ -188,3 +188,61 @@ def test_range_join_vs_brute_force(spark):
         if pk == ik and s <= t < e
     }
     assert got == want
+
+
+def test_chunk_documents_vs_python_walk(spark):
+    import hashlib
+
+    from tastytrade_sdk_spark.llmops.pipeline import chunk_documents
+
+    rng = random.Random(99)
+    docs = []
+    for d in range(60):
+        n = rng.choice([0, 1, 2, 3, 5, 7, 11, 16, 17, 31, 32, 33, 63, 64,
+                        65, 80, 97, 100, 129])
+        docs.append((d, " ".join(f"w{d}x{i}" for i in range(n))))
+    for size, stride in [(16, 16), (16, 12), (64, 48), (8, 1)]:
+        got = {}
+        out = chunk_documents(
+            spark.createDataFrame(docs, "doc_id int, text string"),
+            chunk_size=size, stride=stride,
+        ).collect()
+        for r in out:
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["start_tok"], r["end_tok"],
+                 r["chunk_tokens"], r["chunk_hash"])
+            )
+        for d, text in docs:
+            toks = [t for t in text.split(" ") if t]
+            want = []
+            idx, start = 0, 0
+            while toks:
+                end = min(start + size, len(toks))
+                want.append((
+                    idx, start, end, end - start,
+                    hashlib.md5(" ".join(toks[start:end]).encode()).hexdigest(),
+                ))
+                if end >= len(toks):
+                    break  # a further chunk would be a strict suffix
+                idx, start = idx + 1, start + stride
+            assert sorted(got.get(d, [])) == want, (d, size, stride)
+
+
+def test_training_shuffle_vs_global_sort(spark):
+    from tastytrade_sdk_spark.llmops.pipeline import training_shuffle
+
+    df = spark.range(0, 700).withColumnRenamed("id", "doc_id")
+    for n_shards in (1, 7, 64):
+        out = training_shuffle(df, n_shards=n_shards).collect()
+        # the contract: global_pos enumerates ORDER BY (shard,
+        # shuffle_key, doc_id) — verify against an explicit sort
+        want = [
+            r["doc_id"]
+            for r in sorted(out, key=lambda r: (r["shard"], r["shuffle_key"],
+                                                r["doc_id"]))
+        ]
+        got = [
+            r["doc_id"] for r in sorted(out, key=lambda r: r["global_pos"])
+        ]
+        assert got == want
+        assert sorted(r["global_pos"] for r in out) == list(range(700))
