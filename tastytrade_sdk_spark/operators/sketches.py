@@ -31,7 +31,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "cms_build", "cms_probe", "histogram_quantiles"]
+__all__ = [
+    "kmv_distinct",
+    "cms_build",
+    "cms_probe",
+    "histogram_quantiles",
+    "mg_candidates",
+    "heavy_hitters_exact",
+]
 
 _H60_DEN = float(1 << 60)
 
@@ -171,4 +178,98 @@ def histogram_quantiles(
         F.round(F.lit(lo) + F.col("__b") * F.lit(width), 6).alias("hq_value"),
         F.col("__rank").alias("hq_rank"),
         F.col("__n").alias("hq_n"),
+    )
+
+
+def mg_candidates(
+    df: DataFrame, key_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: at most ``capacity`` keys
+    per partition with count lower bounds. The classic mergeable
+    heavy-hitter sieve (Misra & Gries 1982; mergeability per Agarwal
+    et al., "Mergeable Summaries"): any key whose share of a
+    partition's rows exceeds 1/(capacity+1) is guaranteed to survive
+    that partition's summary.
+
+    Arrow batches merge in value_counts-sized steps (no per-row Python
+    loop): add the batch's counts, then apply the summary decrement —
+    subtract the (capacity+1)-largest count from everyone and drop the
+    non-positive — which is exactly the MG merge operation.
+    """
+    import pandas as pd
+
+    out_schema = f"{key_col} string, mg_lb long"
+
+    def run(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf[key_col].astype(str).value_counts()
+            for key, c in vc.items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    k: v - cut for k, v in counters.items() if v > cut
+                }
+        if counters:
+            yield pd.DataFrame(
+                {key_col: list(counters), "mg_lb": list(counters.values())}
+            )
+
+    return df.select(F.col(key_col).cast("string")).mapInPandas(
+        run, out_schema
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    min_share_permille: int,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters at lake scale without a full-cardinality
+    shuffle: keys whose share of all rows is >= min_share_permille/1000,
+    with exact counts.
+
+    Two passes over the data, neither of which shuffles the raw key
+    space:
+    1. sieve — per-partition Misra-Gries summaries (``mg_candidates``).
+       A key with global share s >= 1/(capacity+1) must, by weighted
+       average, hold share > 1/(capacity+1) in at least one partition,
+       so the candidate union provably contains every qualifying key
+       for capacity >= 1000/min_share_permille. Candidate volume is
+       <= capacity x partitions rows — broadcastable.
+    2. verify — exact counts for candidates only (broadcast semi-join,
+       then one aggregation whose key domain is the candidate set, not
+       the corpus), plus the exact row total from the same scan
+       lineage; the share filter runs in integer arithmetic
+       (cnt * 1000 >= permille * total) so there is no float-boundary
+       ambiguity between engines.
+
+    Result: exact counts/shares, deterministic, with shuffle volume
+    proportional to true heavy hitters. The groupBy-count alternative
+    shuffles every distinct key; at 100 TB of long-tail tokens that is
+    the difference between a broadcast and a corpus-wide exchange.
+    """
+    if capacity is None:
+        capacity = max(1, (1000 + min_share_permille - 1) // min_share_permille)
+    keyed = df.select(F.col(key_col).cast("string").alias(key_col))
+    cand = mg_candidates(keyed, key_col, capacity).select(key_col).distinct()
+    totals = keyed.agg(F.count(F.lit(1)).alias("__total"))
+    counts = (
+        keyed.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("cnt") * F.lit(1000)
+            >= F.lit(min_share_permille) * F.col("__total")
+        )
+        .select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+        )
     )

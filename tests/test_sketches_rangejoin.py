@@ -421,3 +421,47 @@ class TestCdcApply:
         assert 1 not in out
         assert out[2]["v"] == 22.0 and out[2]["op"] == "insert"
         assert out[3]["v"] == 33.0 and out[3]["op"] == "update"
+
+
+def test_heavy_hitters_exact_vs_group_count(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.operators.sketches import (
+        heavy_hitters_exact,
+        mg_candidates,
+    )
+
+    rng = random.Random(41)
+    # zipf-ish: few heavy keys + a long tail, shuffled arrival order
+    rows = (
+        ["hot_a"] * 3000 + ["hot_b"] * 1500 + ["warm"] * 400
+        + [f"tail{i}" for i in range(5000)]
+    )
+    rng.shuffle(rows)
+    df = spark.createDataFrame([(r,) for r in rows], "k string").repartition(8)
+
+    for permille in (5, 40, 200):
+        got = {
+            r["k"]: (r["cnt"], r["share"])
+            for r in heavy_hitters_exact(df, "k", permille).collect()
+        }
+        # ground truth: plain exact count with the same integer filter
+        truth = {
+            r["k"]: r["cnt"]
+            for r in df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * 1000 >= permille * len(rows))
+            .collect()
+        }
+        assert {k: v[0] for k, v in got.items()} == truth, permille
+        for k, (cnt, share) in got.items():
+            assert abs(share - cnt / len(rows)) < 1e-6
+
+    # sieve coverage: every key above the 1/(capacity+1) share floor
+    # appears among the union of per-partition candidates
+    cands = {
+        r["k"] for r in mg_candidates(df, "k", capacity=200).collect()
+    }
+    assert {"hot_a", "hot_b", "warm"} <= cands
