@@ -510,3 +510,75 @@ def ngram_topk_per_group(
         .filter(F.col("rank") <= k)
         .select(group_col, "ngram", "freq", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    total_budget: int | None = None,
+    salt: str = "tsamp",
+) -> DataFrame:
+    """Temperature-based mixture resampling at T=2 (weight ∝ sqrt of
+    group size — the standard multilingual upsampling recipe): rare
+    groups are repeated, dominant groups are subsampled, and every
+    decision is deterministic integer arithmetic so the manifest is
+    reproducible across engines and runs.
+
+    Per group g with n_g docs: target_g = B * isqrt(n_g) / Σ isqrt
+    (integer division; B = total_budget, default the corpus size).
+    Each doc gets ``target_g // n_g`` whole repeats, plus one extra
+    copy iff h32(salt:id) % n_g < target_g % n_g — a deterministic
+    hash lottery that lands the group total at target_g in
+    expectation. isqrt keeps the weights integer-exact (IEEE sqrt of
+    an int < 2^52 floors correctly), so there is NO float boundary
+    anywhere for engines to disagree on.
+
+    Scale shape: one tiny per-group count aggregate, broadcast back
+    onto the corpus scan — the corpus itself never shuffles. Emits a
+    manifest (copies per doc), not exploded rows: the explode is the
+    consumer's choice at write time.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    w = counts.select(
+        group_col,
+        "n_g",
+        F.floor(F.sqrt(F.col("n_g"))).cast("long").alias("w_g"),
+    )
+    tot = w.agg(
+        F.sum("w_g").alias("w_sum"),
+        F.sum("n_g").alias("n_total"),
+    )
+    budget = (
+        F.lit(int(total_budget)) if total_budget is not None
+        else F.col("n_total")
+    )
+    targets = w.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_g",
+        F.floor(budget * F.col("w_g") / F.col("w_sum"))
+        .cast("long")
+        .alias("target_g"),
+    )
+    lottery = h32(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    return (
+        df.select(id_col, group_col)
+        .join(F.broadcast(targets), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("n_g"),
+            F.col("target_g"),
+            (
+                F.floor(F.col("target_g") / F.col("n_g")).cast("long")
+                + F.when(
+                    lottery % F.col("n_g") < F.col("target_g") % F.col("n_g"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_copies"),
+        )
+    )

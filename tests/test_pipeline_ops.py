@@ -344,3 +344,33 @@ def test_cross_snapshot_dedup_verdicts(spark):
         for r in cross_snapshot_dedup(new, corpus_state=state).collect()
     }
     assert out2 == {k: v["verdict"] for k, v in out.items()}
+
+
+def test_temperature_resample_upsamples_rare_groups(spark):
+    from tastytrade_sdk_spark.llmops.pipeline import temperature_resample
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "rare") for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    out = temperature_resample(df, group_col="lang").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["lang"], []).append(r)
+    # integer targets: w = (isqrt(900), isqrt(9)) = (30, 3); budget 909
+    # -> target_big = 909*30//33 = 826, target_rare = 909*3//33 = 82
+    big, rare = by_g["big"], by_g["rare"]
+    assert big[0]["target_g"] == 826 and rare[0]["target_g"] == 82
+    # rare docs repeat (82 // 9 = 9 whole copies each, +1 for some);
+    # big docs subsample (0 or 1 copies)
+    assert all(r["n_copies"] in (9, 10) for r in rare)
+    assert all(r["n_copies"] in (0, 1) for r in big)
+    # group totals land within n_g of the integer target (hash lottery
+    # is exact in expectation, bounded by the remainder construction)
+    assert abs(sum(r["n_copies"] for r in big) - 826) <= 900
+    assert sum(r["n_copies"] for r in rare) in range(81, 92)
+    # deterministic
+    again = temperature_resample(df, group_col="lang").collect()
+    assert sorted((r["doc_id"], r["n_copies"]) for r in again) == sorted(
+        (r["doc_id"], r["n_copies"]) for r in out
+    )
