@@ -289,11 +289,13 @@ def training_shuffle(
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    from tastytrade_sdk_spark.llmops.textops import hex32
+
     key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
     # key is already a uniform md5 digest: the shard comes from its
     # leading 8 hex digits directly (a second md5 via h32(key) would
     # double the per-row hashing cost of both corpus scans)
-    shard = F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    shard = hex32(key) % n_shards
     keyed = df.select(
         F.col(id_col),
         key.alias("shuffle_key"),
@@ -538,7 +540,13 @@ def temperature_resample(
     onto the corpus scan — the corpus itself never shuffles. Emits a
     manifest (copies per doc), not exploded rows: the explode is the
     consumer's choice at write time.
+
+    NULL-group docs are excluded up front (they would otherwise
+    consume budget weight while never matching the group equi-join);
+    bucket unknowns into a sentinel group first if they must be
+    sampled.
     """
+    df = df.filter(F.col(group_col).isNotNull())
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
     w = counts.select(
         group_col,
@@ -550,15 +558,26 @@ def temperature_resample(
         F.sum("n_g").alias("n_total"),
     )
     budget = (
-        F.lit(int(total_budget)) if total_budget is not None
+        F.lit(int(total_budget)).cast("long") if total_budget is not None
         else F.col("n_total")
     )
-    targets = w.crossJoin(F.broadcast(tot)).select(
-        group_col,
-        "n_g",
-        F.floor(budget * F.col("w_g") / F.col("w_sum"))
-        .cast("long")
-        .alias("target_g"),
+    # `div` is Spark's INTEGRAL division: the double `/` would round
+    # the quotient and can float past an integer boundary once
+    # budget * w_g nears 2^53 — breaking the all-integer cross-engine
+    # contract exactly where the corpus is big enough to care
+    targets = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_g",
+            (budget * F.col("w_g")).alias("__bw"),
+            "w_sum",
+        )
+        .select(
+            group_col,
+            "n_g",
+            F.expr("__bw div w_sum").cast("long").alias("target_g"),
+        )
     )
     lottery = h32(
         F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
@@ -572,7 +591,7 @@ def temperature_resample(
             F.col("n_g"),
             F.col("target_g"),
             (
-                F.floor(F.col("target_g") / F.col("n_g")).cast("long")
+                F.expr("target_g div n_g")
                 + F.when(
                     lottery % F.col("n_g") < F.col("target_g") % F.col("n_g"),
                     F.lit(1),

@@ -76,10 +76,17 @@ def shingles_expr(tokens: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def hex32(hexstr: Column) -> Column:
+    """Leading 8 hex digits of an existing digest as an unsigned
+    32-bit integer — the parse half of h32, for call sites that
+    already hold an md5 hex string and must not pay a second md5."""
+    return F.conv(F.substring(hexstr, 1, 8), 16, 10).cast("long")
+
+
 def h32(s: Column) -> Column:
     """First 8 md5 hex digits as unsigned 32-bit integer (cross-engine
     stable fingerprint hash)."""
-    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    return hex32(F.md5(s))
 
 
 def minhash_signature(

@@ -182,7 +182,10 @@ def histogram_quantiles(
 
 
 def mg_candidates(
-    df: DataFrame, key_col: str, capacity: int
+    df: DataFrame,
+    key_col: str,
+    capacity: int,
+    emit_partition_rows: bool = False,
 ) -> DataFrame:
     """Per-partition Misra-Gries summaries: at most ``capacity`` keys
     per partition with count lower bounds. The classic mergeable
@@ -191,19 +194,31 @@ def mg_candidates(
     partition's rows exceeds 1/(capacity+1) is guaranteed to survive
     that partition's summary.
 
+    NULL keys are excluded before the sieve (astype(str) would
+    otherwise alias them with the literal string 'None' — a candidate
+    real equality can never verify).
+
     Arrow batches merge in value_counts-sized steps (no per-row Python
     loop): add the batch's counts, then apply the summary decrement —
     subtract the (capacity+1)-largest count from everyone and drop the
     non-positive — which is exactly the MG merge operation.
+
+    ``emit_partition_rows=True`` appends ONE sentinel row per
+    partition (NULL key, part_rows = non-null rows seen) so a caller
+    can recover the exact corpus total from the same scan instead of
+    paying a second one.
     """
     import pandas as pd
 
-    out_schema = f"{key_col} string, mg_lb long"
+    out_schema = f"{key_col} string, mg_lb long, part_rows long"
 
     def run(batches):
         counters: dict[str, int] = {}
+        seen = 0
         for pdf in batches:
-            vc = pdf[key_col].astype(str).value_counts()
+            col = pdf[key_col].dropna()
+            seen += len(col)
+            vc = col.astype(str).value_counts()
             for key, c in vc.items():
                 counters[key] = counters.get(key, 0) + int(c)
             if len(counters) > capacity:
@@ -211,14 +226,24 @@ def mg_candidates(
                 counters = {
                     k: v - cut for k, v in counters.items() if v > cut
                 }
-        if counters:
+        keys = list(counters)
+        lbs = [counters[k] for k in keys]
+        rows = [0] * len(keys)
+        if emit_partition_rows:
+            keys.append(None)
+            lbs.append(0)
+            rows.append(seen)
+        if keys:
             yield pd.DataFrame(
-                {key_col: list(counters), "mg_lb": list(counters.values())}
+                {key_col: keys, "mg_lb": lbs, "part_rows": rows}
             )
 
-    return df.select(F.col(key_col).cast("string")).mapInPandas(
-        run, out_schema
-    )
+    out = df.select(
+        F.col(key_col).cast("string")
+    ).filter(F.col(key_col).isNotNull()).mapInPandas(run, out_schema)
+    if not emit_partition_rows:
+        out = out.drop("part_rows")
+    return out
 
 
 def heavy_hitters_exact(
@@ -241,21 +266,35 @@ def heavy_hitters_exact(
        <= capacity x partitions rows — broadcastable.
     2. verify — exact counts for candidates only (broadcast semi-join,
        then one aggregation whose key domain is the candidate set, not
-       the corpus), plus the exact row total from the same scan
-       lineage; the share filter runs in integer arithmetic
-       (cnt * 1000 >= permille * total) so there is no float-boundary
-       ambiguity between engines.
+       the corpus). The exact row total comes from the SIEVE's
+       per-partition sentinel rows — no third scan; the share filter
+       runs in integer arithmetic (cnt * 1000 >= permille * total) so
+       there is no float-boundary ambiguity between engines.
+
+    NULL keys are excluded throughout (from candidates AND the total),
+    matching the groupBy-count-over-non-null ground truth.
 
     Result: exact counts/shares, deterministic, with shuffle volume
     proportional to true heavy hitters. The groupBy-count alternative
     shuffles every distinct key; at 100 TB of long-tail tokens that is
     the difference between a broadcast and a corpus-wide exchange.
     """
+    if min_share_permille < 1 or min_share_permille > 1000:
+        raise ValueError("min_share_permille must be in [1, 1000]")
+    keyed = df.select(F.col(key_col).cast("string").alias(key_col)).filter(
+        F.col(key_col).isNotNull()
+    )
     if capacity is None:
         capacity = max(1, (1000 + min_share_permille - 1) // min_share_permille)
-    keyed = df.select(F.col(key_col).cast("string").alias(key_col))
-    cand = mg_candidates(keyed, key_col, capacity).select(key_col).distinct()
-    totals = keyed.agg(F.count(F.lit(1)).alias("__total"))
+    partials = mg_candidates(
+        keyed, key_col, capacity, emit_partition_rows=True
+    ).localCheckpoint(eager=False)  # one sieve scan feeds both consumers
+    cand = (
+        partials.filter(F.col(key_col).isNotNull())
+        .select(key_col)
+        .distinct()
+    )
+    totals = partials.agg(F.sum("part_rows").alias("__total"))
     counts = (
         keyed.join(F.broadcast(cand), key_col, "left_semi")
         .groupBy(key_col)

@@ -365,10 +365,21 @@ def test_temperature_resample_upsamples_rare_groups(spark):
     # big docs subsample (0 or 1 copies)
     assert all(r["n_copies"] in (9, 10) for r in rare)
     assert all(r["n_copies"] in (0, 1) for r in big)
-    # group totals land within n_g of the integer target (hash lottery
-    # is exact in expectation, bounded by the remainder construction)
-    assert abs(sum(r["n_copies"] for r in big) - 826) <= 900
-    assert sum(r["n_copies"] for r in rare) in range(81, 92)
+    # group totals: replicate the md5 lottery exactly in Python — the
+    # big group's total is floor-repeats (0) plus exactly the docs
+    # whose hash lands under the remainder threshold
+    import hashlib
+
+    def lottery(doc_id: int, n_g: int) -> int:
+        h = int(hashlib.md5(f"tsamp:{doc_id}".encode()).hexdigest()[:8], 16)
+        return h % n_g
+
+    exp_big = sum(1 for i in range(900) if lottery(i, 900) < 826 % 900)
+    assert sum(r["n_copies"] for r in big) == exp_big
+    exp_rare = sum(
+        9 + (1 if lottery(1000 + i, 9) < 82 % 9 else 0) for i in range(9)
+    )
+    assert sum(r["n_copies"] for r in rare) == exp_rare
     # deterministic
     again = temperature_resample(df, group_col="lang").collect()
     assert sorted((r["doc_id"], r["n_copies"]) for r in again) == sorted(

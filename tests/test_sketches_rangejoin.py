@@ -465,3 +465,28 @@ def test_heavy_hitters_exact_vs_group_count(spark):
         r["k"] for r in mg_candidates(df, "k", capacity=200).collect()
     }
     assert {"hot_a", "hot_b", "warm"} <= cands
+
+
+def test_heavy_hitters_null_keys_and_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.operators.sketches import heavy_hitters_exact
+
+    # NULLs are excluded from candidates AND the denominator — the
+    # non-null key's share is computed over non-null rows only
+    rows = [("a",)] * 6 + [(None,)] * 14
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    out = heavy_hitters_exact(df, "k", 500).collect()
+    assert len(out) == 1
+    assert out[0]["k"] == "a" and out[0]["cnt"] == 6
+    assert out[0]["share"] == 1.0  # 6 of 6 non-null rows
+    # a genuine 'None' STRING is a real key, not the NULL bucket
+    df2 = spark.createDataFrame(
+        [("None",)] * 4 + [(None,)] * 4 + [("x",)] * 2, "k string"
+    )
+    out2 = {r["k"]: r["cnt"] for r in heavy_hitters_exact(df2, "k", 300).collect()}
+    assert out2 == {"None": 4, "x": 2}
+    for bad in (0, -5, 1001):
+        with pytest.raises(ValueError):
+            heavy_hitters_exact(df, "k", bad)
