@@ -246,3 +246,80 @@ def test_training_shuffle_vs_global_sort(spark):
         ]
         assert got == want
         assert sorted(r["global_pos"] for r in out) == list(range(700))
+
+
+def test_cross_snapshot_dedup_vs_python_replication(spark):
+    """Replicate the full exact-hash + MinHash-LSH verdict pipeline in
+    pure Python over a randomized corpus and require identical
+    verdicts (not just plausible ones)."""
+    import hashlib
+    import re
+
+    from tastytrade_sdk_spark.llmops.dedup import (
+        cross_snapshot_dedup,
+        default_coeffs,
+    )
+    from tastytrade_sdk_spark.llmops.textops import MERSENNE_PRIME
+
+    rng = random.Random(2024)
+    vocab = [f"word{i}" for i in range(30)]
+
+    def make_text(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    corpus_rows = [(i, make_text(rng.randint(0, 20))) for i in range(40)]
+    new_rows = []
+    for j in range(30):
+        nid = 1000 + j
+        r = rng.random()
+        if r < 0.3 and corpus_rows:
+            # byte-identical copy of a corpus doc
+            new_rows.append((nid, rng.choice(corpus_rows)[1]))
+        elif r < 0.6 and corpus_rows:
+            # same tokens, different bytes (near-dup candidate)
+            new_rows.append((nid, rng.choice(corpus_rows)[1].upper() + "!"))
+        else:
+            new_rows.append((nid, make_text(rng.randint(0, 20))))
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def bands_of(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        sh = {
+            " ".join(toks[i: i + 3]) for i in range(len(toks) - 2)
+        }
+        if not sh:
+            return set()
+        sigs = [
+            min((a * h32(s) + b) % MERSENNE_PRIME for s in sh)
+            for a, b in default_coeffs(16)
+        ]
+        out = set()
+        for b in range(4):
+            part = "-".join(str(sigs[b * 4 + r]) for r in range(4))
+            out.add((b, hashlib.md5(part.encode()).hexdigest()))
+        return out
+
+    corpus_md5 = {hashlib.md5(t.encode()).hexdigest() for _, t in corpus_rows}
+    corpus_bands = set()
+    for _, t in corpus_rows:
+        corpus_bands |= bands_of(t)
+
+    want = {}
+    for nid, t in new_rows:
+        if hashlib.md5(t.encode()).hexdigest() in corpus_md5:
+            want[nid] = "exact_dup"
+        elif bands_of(t) & corpus_bands:
+            want[nid] = "near_dup"
+        else:
+            want[nid] = "new"
+
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in cross_snapshot_dedup(
+            spark.createDataFrame(new_rows, "doc_id int, text string"),
+            spark.createDataFrame(corpus_rows, "doc_id int, text string"),
+        ).collect()
+    }
+    assert got == want
