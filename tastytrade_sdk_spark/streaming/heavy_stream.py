@@ -1,0 +1,125 @@
+"""Bounded streaming heavy-hitter store (mergeable Misra-Gries).
+
+The additive count sink (sinks.additive_agg_batch) keeps EXACT per-key
+running counts — the right tool when the key domain is bounded. On a
+long-tail stream (tokens, URLs, user ids) that store grows without
+bound; the streaming-scale alternative is a Misra-Gries summary of
+fixed capacity merged per micro-batch (Agarwal et al., "Mergeable
+Summaries"): the store holds at most ``capacity`` rows forever, any
+key whose share of the whole stream is >= 1/(capacity+1) is guaranteed
+present, and each stored lower bound undercounts by at most
+n/(capacity+1) (n = rows seen so far, tracked exactly in the store's
+``_epoch``-style sidecar row).
+
+Merge per batch = combine counts, subtract the (capacity+1)-largest
+combined count from everyone, drop the non-positive — the same MG
+decrement operators/sketches.mg_candidates applies within a batch.
+Replay safety reuses the shared epoch guard: MG merges are
+decrementing, NOT idempotent, so a replayed epoch must be skipped
+wholesale and an epoch regression must fail loudly
+(sinks._epoch_admits).
+
+Scale shape per batch: one groupBy over the batch's keys (map-side
+partials), a union with the <=capacity-row store, and one global
+row_number window over (batch-distinct + capacity) rows — bounded by
+the micro-batch size, never by stream history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.streaming.sinks import _commit_swap, _epoch_admits
+
+_TOTAL_KEY = "\x00__mg_total__"
+
+
+def mg_store_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    key_col: str,
+    capacity: int,
+    epoch_id: int,
+) -> None:
+    """Merge one micro-batch into the bounded MG store.
+
+    Store schema: (key_col string, mg_lb long). One reserved sentinel
+    row (non-printable key prefix) carries the exact total row count —
+    the denominator every share guarantee needs — so no side file and
+    no extra scan.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return
+    if not _epoch_admits(store_path, epoch_id, "mg_store_batch"):
+        return
+    batch_counts = (
+        batch_df.select(F.col(key_col).cast("string").alias(key_col))
+        .filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("mg_lb"))
+    )
+    total_row = batch_counts.agg(
+        F.lit(_TOTAL_KEY).alias(key_col),
+        F.coalesce(F.sum("mg_lb"), F.lit(0)).alias("mg_lb"),
+    )
+    combined = batch_counts.unionByName(total_row)
+    if os.path.exists(store_path):
+        combined = combined.unionByName(spark.read.parquet(store_path))
+    merged = combined.groupBy(key_col).agg(F.sum("mg_lb").alias("mg_lb"))
+    counters = merged.filter(F.col(key_col) != F.lit(_TOTAL_KEY))
+    total = merged.filter(F.col(key_col) == F.lit(_TOTAL_KEY))
+    # MG decrement: subtract the (capacity+1)-largest combined count;
+    # deterministic tiebreak on the key so replays of a rebuilt
+    # checkpoint produce byte-identical stores
+    w = Window.orderBy(F.col("mg_lb").desc(), F.col(key_col).asc())
+    ranked = counters.withColumn("__r", F.row_number().over(w))
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__r") == capacity + 1, F.col("mg_lb"))),
+            F.lit(0),
+        ).alias("__cut")
+    )
+    survivors = (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(key_col, (F.col("mg_lb") - F.col("__cut")).alias("mg_lb"))
+        .filter(F.col("mg_lb") > 0)
+    )
+    _commit_swap(survivors.unionByName(total), store_path, epoch_id)
+
+
+def read_mg_store(
+    spark, store_path: str, key_col: str = "k"
+) -> tuple[DataFrame, int]:
+    """(candidates frame, exact rows seen) from a store directory."""
+    df = spark.read.parquet(store_path)
+    total = (
+        df.filter(F.col(key_col) == F.lit(_TOTAL_KEY))
+        .agg(F.coalesce(F.sum("mg_lb"), F.lit(0)))
+        .collect()[0][0]
+    )
+    return df.filter(F.col(key_col) != F.lit(_TOTAL_KEY)), int(total)
+
+
+def mg_store_sink(
+    stream: DataFrame,
+    store_path: str,
+    key_col: str,
+    capacity: int,
+    checkpoint: str,
+):
+    """writeStream wiring for the bounded heavy-hitter store."""
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda df, epoch: mg_store_batch(
+                df, store_path, key_col, capacity, epoch
+            )
+        )
+    )

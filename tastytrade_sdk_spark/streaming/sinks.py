@@ -107,6 +107,54 @@ def append_log_sink(
     return w
 
 
+def _epoch_admits(path: str, epoch_id: int, who: str) -> bool:
+    """Shared epoch guard for NON-idempotent (additive/decrementing)
+    foreachBatch merges. Recovers a crashed swap (``.__old`` left
+    behind), skips an already-committed replayed epoch, and raises on
+    epoch REGRESSION — a checkpoint deleted/recreated restarts epoch
+    ids at 0, and silently skipping would drop every new batch until
+    the counter catches up (quiet data loss). Clears stale tmp/old
+    dirs when admitting."""
+    tmp, old = path + ".__tmp", path + ".__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    committed = -1
+    epoch_file = os.path.join(path, "_epoch")
+    if os.path.exists(epoch_file):
+        with open(epoch_file) as fh:
+            committed = int(fh.read().strip())
+    if epoch_id <= committed:
+        if epoch_id < committed:
+            raise ValueError(
+                f"{who}: epoch regression (batch epoch {epoch_id} < "
+                f"committed {committed}) at {path} — the streaming "
+                f"checkpoint was likely deleted/recreated; restore it "
+                f"or remove the sink's _epoch sidecar to re-seed"
+            )
+        return False
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    return True
+
+
+def _commit_swap(merged: DataFrame, path: str, epoch_id: int) -> None:
+    """Write the merged table + ``_epoch`` sidecar into a tmp dir and
+    atomically rename it over the store: data and epoch commit in the
+    SAME directory rename, so there is no crash window where one lands
+    without the other (underscore-prefixed sidecars are invisible to
+    the parquet reader)."""
+    tmp, old = path + ".__tmp", path + ".__old"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_epoch"), "w") as fh:
+        fh.write(str(epoch_id))
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def additive_agg_batch(
     batch_df: DataFrame,
     path: str,
@@ -131,34 +179,8 @@ def additive_agg_batch(
     epoch in the commit metadata (txnAppId/txnVersion pattern).
     """
     spark = batch_df.sparkSession
-    tmp, old = path + ".__tmp", path + ".__old"
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
-    committed = -1
-    epoch_file = os.path.join(path, "_epoch")
-    if os.path.exists(epoch_file):
-        with open(epoch_file) as fh:
-            committed = int(fh.read().strip())
-    if epoch_id <= committed:
-        # A replayed epoch (== committed, or trailing a restart) is
-        # idempotent-skip territory. But a REGRESSION far below the
-        # committed epoch means the stream's checkpoint was deleted or
-        # recreated — epoch ids restarted at 0 — and silently skipping
-        # would drop every new batch until the counter catches up:
-        # quiet data loss. Fail loudly; the operator must either
-        # restore the checkpoint or reset the sink's _epoch sidecar.
-        if epoch_id < committed:
-            raise ValueError(
-                f"additive_agg_batch: epoch regression (batch epoch "
-                f"{epoch_id} < committed {committed}) at {path} — the "
-                f"streaming checkpoint was likely deleted/recreated; "
-                f"restore it or remove the sink's _epoch sidecar to "
-                f"re-seed"
-            )
+    if not _epoch_admits(path, epoch_id, "additive_agg_batch"):
         return  # replayed epoch: already folded in
-    for d in (tmp, old):
-        if os.path.exists(d):
-            shutil.rmtree(d)
     part = batch_df.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sum_cols],
         F.count(F.lit(1)).alias(count_col),
@@ -175,14 +197,7 @@ def additive_agg_batch(
         )
     else:
         merged = part
-    merged.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, "_epoch"), "w") as fh:
-        fh.write(str(epoch_id))
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _commit_swap(merged, path, epoch_id)
 
 
 def additive_agg_sink(

@@ -1,0 +1,90 @@
+"""Bounded streaming Misra-Gries heavy-hitter store: capacity bound,
+share-floor coverage, lower-bound error, replay absorption, epoch
+regression."""
+
+import collections
+import random
+
+import pytest
+
+from tastytrade_sdk_spark.streaming.heavy_stream import (
+    mg_store_batch,
+    read_mg_store,
+)
+
+
+def _batches(rng, n_batches=4, rows_per=800):
+    """Zipf-ish batches: 2 hot keys + a long tail, arrival-shuffled."""
+    out = []
+    for b in range(n_batches):
+        rows = (
+            ["hot_a"] * 300 + ["hot_b"] * 150
+            + [f"tail{b}_{i}" for i in range(rows_per - 450)]
+        )
+        rng.shuffle(rows)
+        out.append(rows)
+    return out
+
+
+def test_mg_store_bounds_and_coverage(spark, tmp_path):
+    store = str(tmp_path / "mg_store")
+    rng = random.Random(7)
+    batches = _batches(rng)
+    truth = collections.Counter()
+    capacity = 50
+    for epoch, rows in enumerate(batches):
+        truth.update(rows)
+        df = spark.createDataFrame([(r,) for r in rows], "k string").repartition(4)
+        mg_store_batch(df, store, "k", capacity, epoch)
+
+    cands, total = read_mg_store(spark, store, "k")
+    got = {r["k"]: r["mg_lb"] for r in cands.collect()}
+    n = sum(truth.values())
+    assert total == n  # exact denominator survives the merges
+    assert len(got) <= capacity  # bounded forever
+    # coverage: every key with share >= 1/(capacity+1) is present
+    floor = n / (capacity + 1)
+    for key, cnt in truth.items():
+        if cnt >= floor:
+            assert key in got, key
+    # MG bound: lb <= true count <= lb + n/(capacity+1)
+    for key, lb in got.items():
+        assert lb <= truth[key] <= lb + floor + 1, key
+
+
+def test_mg_store_replay_and_regression(spark, tmp_path):
+    store = str(tmp_path / "mg_replay")
+    rows = [("a",)] * 30 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    mg_store_batch(df, store, "k", 10, 0)
+    before = dict(
+        (r["k"], r["mg_lb"]) for r in read_mg_store(spark, store, "k")[0].collect()
+    )
+    # replayed epoch is absorbed wholesale (MG merge is NOT idempotent)
+    mg_store_batch(df, store, "k", 10, 0)
+    after_replay, total = read_mg_store(spark, store, "k")
+    assert dict((r["k"], r["mg_lb"]) for r in after_replay.collect()) == before
+    assert total == 35
+    # epoch regression (checkpoint rebuilt) fails loudly
+    mg_store_batch(df, store, "k", 10, 1)
+    with pytest.raises(ValueError, match="epoch regression"):
+        mg_store_batch(df, store, "k", 10, 0)
+    with pytest.raises(ValueError):
+        mg_store_batch(df, store, "k", 0, 5)
+
+
+def test_mg_store_matches_single_pass_summary(spark, tmp_path):
+    """Streaming merge over batches keeps the SAME guarantee class as a
+    one-shot MG over the concatenated stream: identical hot-key set
+    above the floor, and deterministic across a full replay."""
+    rng = random.Random(11)
+    batches = _batches(rng, n_batches=3)
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    for epoch, rows in enumerate(batches):
+        df = spark.createDataFrame([(r,) for r in rows], "k string")
+        mg_store_batch(df, s1, "k", 30, epoch)
+        mg_store_batch(df, s2, "k", 30, epoch)
+    a = {r["k"]: r["mg_lb"] for r in read_mg_store(spark, s1, "k")[0].collect()}
+    b = {r["k"]: r["mg_lb"] for r in read_mg_store(spark, s2, "k")[0].collect()}
+    assert a == b  # byte-identical across independent replays
+    assert {"hot_a", "hot_b"} <= set(a)
