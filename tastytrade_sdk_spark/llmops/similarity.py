@@ -100,6 +100,7 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     k: int = 5,
     round_dp: int = 6,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query, as one blocked matmul.
 
@@ -113,16 +114,26 @@ def brute_force_topk(
     Ranking uses the rounded cosine with the candidate id as tiebreak
     (deterministic across engines); the local top-k uses the identical
     order, so the global top-k equals the all-pairs answer exactly.
+
+    ``exclude_label_col`` turns the search into HARD-NEGATIVE MINING
+    (contrastive-training prep): candidates sharing the query's label
+    are masked out batch-side, so the result is the k nearest vectors
+    of a DIFFERENT class — same plan, one extra broadcast column and a
+    vectorized mask.
     """
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
-    qrows = queries.select(query_id_col, vec_col).collect()
+    qcols = [query_id_col, vec_col] + (
+        [exclude_label_col] if exclude_label_col else []
+    )
+    qrows = queries.select(*qcols).collect()
     qids = [r[0] for r in qrows]
     qmat = _unit_rows(_as_matrix([r[1] for r in qrows]))
-    bc = spark.sparkContext.broadcast((qids, qmat))
+    qlabels = [r[2] for r in qrows] if exclude_label_col else None
+    bc = spark.sparkContext.broadcast((qids, qmat, qlabels))
 
     id_type = corpus.schema[id_col].dataType
     qid_type = queries.schema[query_id_col].dataType
@@ -135,7 +146,7 @@ def brute_force_topk(
     )
 
     def score(batches):
-        b_qids, b_q = bc.value
+        b_qids, b_q, b_qlabels = bc.value
         nq = len(b_qids)
         for pdf in batches:
             if len(pdf) == 0:
@@ -143,10 +154,15 @@ def brute_force_topk(
             cm = _unit_rows(_as_matrix(pdf[vec_col].values))
             s = np.round(cm @ b_q.T, round_dp)  # (n, q)
             cids = pdf[id_col].values
+            clabels = (
+                pdf[exclude_label_col].values if b_qlabels is not None else None
+            )
             out: dict = {query_id_col: [], id_col: [], "cosine": []}
             for j in range(nq):
                 col = s[:, j]
                 keep = cids != b_qids[j]
+                if b_qlabels is not None:
+                    keep &= clabels != b_qlabels[j]
                 idx = np.nonzero(keep)[0]
                 if len(idx) == 0:
                     continue
@@ -160,7 +176,10 @@ def brute_force_topk(
             if out[id_col]:
                 yield pd.DataFrame(out)
 
-    scored = _spread(corpus.select(id_col, vec_col)).mapInPandas(score, out_schema)
+    ccols = [id_col, vec_col] + (
+        [exclude_label_col] if exclude_label_col else []
+    )
+    scored = _spread(corpus.select(*ccols)).mapInPandas(score, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )

@@ -323,3 +323,44 @@ def test_cross_snapshot_dedup_vs_python_replication(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_hard_negatives_exclude_label_vs_numpy(spark):
+    import numpy as np
+
+    from tastytrade_sdk_spark.llmops.similarity import brute_force_topk
+
+    rng = random.Random(5)
+    dim, n = 8, 60
+    rows = [
+        (
+            i,
+            [rng.uniform(-1, 1) for _ in range(dim)],
+            i % 3,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>, label int"
+    ).repartition(5)
+    queries = df.filter("vec_id < 4").selectExpr(
+        "vec_id as query_id", "embedding", "label"
+    )
+    got = {}
+    for r in brute_force_topk(
+        df, queries, k=3, exclude_label_col="label"
+    ).collect():
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["vec_id"]))
+    mat = np.array([r[1] for r in rows])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in range(4):
+        sims = np.round(unit @ unit[q], 6)
+        cand = [
+            (-sims[i], i)
+            for i in range(n)
+            if i != q and rows[i][2] != rows[q][2]
+        ]
+        want = [i for _, i in sorted(cand)[:3]]
+        assert [v for _, v in sorted(got[q])] == want, q
+        # every returned negative really is cross-label
+        assert all(rows[v][2] != rows[q][2] for _, v in got[q])
