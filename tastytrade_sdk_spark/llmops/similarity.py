@@ -560,3 +560,87 @@ def quantize_int8(
         F.col("__q").alias("qvec"),
         mse.alias("mse"),
     )
+
+
+def sq8_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    shortlist: int = 20,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-stage quantized search — the memory-bound ANN recipe: scan
+    the 4x-compressed int8 vectors for a shortlist by integer dot
+    product, then exact-rescore only the shortlist with full-precision
+    cosine.
+
+    Stage 1 is INTEGER arithmetic end to end (int8 codes, bigint dot,
+    id tiebreak) — deterministic across engines with no rounding site
+    at all; the scan reads qvec codes (1/4 the bytes of float32),
+    which is what makes compressed-domain scanning pay at lake scale.
+    Stage 2 re-scores <= shortlist rows per query against the original
+    float vectors (semi-join on the candidate ids), using the same
+    rounded-cosine + id ranking as the exact search.
+
+    The shortlist ranks by raw integer dot8 (scales deliberately NOT
+    folded in — folding would reintroduce float products); with
+    per-vector symmetric quantization this is a rank-faithful proxy
+    whose misses the rescore stage bounds by shortlist/k headroom.
+    Plan: one broadcast of the quantized queries, one narrow
+    compressed scan + per-query top-shortlist window, one broadcast
+    semi-join back to the float vectors for rescoring. The corpus
+    never shuffles.
+    """
+    from pyspark.sql import Window
+
+    c8 = quantize_int8(corpus, vec_col, id_col).select(id_col, "qvec")
+    q8 = quantize_int8(queries, vec_col, query_id_col).select(
+        F.col(query_id_col), F.col("qvec").alias("__qq")
+    )
+    dot8 = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("__qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        c8.crossJoin(F.broadcast(q8))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, dot8.alias("dot8"))
+    )
+    w1 = Window.partitionBy(query_id_col).orderBy(
+        F.col("dot8").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        pairs.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= shortlist)
+        .drop("__r")
+    )
+    cvec = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cv")
+    )
+    qvec = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    rescored = (
+        cand.join(cvec, id_col)
+        .join(F.broadcast(qvec), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            "dot8",
+            F.round(
+                cosine(F.col("__cv"), F.col("__qv")), round_dp
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "dot8", "cosine", "rnk")
+    )

@@ -364,3 +364,43 @@ def test_hard_negatives_exclude_label_vs_numpy(spark):
         assert [v for _, v in sorted(got[q])] == want, q
         # every returned negative really is cross-label
         assert all(rows[v][2] != rows[q][2] for _, v in got[q])
+
+
+def test_sq8_rescore_recall_vs_exact(spark):
+    """The quantized two-stage search must (a) return candidates in
+    exact-cosine order and (b) recover the exact top-k whenever the
+    int8 shortlist has headroom — checked against brute force on a
+    random corpus."""
+    from tastytrade_sdk_spark.llmops.similarity import (
+        brute_force_topk,
+        sq8_rescore_topk,
+    )
+
+    rng = random.Random(3)
+    dim, n = 8, 80
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = df.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    exact = {}
+    for r in brute_force_topk(df, queries, k=3).collect():
+        exact.setdefault(r["query_id"], []).append((r["rnk"], r["vec_id"]))
+    got = {}
+    for r in sq8_rescore_topk(df, queries, k=3, shortlist=n).collect():
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["vec_id"]))
+    # with a full-corpus shortlist the rescore IS the exact answer
+    for q in exact:
+        assert sorted(got[q]) == sorted(exact[q]), q
+    # small shortlist still returns k rows in exact-cosine rank order
+    small = sq8_rescore_topk(df, queries, k=3, shortlist=8).collect()
+    by_q = {}
+    for r in small:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert len(rs) == 3
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
