@@ -601,3 +601,72 @@ def temperature_resample(
             .alias("n_copies"),
         )
     )
+
+
+def vocab_oov_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Tokenizer-coverage report: build the top-``vocab_size`` token
+    vocabulary by corpus frequency (deterministic freq-desc/token-asc
+    tiebreak) and emit per-document out-of-vocabulary statistics —
+    the coverage check a pipeline runs before committing to a
+    tokenizer/vocab for a new corpus slice.
+
+    Scale shape: one (token) count aggregation with map-side partials;
+    the top-V cut uses the same salted two-phase top-k as the n-gram
+    profile (no reducer sees the full distinct-token table); the
+    resulting <= vocab_size-row vocabulary broadcasts into the
+    per-document scoring join, and the final agg keys on the doc id.
+    """
+    toks = (
+        F.col(tokens_col) if tokens_col else tokens_expr(F.col("text"))
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(toks).alias("token")
+    )
+    counts = (
+        exploded.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    n_salts = 64
+    w_salt = Window.partitionBy("__salt").orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    )
+    pruned = (
+        counts.withColumn("__salt", F.pmod(F.xxhash64("token"), F.lit(n_salts)))
+        .withColumn("__r", F.row_number().over(w_salt))
+        .filter(F.col("__r") <= vocab_size)
+        .drop("__salt", "__r")
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    vocab = (
+        pruned.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= vocab_size)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    scored = exploded.join(F.broadcast(vocab), "token", "left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("token").alias("n_tokens"),
+            F.count(
+                F.when(
+                    F.col("token").isNotNull() & F.col("__in_vocab").isNull(),
+                    F.lit(1),
+                )
+            ).alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+            ).alias("oov_rate"),
+        )
+    )

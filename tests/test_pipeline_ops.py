@@ -385,3 +385,23 @@ def test_temperature_resample_upsamples_rare_groups(spark):
     assert sorted((r["doc_id"], r["n_copies"]) for r in again) == sorted(
         (r["doc_id"], r["n_copies"]) for r in out
     )
+
+
+def test_vocab_oov_stats_small_vocab(spark):
+    from tastytrade_sdk_spark.llmops.pipeline import vocab_oov_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb bb cc"),   # freq: aa 3, bb 2+1, cc 1+1
+            (2, "bb cc dd"),            # dd is rare -> OOV at V=3
+            (3, ""),                    # zero tokens
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in vocab_oov_stats(docs, vocab_size=3).collect()}
+    # vocab = top-3 by (freq desc, token asc): aa(3), bb(3), cc(2)
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (6, 0)
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (3, 1)  # dd
+    assert out[2]["oov_rate"] == round(1 / 3, 6)
+    assert (out[3]["n_tokens"], out[3]["n_oov"]) == (0, 0)
+    assert out[3]["oov_rate"] is None
