@@ -670,3 +670,62 @@ def vocab_oov_stats(
             ).alias("oov_rate"),
         )
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    token_count_col: str,
+    id_col: str = "doc_id",
+    batch_size: int = 32,
+    bucket_edges: tuple[int, ...] = (64, 128, 256, 512, 1024),
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-efficiency prep
+    for batched inference/training: docs are grouped into buckets of
+    similar token length (boundaries = ``bucket_edges``; the last
+    bucket is open-ended) and enumerated into fixed-size batches
+    within each bucket, so a batch never pads a 10-token doc out to a
+    1000-token neighbour.
+
+    Deterministic: within a bucket, batch order is (token count asc,
+    id asc), so re-runs and engines agree on every assignment. The
+    per-batch padded-token cost (batch rows x bucket-local max length)
+    is emitted per doc for padding-waste accounting.
+
+    Scale shape: one window per (bucket) partition — parallelism is
+    bucket count x Spark's window partitioning; at lake scale the
+    enumeration shards further by the same hash-shard trick as
+    training_shuffle (buckets are coarse; apply it when a single
+    bucket outgrows one reducer).
+    """
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    n = F.col(token_count_col)
+    bucket = F.lit(len(bucket_edges))
+    for i in reversed(range(len(bucket_edges))):
+        bucket = F.when(n <= F.lit(bucket_edges[i]), F.lit(i)).otherwise(
+            bucket
+        )
+    base = df.select(
+        F.col(id_col), n.alias("n_tokens"), bucket.cast("int").alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy("n_tokens", id_col)
+    seq = base.withColumn("__rn", F.row_number().over(w))
+    batched = seq.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.floor((F.col("__rn") - 1) / F.lit(batch_size))
+        .cast("long")
+        .alias("batch_id"),
+        F.col("__rn").cast("long").alias("pos_in_bucket"),
+    )
+    wb = Window.partitionBy("bucket", "batch_id")
+    return batched.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        "batch_id",
+        "pos_in_bucket",
+        F.max("n_tokens").over(wb).alias("batch_max_tokens"),
+        F.count(F.lit(1)).over(wb).cast("long").alias("batch_rows"),
+    )

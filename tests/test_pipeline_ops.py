@@ -405,3 +405,36 @@ def test_vocab_oov_stats_small_vocab(spark):
     assert out[2]["oov_rate"] == round(1 / 3, 6)
     assert (out[3]["n_tokens"], out[3]["n_oov"]) == (0, 0)
     assert out[3]["oov_rate"] is None
+
+
+def test_length_bucketed_batches_assignment(spark):
+    from tastytrade_sdk_spark.llmops.pipeline import length_bucketed_batches
+
+    rows = [(i, n) for i, n in enumerate(
+        [10, 20, 64, 65, 100, 128, 129, 600, 2000, 12, 70]
+    )]
+    df = spark.createDataFrame(rows, "doc_id int, nt int")
+    out = {
+        r["doc_id"]: r
+        for r in length_bucketed_batches(df, "nt", batch_size=2).collect()
+    }
+    # bucket boundaries: <=64 -> 0, <=128 -> 1, <=256 -> 2, ... >1024 -> 5
+    assert [out[i]["bucket"] for i in range(11)] == [
+        0, 0, 0, 1, 1, 1, 2, 4, 5, 0, 1
+    ]
+    # bucket 0 members ordered (nt, id): 10,12,20,64 -> batches [0,0,1,1]
+    b0 = sorted(
+        (r for r in out.values() if r["bucket"] == 0),
+        key=lambda r: r["pos_in_bucket"],
+    )
+    assert [r["doc_id"] for r in b0] == [0, 9, 1, 2]
+    assert [r["batch_id"] for r in b0] == [0, 0, 1, 1]
+    # batch stats: first bucket-0 batch holds {10, 12} -> max 12, rows 2
+    assert (b0[0]["batch_max_tokens"], b0[0]["batch_rows"]) == (12, 2)
+    assert (b0[2]["batch_max_tokens"], b0[2]["batch_rows"]) == (64, 2)
+    # singleton batch in the open-ended tail bucket
+    assert (out[8]["bucket"], out[8]["batch_rows"]) == (5, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        length_bucketed_batches(df, "nt", batch_size=0)
