@@ -484,33 +484,52 @@ def ngram_topk_per_group(
     counts = grams.groupBy(group_col, "ngram").agg(
         F.count(F.lit(1)).alias("freq")
     )
-    # Two-phase top-k: a bare per-group window would funnel EVERY
-    # distinct (group, ngram) row through one reducer — and distinct
-    # n-grams grow near-linearly with the corpus, so that reducer sees
-    # lake-scale volume. Phase 1 takes the top-k within each of 64
-    # hash-salted slices (the global top-k is a subset of the union of
-    # per-salt top-ks, since a row's rank within its salt bounds its
-    # global rank); phase 2's window then sees at most 64*k rows per
-    # group. The salt only prunes — output is unchanged.
-    n_salts = 64
-    w_salt = Window.partitionBy(group_col, "__salt").orderBy(
-        F.col("freq").desc(), F.col("ngram").asc()
+    ranked = _salted_topk(
+        counts,
+        partition_cols=[group_col],
+        salt_col="ngram",
+        order_cols=[F.col("freq").desc(), F.col("ngram").asc()],
+        k=k,
     )
+    return ranked.select(
+        group_col, "ngram", "freq", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _salted_topk(
+    counts: DataFrame,
+    partition_cols: list[str],
+    salt_col: str,
+    order_cols: list,
+    k: int,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Two-phase top-k with a salted pre-prune, shared by every
+    frequency-profile operator: a bare per-partition window would
+    funnel EVERY distinct row of a partition through one reducer —
+    and distinct tokens/n-grams grow near-linearly with the corpus.
+    Phase 1 takes the top-k within each of ``n_salts`` hash-salted
+    slices (the global top-k is a subset of the union of per-salt
+    top-ks, since a row's rank within its salt bounds its global
+    rank); phase 2's window then sees at most n_salts*k rows per
+    partition. The salt only prunes — output (with a ``rank`` column)
+    is unchanged."""
+    w_salt = Window.partitionBy(*partition_cols, "__salt").orderBy(*order_cols)
     pruned = (
         counts.withColumn(
-            "__salt", F.pmod(F.xxhash64("ngram"), F.lit(n_salts))
+            "__salt", F.pmod(F.xxhash64(salt_col), F.lit(n_salts))
         )
         .withColumn("__r", F.row_number().over(w_salt))
         .filter(F.col("__r") <= k)
         .drop("__salt", "__r")
     )
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("freq").desc(), F.col("ngram").asc()
+    w = (
+        Window.partitionBy(*partition_cols).orderBy(*order_cols)
+        if partition_cols
+        else Window.orderBy(*order_cols)
     )
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(group_col, "ngram", "freq", F.col("rank").cast("int").alias("rank"))
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 
@@ -632,22 +651,13 @@ def vocab_oov_stats(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    n_salts = 64
-    w_salt = Window.partitionBy("__salt").orderBy(
-        F.col("freq").desc(), F.col("token").asc()
-    )
-    pruned = (
-        counts.withColumn("__salt", F.pmod(F.xxhash64("token"), F.lit(n_salts)))
-        .withColumn("__r", F.row_number().over(w_salt))
-        .filter(F.col("__r") <= vocab_size)
-        .drop("__salt", "__r")
-    )
-    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
-    vocab = (
-        pruned.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= vocab_size)
-        .select("token", F.lit(True).alias("__in_vocab"))
-    )
+    vocab = _salted_topk(
+        counts,
+        partition_cols=[],
+        salt_col="token",
+        order_cols=[F.col("freq").desc(), F.col("token").asc()],
+        k=vocab_size,
+    ).select("token", F.lit(True).alias("__in_vocab"))
     scored = exploded.join(F.broadcast(vocab), "token", "left")
     return (
         scored.groupBy(id_col)
@@ -699,13 +709,18 @@ def length_bucketed_batches(
     """
     if batch_size <= 0:
         raise ValueError("batch_size must be positive")
+    if list(bucket_edges) != sorted(set(bucket_edges)):
+        raise ValueError("bucket_edges must be strictly ascending")
     n = F.col(token_count_col)
     bucket = F.lit(len(bucket_edges))
     for i in reversed(range(len(bucket_edges))):
         bucket = F.when(n <= F.lit(bucket_edges[i]), F.lit(i)).otherwise(
             bucket
         )
-    base = df.select(
+    # a NULL count would fall through every `<=` to the open-ended
+    # giant bucket and corrupt its padding stats; a negative count
+    # (F.size of a NULL array yields -1) has no length meaning either
+    base = df.filter(n.isNotNull() & (n >= 0)).select(
         F.col(id_col), n.alias("n_tokens"), bucket.cast("int").alias("bucket")
     )
     w = Window.partitionBy("bucket").orderBy("n_tokens", id_col)

@@ -146,6 +146,8 @@ def brute_force_topk(
     )
 
     def score(batches):
+        import pandas as pd
+
         b_qids, b_q, b_qlabels = bc.value
         nq = len(b_qids)
         for pdf in batches:
@@ -154,15 +156,28 @@ def brute_force_topk(
             cm = _unit_rows(_as_matrix(pdf[vec_col].values))
             s = np.round(cm @ b_q.T, round_dp)  # (n, q)
             cids = pdf[id_col].values
-            clabels = (
-                pdf[exclude_label_col].values if b_qlabels is not None else None
+            # SQL three-valued semantics for the label exclusion
+            # ("label != query_label"): a NULL candidate label is
+            # EXCLUDED (NULL != x is not true), and a NULL query label
+            # matches nothing — the numpy `!=`-keeps-NaN shortcut
+            # would silently treat unlabeled rows as guaranteed
+            # negatives and diverge from the oracle
+            label_ser = (
+                pdf[exclude_label_col] if b_qlabels is not None else None
             )
             out: dict = {query_id_col: [], id_col: [], "cosine": []}
             for j in range(nq):
                 col = s[:, j]
                 keep = cids != b_qids[j]
                 if b_qlabels is not None:
-                    keep &= clabels != b_qlabels[j]
+                    if b_qlabels[j] is None or (
+                        isinstance(b_qlabels[j], float)
+                        and pd.isna(b_qlabels[j])
+                    ):
+                        continue
+                    keep &= (
+                        label_ser.notna() & (label_ser != b_qlabels[j])
+                    ).values
                 idx = np.nonzero(keep)[0]
                 if len(idx) == 0:
                     continue

@@ -6,10 +6,12 @@ long-tail stream (tokens, URLs, user ids) that store grows without
 bound; the streaming-scale alternative is a Misra-Gries summary of
 fixed capacity merged per micro-batch (Agarwal et al., "Mergeable
 Summaries"): the store holds at most ``capacity`` rows forever, any
-key whose share of the whole stream is >= 1/(capacity+1) is guaranteed
-present, and each stored lower bound undercounts by at most
-n/(capacity+1) (n = rows seen so far, tracked exactly in the store's
-``_epoch``-style sidecar row).
+key whose count STRICTLY exceeds n/(capacity+1) is guaranteed present
+(the classic strict MG bound — a key landing exactly on the floor can
+be decremented to zero), and each stored lower bound undercounts by at
+most n/(capacity+1) (n = rows seen so far, tracked exactly in a
+reserved sentinel row inside the store; a genuine stream key equal to
+the sentinel is excluded, documented below).
 
 Merge per batch = combine counts, subtract the (capacity+1)-largest
 combined count from everyone, drop the non-positive — the same MG
@@ -54,13 +56,21 @@ def mg_store_batch(
     if capacity <= 0:
         raise ValueError("capacity must be positive")
     spark = batch_df.sparkSession
-    if batch_df.isEmpty():
-        return
+    # epoch guard FIRST: it also performs crashed-swap recovery and
+    # regression detection, which must run even for an empty batch
+    # (an empty replay after a crash would otherwise leave the store
+    # stranded under its .__old name)
     if not _epoch_admits(store_path, epoch_id, "mg_store_batch"):
+        return
+    if batch_df.isEmpty():
         return
     batch_counts = (
         batch_df.select(F.col(key_col).cast("string").alias(key_col))
-        .filter(F.col(key_col).isNotNull())
+        # NULL keys carry no identity; the reserved sentinel key is
+        # excluded too — admitting it would corrupt the exact-total row
+        .filter(
+            F.col(key_col).isNotNull() & (F.col(key_col) != F.lit(_TOTAL_KEY))
+        )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("mg_lb"))
     )
@@ -71,7 +81,14 @@ def mg_store_batch(
     combined = batch_counts.unionByName(total_row)
     if os.path.exists(store_path):
         combined = combined.unionByName(spark.read.parquet(store_path))
-    merged = combined.groupBy(key_col).agg(F.sum("mg_lb").alias("mg_lb"))
+    # materialize the combine ONCE: three consumers (ranking, cut,
+    # total) would otherwise each re-read the store parquet and
+    # re-aggregate the micro-batch on the hot streaming path
+    merged = (
+        combined.groupBy(key_col)
+        .agg(F.sum("mg_lb").alias("mg_lb"))
+        .localCheckpoint(eager=True)
+    )
     counters = merged.filter(F.col(key_col) != F.lit(_TOTAL_KEY))
     total = merged.filter(F.col(key_col) == F.lit(_TOTAL_KEY))
     # MG decrement: subtract the (capacity+1)-largest combined count;
@@ -79,14 +96,14 @@ def mg_store_batch(
     # checkpoint produce byte-identical stores
     w = Window.orderBy(F.col("mg_lb").desc(), F.col(key_col).asc())
     ranked = counters.withColumn("__r", F.row_number().over(w))
-    cut = ranked.agg(
-        F.coalesce(
-            F.max(F.when(F.col("__r") == capacity + 1, F.col("mg_lb"))),
-            F.lit(0),
-        ).alias("__cut")
+    cut = F.coalesce(
+        F.max(
+            F.when(F.col("__r") == capacity + 1, F.col("mg_lb"))
+        ).over(Window.partitionBy(F.lit(1))),
+        F.lit(0),
     )
     survivors = (
-        ranked.crossJoin(F.broadcast(cut))
+        ranked.withColumn("__cut", cut)
         .select(key_col, (F.col("mg_lb") - F.col("__cut")).alias("mg_lb"))
         .filter(F.col("mg_lb") > 0)
     )

@@ -42,10 +42,12 @@ def test_mg_store_bounds_and_coverage(spark, tmp_path):
     n = sum(truth.values())
     assert total == n  # exact denominator survives the merges
     assert len(got) <= capacity  # bounded forever
-    # coverage: every key with share >= 1/(capacity+1) is present
+    # coverage (strict MG bound): every key whose count strictly
+    # exceeds n/(capacity+1) is present; a key exactly ON the floor
+    # may legally be decremented away
     floor = n / (capacity + 1)
     for key, cnt in truth.items():
-        if cnt >= floor:
+        if cnt > floor:
             assert key in got, key
     # MG bound: lb <= true count <= lb + n/(capacity+1)
     for key, lb in got.items():
@@ -75,16 +77,38 @@ def test_mg_store_replay_and_regression(spark, tmp_path):
 
 def test_mg_store_matches_single_pass_summary(spark, tmp_path):
     """Streaming merge over batches keeps the SAME guarantee class as a
-    one-shot MG over the concatenated stream: identical hot-key set
-    above the floor, and deterministic across a full replay."""
+    one-shot MG over the concatenated stream (strict-floor key set and
+    capacity bound match), and is deterministic across a full replay."""
     rng = random.Random(11)
     batches = _batches(rng, n_batches=3)
-    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    capacity = 30
+    s1, s2, one = (str(tmp_path / d) for d in ("s1", "s2", "one"))
     for epoch, rows in enumerate(batches):
         df = spark.createDataFrame([(r,) for r in rows], "k string")
-        mg_store_batch(df, s1, "k", 30, epoch)
-        mg_store_batch(df, s2, "k", 30, epoch)
+        mg_store_batch(df, s1, "k", capacity, epoch)
+        mg_store_batch(df, s2, "k", capacity, epoch)
+    all_rows = [r for rows in batches for r in rows]
+    mg_store_batch(
+        spark.createDataFrame([(r,) for r in all_rows], "k string"),
+        one, "k", capacity, 0,
+    )
     a = {r["k"]: r["mg_lb"] for r in read_mg_store(spark, s1, "k")[0].collect()}
     b = {r["k"]: r["mg_lb"] for r in read_mg_store(spark, s2, "k")[0].collect()}
+    single, n_single = read_mg_store(spark, one, "k")
+    sp = {r["k"]: r["mg_lb"] for r in single.collect()}
     assert a == b  # byte-identical across independent replays
-    assert {"hot_a", "hot_b"} <= set(a)
+    # same guarantee class as the one-shot summary: both are bounded
+    # by capacity, agree on the exact total, and both contain every
+    # key strictly above the n/(capacity+1) floor
+    import collections
+
+    truth = collections.Counter(all_rows)
+    n = sum(truth.values())
+    assert n_single == n
+    assert len(a) <= capacity and len(sp) <= capacity
+    floor = n / (capacity + 1)
+    heavy = {k for k, c in truth.items() if c > floor}
+    assert heavy <= set(a) and heavy <= set(sp)
+    # lower bounds stay bounds in both forms
+    for k_, lb in {**a, **sp}.items():
+        assert lb <= truth[k_]

@@ -404,3 +404,28 @@ def test_sq8_rescore_recall_vs_exact(spark):
         assert len(rs) == 3
         cosines = [r["cosine"] for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_hard_negatives_null_labels_sql_semantics(spark):
+    """NULL labels follow SQL three-valued logic: NULL-labeled
+    candidates are never negatives, and a NULL-labeled query returns
+    no rows."""
+    from tastytrade_sdk_spark.llmops.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], None),   # NULL-labeled candidate: excluded
+        (2, [0.8, 0.2], 2),      # cross-label: the only valid negative
+        (3, [0.7, 0.3], 1),      # same label: excluded
+        (9, [0.5, 0.5], None),   # NULL-labeled query: no rows
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label int")
+    queries = df.filter("vec_id in (0, 9)").selectExpr(
+        "vec_id as query_id", "embedding", "label"
+    )
+    out = brute_force_topk(df, queries, k=3, exclude_label_col="label").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert sorted(got[0]) == [2]
+    assert 9 not in got
