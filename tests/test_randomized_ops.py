@@ -429,3 +429,73 @@ def test_hard_negatives_null_labels_sql_semantics(spark):
         got.setdefault(r["query_id"], []).append(r["vec_id"])
     assert sorted(got[0]) == [2]
     assert 9 not in got
+
+
+def test_temperature_resample_vs_python_integer_replication(spark):
+    """The all-integer contract, fuzzed: replicate isqrt weights,
+    floored integer targets, and the md5 lottery in pure Python over
+    random group structures and require identical manifests."""
+    import hashlib
+    import math
+
+    from tastytrade_sdk_spark.llmops.pipeline import temperature_resample
+
+    rng = random.Random(77)
+    for trial in range(3):
+        groups = {
+            f"g{g}": rng.randint(1, 400) for g in range(rng.randint(2, 6))
+        }
+        rows, nid = [], 0
+        for g, size in groups.items():
+            for _ in range(size):
+                rows.append((nid, g))
+                nid += 1
+        df = spark.createDataFrame(rows, "doc_id int, lang string")
+        out = {
+            r["doc_id"]: (r["lang"], r["n_g"], r["target_g"], r["n_copies"])
+            for r in temperature_resample(df, group_col="lang").collect()
+        }
+        w = {g: math.isqrt(n) for g, n in groups.items()}
+        w_sum, n_total = sum(w.values()), sum(groups.values())
+        targets = {g: n_total * w[g] // w_sum for g in groups}
+        for doc_id, g in rows:
+            n_g, t_g = groups[g], targets[g]
+            h = int(
+                hashlib.md5(f"tsamp:{doc_id}".encode()).hexdigest()[:8], 16
+            )
+            copies = t_g // n_g + (1 if h % n_g < t_g % n_g else 0)
+            assert out[doc_id] == (g, n_g, t_g, copies), (trial, doc_id)
+
+
+def test_length_bucketed_batches_vs_python_walk(spark):
+    from tastytrade_sdk_spark.llmops.pipeline import length_bucketed_batches
+
+    rng = random.Random(13)
+    rows = [(i, rng.choice([0, 1, 63, 64, 65, 127, 128, 300, 513, 1500]))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, nt int")
+    out = {
+        r["doc_id"]: r
+        for r in length_bucketed_batches(df, "nt", batch_size=7).collect()
+    }
+    edges = (64, 128, 256, 512, 1024)
+
+    def bucket_of(n):
+        for i, e in enumerate(edges):
+            if n <= e:
+                return i
+        return len(edges)
+
+    by_bucket = {}
+    for i, n in rows:
+        by_bucket.setdefault(bucket_of(n), []).append((n, i))
+    for b, members in by_bucket.items():
+        members.sort()
+        for rn, (n, i) in enumerate(members, start=1):
+            r = out[i]
+            assert (r["bucket"], r["pos_in_bucket"], r["batch_id"]) == (
+                b, rn, (rn - 1) // 7
+            ), i
+            batch = members[((rn - 1) // 7) * 7:((rn - 1) // 7 + 1) * 7]
+            assert r["batch_max_tokens"] == max(m[0] for m in batch)
+            assert r["batch_rows"] == len(batch)
