@@ -499,3 +499,40 @@ def test_length_bucketed_batches_vs_python_walk(spark):
             batch = members[((rn - 1) // 7) * 7:((rn - 1) // 7 + 1) * 7]
             assert r["batch_max_tokens"] == max(m[0] for m in batch)
             assert r["batch_rows"] == len(batch)
+
+
+def test_vocab_oov_stats_vs_python_replication(spark):
+    import collections
+    import re
+
+    from tastytrade_sdk_spark.llmops.pipeline import vocab_oov_stats
+
+    rng = random.Random(21)
+    vocab_words = [f"w{i}" for i in range(40)]
+    docs = []
+    for d in range(80):
+        n = rng.randint(0, 15)
+        docs.append(
+            (d, " ".join(rng.choice(vocab_words) for _ in range(n)))
+        )
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    for v_size in (5, 15, 100):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+            for r in vocab_oov_stats(df, vocab_size=v_size).collect()
+        }
+        freq = collections.Counter()
+        toks_by_doc = {}
+        for d, text in docs:
+            toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+            toks_by_doc[d] = toks
+            freq.update(toks)
+        vocab = {
+            t for t, _ in sorted(
+                freq.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:v_size]
+        }
+        for d, toks in toks_by_doc.items():
+            n, oov = len(toks), sum(1 for t in toks if t not in vocab)
+            rate = round(oov / n, 6) if n else None
+            assert got[d] == (n, oov, rate), (v_size, d)
