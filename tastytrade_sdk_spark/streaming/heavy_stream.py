@@ -110,10 +110,13 @@ def mg_store_batch(
     _commit_swap(survivors.unionByName(total), store_path, epoch_id)
 
 
-def read_mg_store(
-    spark, store_path: str, key_col: str = "k"
-) -> tuple[DataFrame, int]:
-    """(candidates frame, exact rows seen) from a store directory."""
+def read_mg_store(spark, store_path: str, key_col: str) -> tuple[DataFrame, int]:
+    """(candidates frame, exact rows seen) from a store directory.
+
+    ``key_col`` is required and must name the same column the writer
+    used (mg_store_batch stores under the caller-chosen key column); a
+    default here could silently mismatch the written schema and raise
+    an unresolved-column error at read time."""
     df = spark.read.parquet(store_path)
     total = (
         df.filter(F.col(key_col) == F.lit(_TOTAL_KEY))

@@ -149,6 +149,54 @@ def test_range_join_inverted_interval_emits_nothing(spark):
     assert out.collect() == []  # no spurious descending-sequence bins
 
 
+def test_null_text_doc_parity_vocab_and_batching(spark, tmp_path):
+    """A NULL-text document must flow identically through operator and
+    oracle (advisor r3): vocab_oov_rate keeps it as an n_tokens=0 row
+    on BOTH sides; length_bucketed_batches drops it on BOTH sides. The
+    shipped fixtures have no NULL texts, so this builds an augmented
+    sf_dir and re-runs the real gate harness on it."""
+    import os
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from check_oracle import run_gate
+
+    from tastytrade_sdk_spark.sources.tables import TABLE_NAMES
+
+    src = "/root/testdata/sf0.001"
+    aug = tmp_path / "sf_aug"
+    aug.mkdir()
+    for t in TABLE_NAMES:
+        if t != "documents":
+            os.symlink(f"{src}/{t}.parquet", aug / f"{t}.parquet")
+    docs = pq.read_table(f"{src}/documents.parquet")
+    extra = pa.table(
+        {
+            "doc_id": pa.array([900001, 900002], type=pa.int64()),
+            "text": pa.array([None, ""], type=pa.string()),
+            "lang": pa.array(["en", "en"], type=pa.string()),
+            "source": pa.array(["synthetic", "synthetic"], type=pa.string()),
+            "n_chars": pa.array([0, 0], type=pa.int64()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([docs, extra.cast(docs.schema)]),
+        aug / "documents.parquet",
+    )
+    failing = run_gate(
+        spark,
+        str(aug),
+        only={"vocab_oov_rate", "length_bucketed_batches"},
+        verbose=False,
+    )
+    assert not failing, failing
+
+
 def test_range_join_runaway_interval_raises(spark):
     from tastytrade_sdk_spark.operators.rangejoin import range_join_binned
 
