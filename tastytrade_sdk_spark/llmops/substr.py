@@ -1,0 +1,335 @@
+"""Exact substring-level deduplication (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better",
+ExactSubstr): find every character that lies inside a substring of
+length >= ``min_len`` occurring at least twice anywhere in the corpus
+(across documents or repeated within one), emit the maximal duplicate
+spans per document, and optionally rebuild the scrubbed text.
+
+Two tiers, identical output by construction (equivalence-tested):
+
+- **Global window-anchor path** (``duplicate_spans`` /
+  ``exact_substring_scrub``) — the cross-shard-EXACT tier. A char is
+  in a duplicated substring of length >= L iff it is covered by some
+  length-L window whose content occurs >= 2 times in the corpus
+  (a duplicated span [p, p+m), m >= L, duplicates every one of its
+  L-windows; conversely every duplicated L-window IS a duplicated
+  substring). So: explode one length-L window per char position
+  (narrow Generate, no shuffle), groupBy window content with map-side
+  partial counts (the ONLY wide shuffle, keyed by the L-char window;
+  at 100 TB put an xxhash64 prefilter in front so the shuffle key is
+  8 bytes and only hash-colliding buckets re-verify on text), join
+  the >=2 set back, then a per-doc lag/cumsum island merge. Linear in
+  corpus characters end to end — the same asymptotics as the paper's
+  suffix array, with Spark-native partial aggregation instead of a
+  global sort.
+- **Per-shard suffix-array kernel** (``sa_duplicate_spans``) — the
+  paper's literal mechanism as a grouped Arrow kernel: documents are
+  hash-sharded, each shard's texts are concatenated with distinct
+  out-of-alphabet sentinels, a suffix array (numpy prefix-doubling,
+  O(n log^2 n)) + a vectorized adjacent-suffix LCP scan find all
+  >=min_len repeats, and
+  covered positions map back to per-doc spans. One shard sees only
+  its own documents, so cross-shard duplicate PAIRS are found only
+  when shard routing co-locates them (n_shards=1 == the global
+  tier; at scale route near-dup candidates, e.g. an LSH band, to the
+  same shard). Within-doc repeats are always found regardless of
+  sharding. Use this tier when the window explode's row blowup
+  (1 row/char) is the bottleneck and shard routing is available; use
+  the global tier when exactness across arbitrary shards is required.
+
+No counterpart in the reference SDK (this is the training-pipeline
+mandate); the proxy tier lives at llmops/dedup.py:229
+(dup_shingle_fraction) and the word-level scrub at dedup.py:335
+(frequent_span_removal).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "duplicate_spans",
+    "exact_substring_scrub",
+    "sa_duplicate_spans",
+]
+
+
+def _anchors(df: DataFrame, text_col: str, id_col: str, min_len: int) -> DataFrame:
+    """(id, i) rows: 1-based positions whose length-L window occurs
+    >= 2 times in the corpus (multiplicity counts within-doc repeats).
+    """
+    from tastytrade_sdk_spark.llmops.dedup import _spread
+
+    L = min_len
+    # greatest() ignores NULLs in Spark, so a NULL text yields 0
+    # windows rather than a NULL sequence bound
+    n_win = F.greatest(F.length(F.col(text_col)) - F.lit(L - 1), F.lit(0))
+    idx = F.when(n_win > 0, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # the per-char window Generate is the dominant cost and is
+    # consumed twice (count side + join-back side): spread the doc
+    # scan across the cluster first or both run single-task on a
+    # one-file local source
+    wins = _spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.col(text_col), F.explode(idx).alias("i")
+    ).select(
+        F.col(id_col),
+        F.col("i"),
+        F.substring(F.col(text_col), F.col("i"), L).alias("__win"),
+    )
+    dup = (
+        wins.groupBy("__win")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("__win")
+    )
+    return wins.join(dup, "__win").select(id_col, "i")
+
+
+def _merge_islands(anchors: DataFrame, id_col: str, min_len: int) -> DataFrame:
+    """Gaps-and-islands merge of [i, i+L) anchor intervals into maximal
+    spans: all windows share length L, so intervals touch iff
+    i - lag(i) <= L. One shuffle keyed by doc."""
+    L = min_len
+    w = Window.partitionBy(id_col).orderBy("i")
+    brk = F.when(F.col("i") - F.lag("i").over(w) <= F.lit(L), F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    g = F.sum(F.col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        anchors.withColumn("__brk", brk)
+        .withColumn("__g", g)
+        .groupBy(id_col, "__g")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + F.lit(L)).alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+) -> DataFrame:
+    """Maximal duplicate spans per document: (id, span_start,
+    span_end), 1-based start, exclusive end — every character in
+    [span_start, span_end) lies in some corpus-duplicated substring of
+    length >= min_len, and no covered character is missed (exact, not
+    a proxy). Docs with no duplicated substring emit no rows."""
+    return _merge_islands(_anchors(df, text_col, id_col, min_len), id_col, min_len)
+
+
+def exact_substring_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+) -> DataFrame:
+    """Rebuild each document with its duplicate spans cut: (id,
+    n_dup_chars, clean_text). Every input doc survives — a doc with no
+    spans keeps its full text; a NULL text stays NULL with 0 dup
+    chars. The rebuild is a narrow per-row fold over the doc's sorted
+    span array (no second shuffle beyond the span agg itself)."""
+    spans = duplicate_spans(df, text_col, id_col, min_len)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    joined = df.select(id_col, text_col).join(per_doc, id_col, "left")
+    empty = F.array().cast(
+        "array<struct<span_start:int,span_end:int>>"
+    )
+    sp = F.coalesce(F.col("__spans"), empty)
+    n_dup = F.aggregate(
+        sp,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + (s["span_end"] - s["span_start"]).cast("long"),
+    )
+    text = F.col(text_col)
+    rebuilt = F.aggregate(
+        sp,
+        F.struct(
+            F.lit("").alias("acc"), F.lit(1).cast("int").alias("prev")
+        ),
+        lambda a, s: F.struct(
+            F.concat(
+                a["acc"],
+                F.substring(text, a["prev"], s["span_start"] - a["prev"]),
+            ).alias("acc"),
+            s["span_end"].alias("prev"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.substring(
+                text, a["prev"], F.length(text) - a["prev"] + F.lit(1)
+            ),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        n_dup.alias("n_dup_chars"),
+        F.when(text.isNull(), F.lit(None).cast("string"))
+        .otherwise(rebuilt)
+        .alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-shard suffix-array tier
+
+
+def _suffix_array(a: np.ndarray) -> np.ndarray:
+    """Suffix array of an integer sequence via prefix doubling
+    (O(n log^2 n): one numpy argsort per doubling over a fused int64
+    key) — alphabet-agnostic, so per-doc sentinel values (distinct
+    negatives) need no remapping."""
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    sa = np.argsort(a)
+    rank = np.empty(n, dtype=np.int64)
+    sorted_vals = a[sa]
+    rank[sa] = np.cumsum(
+        np.concatenate(([0], (sorted_vals[1:] != sorted_vals[:-1]).astype(np.int64)))
+    )
+    k = 1
+    while k < n and rank[sa[-1]] < n - 1:
+        # single fused sort key rank*(n+1) + (rank[i+k]+1): ranks are
+        # < n and the shifted rank is in [-1, n-1], so the key fits
+        # int64 for any corpus below ~3e9 chars per shard — one
+        # argsort per doubling instead of a two-key lexsort (~2x)
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        key = rank * np.int64(n + 1) + (second + 1)
+        sa = np.argsort(key)
+        ks = key[sa]
+        changed = np.concatenate(([0], (ks[1:] != ks[:-1]).astype(np.int64)))
+        rank[sa] = np.cumsum(changed)
+        k *= 2
+    return sa
+
+
+def _adjacent_lcp(a: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """LCP array (lcp[j] = common prefix of suffixes sa[j], sa[j+1])
+    by vectorized simultaneous extension: every adjacent pair advances
+    one character per numpy pass, dead pairs drop out. Total work is
+    O(n + sum(lcp)) — on text the alive set collapses within a few
+    passes, which beats Kasai's per-char Python walk ~10x."""
+    n = len(a)
+    lcp = np.zeros(max(n - 1, 0), dtype=np.int64)
+    if n < 2:
+        return lcp
+    idx = np.arange(n - 1)
+    p1 = sa[:-1].copy()
+    p2 = sa[1:].copy()
+    t = 0
+    while idx.size:
+        q1 = p1 + t
+        q2 = p2 + t
+        inb = (q1 < n) & (q2 < n)
+        match = np.zeros(idx.size, dtype=bool)
+        match[inb] = a[q1[inb]] == a[q2[inb]]
+        alive = idx[match]
+        lcp[alive] = t + 1
+        idx, p1, p2 = alive, p1[match], p2[match]
+        t += 1
+    return lcp
+
+
+def _shard_spans(pdf: pd.DataFrame, min_len: int) -> pd.DataFrame:
+    """One shard: concatenate texts with distinct negative sentinels,
+    SA + LCP, mark every position covered by an adjacent-suffix common
+    prefix >= min_len, map runs back to per-doc 1-based spans."""
+    pdf = pdf.sort_values("doc_id", kind="stable")
+    pieces, bounds = [], []
+    off = 0
+    for sep, (doc_id, text) in enumerate(
+        zip(pdf["doc_id"].tolist(), pdf["text"].tolist())
+    ):
+        if text is None or (isinstance(text, float) and np.isnan(text)):
+            continue
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        pieces.append(codes)
+        pieces.append(np.array([-(sep + 1)], dtype=np.int64))
+        bounds.append((doc_id, off, off + len(codes)))
+        off += len(codes) + 1
+    if not pieces:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "span_start": pd.Series(dtype="int32"),
+             "span_end": pd.Series(dtype="int32")}
+        )
+    a = np.concatenate(pieces)
+    sa = _suffix_array(a)
+    lcp = _adjacent_lcp(a, sa)
+    n = len(a)
+    diff = np.zeros(n + 1, dtype=np.int64)
+    hit = np.nonzero(lcp >= min_len)[0]
+    starts = np.concatenate((sa[hit], sa[hit + 1]))
+    lens = np.concatenate((lcp[hit], lcp[hit]))
+    np.add.at(diff, starts, 1)
+    np.add.at(diff, starts + lens, -1)
+    covered = np.cumsum(diff[:-1]) > 0
+    out_id, out_s, out_e = [], [], []
+    for doc_id, lo, hi in bounds:
+        c = covered[lo:hi]
+        if not c.any():
+            continue
+        edges = np.diff(np.concatenate(([0], c.astype(np.int8), [0])))
+        starts = np.nonzero(edges == 1)[0]
+        ends = np.nonzero(edges == -1)[0]
+        for s, e in zip(starts, ends):
+            out_id.append(doc_id)
+            out_s.append(s + 1)          # 1-based inclusive start
+            out_e.append(e + 1)          # exclusive end, 1-based frame
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(out_id, dtype="int64"),
+            "span_start": pd.Series(out_s, dtype="int32"),
+            "span_end": pd.Series(out_e, dtype="int32"),
+        }
+    )
+
+
+def sa_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+    n_shards: int = 1,
+) -> DataFrame:
+    """Duplicate spans via per-shard suffix arrays (grouped Arrow
+    kernel). With n_shards=1 output is IDENTICAL to duplicate_spans
+    (equivalence-tested); with more shards, duplicates whose only
+    witnesses live in different shards are missed — route candidate
+    groups (e.g. an LSH band id) to the same shard for exact sharded
+    operation. Kernel cost is O(n log^2 n) per shard in numpy, one
+    shuffle keyed by the shard id."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("span_start", T.IntegerType()),
+            T.StructField("span_end", T.IntegerType()),
+        ]
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("__shard"),
+    )
+    return base.groupBy("__shard").applyInPandas(
+        lambda pdf: _shard_spans(pdf, min_len), schema
+    )

@@ -1,0 +1,143 @@
+"""Exact substring dedup (llmops/substr.py): planted-duplication
+fixtures, within-doc repeats, SA-kernel == window-anchor equivalence
+(the two tiers are independent implementations of the same semantic),
+shard-routing subset property, and scrub reconstruction."""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.llmops.substr import (
+    _adjacent_lcp,
+    _suffix_array,
+    duplicate_spans,
+    exact_substring_scrub,
+    sa_duplicate_spans,
+)
+
+L = 40
+BOILER = "=== SHARED LICENSE HEADER v2.1 — do not remove this block ==="
+
+
+def _spans(df, **kw):
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, min_len=L, **kw).collect()
+    )
+
+
+def _sa_spans(df, n_shards=1):
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in sa_duplicate_spans(df, min_len=L, n_shards=n_shards).collect()
+    )
+
+
+def test_planted_boilerplate_found_and_scrubbed(spark):
+    rows = [
+        (1, BOILER + " alpha unique body text with enough entropy 111"),
+        (2, "intro text " + BOILER + " beta unique tail 2222"),
+        (3, "no duplication in this document at all, pure entropy xyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = _spans(df)
+    # exactly the shared region (boiler + the following shared space)
+    assert {d for d, *_ in spans} == {1, 2}
+    scrub = {r.doc_id: r for r in exact_substring_scrub(df, min_len=L).collect()}
+    assert BOILER not in scrub[1].clean_text
+    assert BOILER not in scrub[2].clean_text
+    assert scrub[3].clean_text == rows[2][1] and scrub[3].n_dup_chars == 0
+    # removed char count equals the span extents
+    for d, s, e in spans:
+        assert scrub[d].n_dup_chars == sum(
+            e2 - s2 for d2, s2, e2 in spans if d2 == d
+        )
+
+
+def test_within_doc_repeat_detected(spark):
+    body = "Q" * 45
+    df = spark.createDataFrame(
+        [(1, "start " + body + " middle " + body + " end")],
+        "doc_id long, text string",
+    )
+    spans = _spans(df)
+    assert spans, "within-doc repeat must count as duplication"
+    scrub = exact_substring_scrub(df, min_len=L).collect()[0]
+    assert "Q" not in scrub.clean_text
+
+
+def test_null_and_short_texts_survive_scrub(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "short"), (3, "")], "doc_id long, text string"
+    )
+    assert _spans(df) == []
+    out = {r.doc_id: r for r in exact_substring_scrub(df, min_len=L).collect()}
+    assert out[1].clean_text is None and out[1].n_dup_chars == 0
+    assert out[2].clean_text == "short"
+    assert out[3].clean_text == ""
+
+
+def test_sa_kernel_equals_window_anchor_randomized(spark):
+    rng = random.Random(42)
+    words = ["lorem", "ipsum", "dolor", "sit", "amet", "zz", "qfx"]
+    dup_block = " ".join(rng.choice(words) for _ in range(15))  # > L chars
+    rows = []
+    for i in range(30):
+        body = " ".join(rng.choice(words) for _ in range(rng.randint(5, 40)))
+        if i % 3 == 0:
+            body = body + " " + dup_block + " " + body[: rng.randint(0, 20)]
+        rows.append((i, body))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert _spans(df) == _sa_spans(df, n_shards=1)
+
+
+def test_sharded_sa_is_subset_and_keeps_within_doc(spark):
+    body = "R" * 50
+    rows = [
+        (1, "a " + BOILER + " tail1"),
+        (2, "b " + BOILER + " tail2"),
+        (3, "self " + body + " again " + body),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = set(_sa_spans(df, n_shards=1))
+    sharded = set(_sa_spans(df, n_shards=3))
+    # sharding can only LOSE cross-shard pairs, never invent spans
+    assert sharded <= full
+    # within-doc repetition survives any sharding
+    assert any(d == 3 for d, *_ in sharded)
+
+
+def test_suffix_array_and_lcp_vs_bruteforce():
+    rng = np.random.default_rng(9)
+    for alphabet, n in [(2, 300), (4, 200), (26, 120)]:
+        s = rng.integers(0, alphabet, n).astype(np.int64)
+        sa = _suffix_array(s)
+        expect = sorted(range(n), key=lambda i: s[i:].tolist())
+        assert sa.tolist() == expect
+        lcp = _adjacent_lcp(s, sa)
+        for j in range(n - 1):
+            x, y = s[sa[j]:], s[sa[j + 1]:]
+            k = 0
+            while k < min(len(x), len(y)) and x[k] == y[k]:
+                k += 1
+            assert lcp[j] == k
+
+
+def test_scrub_preserves_every_doc_and_char_accounting(spark):
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    out = exact_substring_scrub(docs, min_len=L)
+    assert out.count() == docs.count()
+    # clean length + removed chars == original length on every doc
+    bad = (
+        out.join(docs.select("doc_id", "text"), "doc_id")
+        .filter(
+            F.length("clean_text") + F.col("n_dup_chars")
+            != F.length("text")
+        )
+        .count()
+    )
+    assert bad == 0
