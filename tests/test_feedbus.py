@@ -304,3 +304,141 @@ def test_kafka_envelope_partition_qualified_offsets(spark):
     offs = {r["offset"] for r in env}
     assert len(offs) == 2  # distinct despite equal bare offsets
     assert min(offs) == 5 and max(offs) == (1 << 40) + 5
+
+
+class TestReconnectionWorkflow:
+    """Live-path mirror of the reference's reconnection workflow
+    (unit_tests/connections/test_reconnection_workflow.py): signal
+    primitives, injected drops on a RUNNING streaming query, offset
+    resume from checkpoint AND from sink-recovered positions, with
+    at-least-once redeliveries absorbed across the reconnect."""
+
+    def test_signal_trigger_wait_reset_cycles(self):
+        from tastytrade_sdk_spark.streaming.connection import (
+            AUTH_EXPIRED,
+            CONNECTION_DROPPED,
+            MANUAL_TRIGGER,
+            TIMEOUT,
+            ReconnectSignal,
+        )
+
+        sig = ReconnectSignal()
+        sig.trigger(AUTH_EXPIRED)
+        assert sig.event.is_set() and sig.reason == AUTH_EXPIRED
+        # wait returns the reason and clears the latch
+        assert sig.wait(timeout=0) == AUTH_EXPIRED
+        assert not sig.event.is_set()
+        # sequential trigger/wait cycles compose
+        for reason in (CONNECTION_DROPPED, TIMEOUT):
+            sig.trigger(reason)
+            assert sig.wait(timeout=0) == reason
+        # an un-triggered wait times out instead of hanging
+        with pytest.raises(TimeoutError):
+            sig.wait(timeout=0.01)
+        # a set latch with no recorded reason reports MANUAL_TRIGGER
+        sig.reason = None
+        sig.event.set()
+        assert sig.wait(timeout=0) == MANUAL_TRIGGER
+        # reset clears both latch and reason
+        sig.trigger(TIMEOUT)
+        sig.reset()
+        assert not sig.event.is_set() and sig.reason is None
+
+    def test_drop_and_reconnect_live_stream_absorbs_redelivery(self, spark):
+        from tastytrade_sdk_spark.streaming.connection import (
+            CONNECTED,
+            CONNECTION_DROPPED,
+            ERROR,
+            TIMEOUT,
+            FeedBusConnection,
+        )
+
+        tmp = tempfile.mkdtemp()
+        bus, sink, ckpt = f"{tmp}/bus", f"{tmp}/sink", f"{tmp}/ckpt"
+        conn = FeedBusConnection(spark, bus, sink, ckpt, channels=["quotes"])
+        try:
+            write_feed_batch(spark, bus, _rows("quotes", "AAPL", 0, 10))
+            conn.connect(starting_offsets="earliest")
+            assert conn.state == CONNECTED
+            conn.process_available()
+
+            # injected drop: state machine + signal, query torn down
+            conn.inject_connection_dropped(CONNECTION_DROPPED)
+            assert conn.state == ERROR
+            assert conn.last_error == CONNECTION_DROPPED
+            assert conn.query is None
+
+            # while disconnected the producer redelivers 5..9 (ack was
+            # lost in the drop) and appends new offsets 10..19
+            write_feed_batch(
+                spark, bus, _rows("quotes", "AAPL", 5, 5)
+            )
+            write_feed_batch(spark, bus, _rows("quotes", "AAPL", 10, 10))
+
+            # reconnect on the SAME checkpoint: exactly-once continuation
+            assert conn.reconnect(resume="checkpoint") == CONNECTION_DROPPED
+            assert conn.state == CONNECTED and conn.last_error is None
+            conn.process_available()
+            got = spark.read.parquet(sink)
+            assert got.count() == 20
+            assert got.select("offset").distinct().count() == 20
+
+            # second drop; checkpoint is LOST; positions recovered from
+            # the sink; redelivery of 15..19 races the reconnect
+            conn.inject_connection_dropped(TIMEOUT)
+            write_feed_batch(spark, bus, _rows("quotes", "AAPL", 15, 5))
+            write_feed_batch(spark, bus, _rows("quotes", "AAPL", 20, 5))
+            assert conn.reconnect(resume="sink") == TIMEOUT
+            conn.process_available()
+            got = spark.read.parquet(sink).select("offset").collect()
+            offs = sorted(r["offset"] for r in got)
+            assert offs == list(range(25)), offs
+        finally:
+            conn.close()
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_from_time_backfill_survives_reconnect(self, spark):
+        from tastytrade_sdk_spark.streaming.connection import (
+            FeedBusConnection,
+        )
+
+        tmp = tempfile.mkdtemp()
+        bus, sink, ckpt = f"{tmp}/bus", f"{tmp}/sink", f"{tmp}/ckpt"
+        # fromTime admits only events at/after T0+5min (candle backfill
+        # contract, sockets.py:452-531): rows 0..4 are too old
+        conn = FeedBusConnection(
+            spark, bus, sink, ckpt,
+            channels=["candles"],
+            from_time=T0 + dt.timedelta(minutes=5),
+        )
+        def rows_at(start, n):
+            # ts tracks the OFFSET (one minute per offset) so later
+            # appends are genuinely later in event time
+            return [
+                (
+                    "candles",
+                    "SPX",
+                    start + i,
+                    T0 + dt.timedelta(minutes=start + i),
+                    json.dumps({"price": 100.0}),
+                )
+                for i in range(n)
+            ]
+
+        try:
+            write_feed_batch(spark, bus, rows_at(0, 10))
+            conn.connect()
+            conn.process_available()
+            conn.inject_connection_dropped()
+            write_feed_batch(spark, bus, rows_at(10, 5))
+            conn.reconnect(resume="sink")
+            conn.process_available()
+            offs = sorted(
+                r["offset"]
+                for r in spark.read.parquet(sink).select("offset").collect()
+            )
+            # 0..4 excluded by fromTime on BOTH connection attempts
+            assert offs == list(range(5, 15)), offs
+        finally:
+            conn.close()
+            shutil.rmtree(tmp, ignore_errors=True)
