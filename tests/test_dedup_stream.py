@@ -75,3 +75,72 @@ def test_streaming_near_dup_sink_runs(spark, tmp_path):
     finally:
         q.stop()
     assert _out_ids(spark, str(tmp_path / "kept")) == {1, 3}
+
+
+def test_band_store_survives_checkpoint_restart(spark, tmp_path):
+    """ST7 for the band store: hard-stop the query, restart a NEW
+    query on the same checkpoint — the store and output keep
+    suppressing cross-batch near-dups, and the final state equals an
+    uninterrupted run over the same file sequence."""
+    import shutil
+
+    from tastytrade_sdk_spark.streaming.dedup_stream import (
+        streaming_near_dup_sink,
+    )
+
+    src = str(tmp_path / "src")
+    batches = [
+        [(1, LONG_A), (2, LONG_A), (3, LONG_B)],
+        [(4, LONG_A), (5, LONG_B + " extra novel suffix words")],
+        [
+            (6, LONG_B),
+            (7, LONG_A + " tiny tail"),
+            (
+                8,
+                "entirely fresh subject matter concerning suffix arrays "
+                "and longest common prefixes computed over sharded logs",
+            ),
+        ],
+    ]
+
+    def run(tag, restart_after_first):
+        store = str(tmp_path / f"bands_{tag}")
+        out = str(tmp_path / f"kept_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        srcdir = str(tmp_path / f"src_{tag}")
+
+        def start():
+            stream = (
+                spark.readStream.schema("doc_id int, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(srcdir)
+            )
+            return streaming_near_dup_sink(stream, store, out, ckpt).start()
+
+        _docs(spark, batches[0]).coalesce(1).write.mode("append").parquet(srcdir)
+        q = start()
+        q.processAllAvailable()
+        if restart_after_first:
+            q.stop()  # hard stop == crash/redeploy
+            for b in batches[1:]:
+                _docs(spark, b).coalesce(1).write.mode("append").parquet(srcdir)
+            q = start()  # NEW query, SAME checkpoint
+        else:
+            for b in batches[1:]:
+                _docs(spark, b).coalesce(1).write.mode("append").parquet(srcdir)
+        q.processAllAvailable()
+        q.stop()
+        kept = _out_ids(spark, out)
+        bands = {
+            (r["band_id"], r["band_hash"], r["owner"])
+            for r in spark.read.parquet(store).collect()
+        }
+        return kept, bands
+
+    kept_r, bands_r = run("restart", True)
+    kept_s, bands_s = run("straight", False)
+    # 4 and 7 (near-dup tail variant) suppressed by the store ACROSS
+    # the restart; 6 suppressed by batch-1 content; novel 8 admitted;
+    # canonical set and band store identical to the unbroken run
+    assert kept_r == kept_s == {1, 3, 5, 8}
+    assert bands_r == bands_s

@@ -112,3 +112,59 @@ def test_mg_store_matches_single_pass_summary(spark, tmp_path):
     # lower bounds stay bounds in both forms
     for k_, lb in {**a, **sp}.items():
         assert lb <= truth[k_]
+
+
+def test_mg_store_survives_checkpoint_restart(spark, tmp_path):
+    """ST7 for the heavy-hitter store: hard-stop mid-stream, restart a
+    NEW query on the same checkpoint — no epoch is replayed into the
+    non-idempotent merge and no batch is lost, so the final store is
+    byte-identical to an uninterrupted run over the same files."""
+    from tastytrade_sdk_spark.streaming.heavy_stream import (
+        mg_store_sink,
+        read_mg_store,
+    )
+
+    files = [
+        ["a"] * 6 + ["b"] * 3 + ["c"],
+        ["a"] * 4 + ["d"] * 5 + ["e"] * 2,
+        ["b"] * 7 + ["f"] * 1 + ["a"] * 2,
+    ]
+
+    def run(tag, restart_after_first):
+        src = str(tmp_path / f"src_{tag}")
+        store = str(tmp_path / f"store_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+
+        def write(keys):
+            spark.createDataFrame(
+                [(k,) for k in keys], "k string"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        def start():
+            stream = (
+                spark.readStream.schema("k string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            return mg_store_sink(stream, store, "k", capacity=3, checkpoint=ckpt).start()
+
+        write(files[0])
+        q = start()
+        q.processAllAvailable()
+        if restart_after_first:
+            q.stop()  # crash between micro-batches
+            for f in files[1:]:
+                write(f)
+            q = start()  # NEW query, SAME checkpoint
+        else:
+            for f in files[1:]:
+                write(f)
+        q.processAllAvailable()
+        q.stop()
+        cands, total = read_mg_store(spark, store, "k")
+        return {(r["k"], r["mg_lb"]) for r in cands.collect()}, total
+
+    got_r, n_r = run("restart", True)
+    got_s, n_s = run("straight", False)
+    assert n_r == n_s == sum(len(f) for f in files)
+    assert got_r == got_s
