@@ -35,6 +35,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iters: int = 25,
     strict: bool = True,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """Per-node component label = MIN node id reachable from it.
 
@@ -47,21 +48,61 @@ def connected_components(
     (one real cluster split across labels), so ``strict`` raises
     instead — raise max_iters, or switch to the large-star/small-star
     variant for pathological chain graphs.
+
+    Runtime adaptivity (the AQE pattern, decided from a materialized
+    count, never a guess): once the DISTINCT EDGE list is materialized
+    and is at most ``small_graph_edges`` rows, the component labeling
+    runs as a driver union-find over that bounded list — one job in,
+    one broadcast-sized result out (<= 16 MB at the default bound) —
+    because a 2-round distributed propagation costs ~6 tiny shuffles
+    of fixed scheduling overhead that dwarf a micro-graph. Above the
+    bound, the distributed min-label loop runs unchanged; LSH near-dup
+    graphs at lake scale land there only when the candidate graph
+    itself is lake-sized.
     """
     from tastytrade_sdk_spark.llmops.dedup import symmetrize_pairs
 
     sym = symmetrize_pairs(edges, src, dst, "__n", "__m")
-    # materialize the edge list ONCE: every propagation round joins
-    # against it, and without the barrier the upstream pair-generation
-    # pipeline (e.g. the whole MinHash-LSH plan) would re-execute per
-    # round
-    sym = sym.localCheckpoint(eager=True)
-    base = (
-        nodes.select(F.col(id_col).alias("__n"))
-        if nodes is not None
-        else sym.select("__n")
-    )
-    labels = base.distinct().withColumn("__lbl", F.col("__n"))
+    # checkpoint the edge list ONCE (lazily — the count() below is the
+    # materializing action, one job instead of two): every propagation
+    # round joins against it, and without the barrier the upstream
+    # pair-generation pipeline (e.g. the whole MinHash-LSH plan) would
+    # re-execute per round
+    sym = sym.localCheckpoint(eager=False)
+    spark = sym.sparkSession
+    if sym.count() <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.collect():
+            a, b = row["__n"], row["__m"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # second pass: path-compress to the MIN root (union-by-min
+        # above keeps roots minimal per component)
+        out = [(n, find(n)) for n in parent]
+        id_type = dict(sym.dtypes)["__n"]
+        touched = spark.createDataFrame(
+            out, f"`{id_col}` {id_type}, component {id_type}"
+        )
+        return _with_isolated(touched, nodes, id_col)
+    # propagate over EDGE-TOUCHED nodes only: an isolated node can
+    # never change label, so iterating it is pure waste — at lake
+    # scale this is the difference between shuffling the whole corpus
+    # per round and shuffling just the near-dup subgraph (typically
+    # orders of magnitude smaller). Isolated vertices from ``nodes``
+    # rejoin as singletons AFTER convergence, in one pass.
+    labels = sym.select("__n").distinct().withColumn("__lbl", F.col("__n"))
 
     changed = False
     for _ in range(max_iters):
@@ -94,7 +135,27 @@ def connected_components(
             "silently split — raise max_iters or use a star-contraction "
             "variant for chain-shaped graphs"
         )
-    return labels.select(F.col("__n").alias(id_col), F.col("__lbl").alias("component"))
+    touched = labels.select(
+        F.col("__n").alias(id_col), F.col("__lbl").alias("component")
+    )
+    return _with_isolated(touched, nodes, id_col)
+
+
+def _with_isolated(
+    touched: DataFrame, nodes: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Re-attach isolated vertices as own-id singleton components."""
+    if nodes is None:
+        return touched
+    return (
+        nodes.select(id_col)
+        .distinct()
+        .join(touched, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
 
 
 def near_dup_clusters(
@@ -107,18 +168,34 @@ def near_dup_clusters(
     """Cluster assignment for every document: cluster id = min doc id
     in the component (docs with no near-dup are their own singleton),
     plus cluster_size and the keep-canonical flag the dedup filter
-    uses."""
-    comp = connected_components(pairs, src=src, dst=dst, nodes=docs, id_col=id_col)
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        comp.join(sizes, "component")
+    uses.
+
+    Every shuffle here is bounded by the EDGE SUBGRAPH, not the
+    corpus: propagation, the size agg, and the size join all touch
+    only edge-touched nodes; the corpus-sized work is one anti-join
+    (broadcast when the subgraph is small, as LSH graphs are) and a
+    narrow singleton projection."""
+    comp_t = connected_components(pairs, src=src, dst=dst, id_col=id_col)
+    sizes = comp_t.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    touched = comp_t.join(sizes, "component").select(
+        id_col,
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )
+    singletons = (
+        docs.select(id_col)
+        .join(comp_t.select(id_col), id_col, "left_anti")
         .select(
             id_col,
-            F.col("component").alias("cluster_id"),
-            "cluster_size",
-            (F.col(id_col) == F.col("component")).alias("is_canonical"),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.lit(True).alias("is_canonical"),
         )
     )
+    return touched.unionByName(singletons)
 
 
 def kmeans_assign(

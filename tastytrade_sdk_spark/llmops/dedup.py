@@ -42,7 +42,12 @@ def _spread(df: DataFrame, *keys: str) -> DataFrame:
 
 
 def _exploded_shingles(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int, out: str
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    out: str,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, shingle) rows with tokenization materialized ONCE per doc.
 
@@ -52,10 +57,17 @@ def _exploded_shingles(
     regex split ~3*n_shingles times per doc (the dominant cost of the
     whole MinHash pipeline). Catalyst never collapses a Project into a
     Generate, so this two-step is a stable barrier.
+
+    ``tokens_col`` lets a composed pipeline hand in an ALREADY
+    tokenized (and already spread/cached) array column so the regex
+    pass and the repartition are not repeated per consumer.
     """
-    toks = _spread(df, id_col).select(
-        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
-    )
+    if tokens_col is not None:
+        toks = df.select(F.col(id_col), F.col(tokens_col).alias("__toks"))
+    else:
+        toks = _spread(df, id_col).select(
+            F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
+        )
     return toks.select(
         F.col(id_col),
         F.explode(
@@ -99,6 +111,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 16,
     shingle_n: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as k flat columns sig_0..sig_{k-1}.
 
@@ -110,9 +123,9 @@ def minhash_signatures(
     """
     from tastytrade_sdk_spark.llmops.textops import h32
 
-    sh = _exploded_shingles(df, text_col, id_col, shingle_n, "__sh").withColumn(
-        "__h", h32(F.col("__sh"))
-    )
+    sh = _exploded_shingles(
+        df, text_col, id_col, shingle_n, "__sh", tokens_col
+    ).withColumn("__h", h32(F.col("__sh")))
     from tastytrade_sdk_spark.llmops.textops import MERSENNE_PRIME
 
     aggs = [
@@ -133,6 +146,7 @@ def band_hashes(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-doc LSH band keys: (id_col, band_id, band_hash) with
     band_hash = md5 over the band's signature rows. The join key for
@@ -146,9 +160,9 @@ def band_hashes(
     # of unrelated short docs (quadratic blowup + bogus near-dups).
     # A doc with no shingles has no similarity evidence: it gets no
     # band keys and so no candidate pairs.
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n).filter(
-        F.col("sig_0").isNotNull()
-    )
+    sigs = minhash_signatures(
+        df, text_col, id_col, k, shingle_n, tokens_col
+    ).filter(F.col("sig_0").isNotNull())
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
@@ -170,13 +184,14 @@ def lsh_candidate_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing >=1 signature band.
 
     k/bands rows per band; band key = md5 of the joined row values.
     Returns distinct (doc_a, doc_b) with doc_a < doc_b.
     """
-    banded = band_hashes(df, text_col, id_col, k, bands, shingle_n)
+    banded = band_hashes(df, text_col, id_col, k, bands, shingle_n, tokens_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

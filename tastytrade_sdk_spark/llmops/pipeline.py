@@ -16,6 +16,28 @@ from pyspark.sql import functions as F
 from tastytrade_sdk_spark.llmops.textops import h32, tokens_expr
 
 
+def split_bucket_col(id_col: str = "doc_id", salt: str = "split") -> Column:
+    """The split bucket as a bare Column (h32(salt || ':' || id) % 100)
+    so composed pipelines can project it inline instead of joining a
+    separate assignment frame — one shared expression, zero drift."""
+    return h32(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
+
+
+def split_col(
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> Column:
+    """train/val/test label as a bare Column (see split_bucket_col)."""
+    bucket = split_bucket_col(id_col, salt)
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
 def split_assignment(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -29,14 +51,10 @@ def split_assignment(
     hash), so a doc never migrates between splits when the corpus
     grows — the property training pipelines need for held-out
     integrity. Pure projection: no shuffle at all."""
-    bucket = h32(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
-    split = (
-        F.when(bucket < train_pct, "train")
-        .when(bucket < train_pct + val_pct, "val")
-        .otherwise("test")
-    )
     return df.select(
-        id_col, bucket.cast("int").alias("bucket"), split.alias("split")
+        id_col,
+        split_bucket_col(id_col, salt).cast("int").alias("bucket"),
+        split_col(id_col, train_pct, val_pct, salt).alias("split"),
     )
 
 

@@ -438,3 +438,26 @@ def test_length_bucketed_batches_assignment(spark):
 
     with _pytest.raises(ValueError):
         length_bucketed_batches(df, "nt", batch_size=0)
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find (small graphs) and distributed min-label
+    propagation are two implementations of the same contract — they
+    must label identically, including isolated vertices."""
+    import random
+
+    rng = random.Random(3)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(80)]
+    edf = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    nodes = spark.createDataFrame([(i,) for i in range(80)], "doc_id int")
+    fast = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edf, nodes=nodes).collect()
+    }
+    dist = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            edf, nodes=nodes, small_graph_edges=0
+        ).collect()
+    }
+    assert fast == dist
