@@ -34,6 +34,47 @@ def test_no_cartesian_products(plans):
     assert offenders == []
 
 
+def test_every_bnlj_build_side_is_bounded(spark):
+    """A BroadcastNestedLoopJoin is only acceptable when its build side
+    is bounded by construction (no-key aggregate, literal relation, or
+    limit — the crossJoin(broadcast(threshold)) pattern). A regression
+    to nested-looping a data-sized side must fail here even though
+    Spark does not spell it CartesianProduct."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from audit_plans import unbounded_bnljs
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        bad = unbounded_bnljs(fn(spark, SF))
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}
+
+
+def test_unbounded_bnlj_detector_catches_real_cartesian(spark):
+    """Negative control: a genuine data x data nested-loop join IS
+    flagged (so the green assertion above means something)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from audit_plans import unbounded_bnljs
+
+    from pyspark.sql import functions as F
+
+    a = spark.range(100).withColumnRenamed("id", "a")
+    b = spark.range(100).withColumnRenamed("id", "b")
+    crossed = a.join(F.broadcast(b), F.col("a") % 7 > F.col("b") % 5)
+    assert unbounded_bnljs(crossed), "data-sized BNLJ build side missed"
+    # while the sanctioned pattern stays clean
+    thr = b.agg(F.max("b").alias("m"))
+    ok = a.crossJoin(F.broadcast(thr))
+    assert unbounded_bnljs(ok) == []
+
+
 def test_no_row_at_a_time_python_udfs(plans):
     offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
     assert offenders == []

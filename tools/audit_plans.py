@@ -37,8 +37,116 @@ def plan_string(df) -> str:
     return jq.explainString(mode.fromString("formatted"))
 
 
+# --- bounded-BNLJ classification -------------------------------------------
+#
+# A BroadcastNestedLoopJoin is fine iff its BUILD side is bounded by
+# construction (a no-grouping aggregate => 1 row, a driver-local
+# literal relation, or a limit) — the crossJoin(broadcast(threshold))
+# pattern. Anything else nested-looping is a real cartesian risk and
+# must trip the smell gate even though Spark spells it "BNLJ", not
+# "CartesianProduct".
+
+_BOUNDING = re.compile(
+    r"^(HashAggregate\(keys=\[\]|SortAggregate\(key=\[\]|"
+    r"ObjectHashAggregate\(keys=\[\]|LocalTableScan|Scan ExistingRDD|"
+    r"GlobalLimit|LocalLimit|TakeOrderedAndProject|Empty2Relation|"
+    r"EmptyRelation)"
+)
+_PASSTHROUGH = re.compile(
+    r"^(Filter|Project|BroadcastExchange|Exchange|ShuffleExchange|"
+    r"AQEShuffleRead|Sort\b|Window|Coalesce|ColumnarToRow|InputAdapter|"
+    r"WholeStageCodegen|HashAggregate|SortAggregate|ObjectHashAggregate|"
+    r"Expand|SubqueryBroadcast|ReusedExchange|Deduplicate)"
+)
+_BINARY = re.compile(
+    r"^(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+    r"BroadcastNestedLoopJoin|CartesianProduct|Union)"
+)
+
+
+def _parse_tree(plan: str) -> list[tuple[int, str, int]]:
+    """(depth, text, parent_index) per node line of a sparkPlan
+    toString tree. Depth = chars of ':'/' '/'+'/'-' prefix / 3."""
+    nodes = []
+    stack: list[tuple[int, int]] = []  # (depth, node_index)
+    for raw in plan.splitlines():
+        body = raw.lstrip(" :+-")
+        if not body:
+            continue
+        prefix_len = len(raw) - len(body)
+        depth = prefix_len // 3
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        parent = stack[-1][1] if stack else -1
+        nodes.append((depth, body, parent))
+        stack.append((depth, len(nodes) - 1))
+    return nodes
+
+
+def _children(nodes, idx):
+    return [i for i, (_, _, p) in enumerate(nodes) if p == idx]
+
+
+def _modulus_keyed_agg(nodes, idx, text) -> bool:
+    """A grouped aggregate whose every grouping key is defined as
+    pmod(..., <int literal>) somewhere in its subtree has at most
+    (product of the literals) output rows — bounded by construction
+    (the blocked-matmul / fixed-shard pattern)."""
+    m = re.match(r"\w+\(keys?=\[([^\]]*)\]", text)
+    if not m or not m.group(1).strip():
+        return False
+    keys = [k.strip().split("#")[0] for k in m.group(1).split(",")]
+    depth = nodes[idx][0]
+    subtree = []
+    for j in range(idx + 1, len(nodes)):
+        if nodes[j][0] <= depth:
+            break
+        subtree.append(nodes[j][1])
+    blob = " ".join(subtree) + " " + text
+    return all(
+        re.search(rf"pmod\([^)]*,\s*\d+\)[^)]*\)?\s+AS\s+{re.escape(k)}#", blob)
+        for k in keys
+    )
+
+
+def _subtree_bounded(nodes, idx) -> bool:
+    depth, text, _ = nodes[idx]
+    if _BOUNDING.match(text):
+        return True
+    if re.match(r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(", text) and _modulus_keyed_agg(nodes, idx, text):
+        return True
+    kids = _children(nodes, idx)
+    if _BINARY.match(text):
+        return bool(kids) and all(_subtree_bounded(nodes, k) for k in kids)
+    if _PASSTHROUGH.match(text):
+        # unary wrapper: row count preserved or reduced
+        return bool(kids) and _subtree_bounded(nodes, kids[0])
+    return False  # scans, generates, anything unrecognized
+
+
+def unbounded_bnljs(df) -> list[str]:
+    """Build-side texts of every BroadcastNestedLoopJoin whose
+    broadcast side is NOT bounded by construction (empty == all BNLJs
+    in the plan are benign threshold-style broadcasts)."""
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    nodes = _parse_tree(plan)
+    bad = []
+    for i, (_, text, _) in enumerate(nodes):
+        if not text.startswith("BroadcastNestedLoopJoin"):
+            continue
+        kids = _children(nodes, i)
+        if len(kids) != 2:
+            bad.append(text)
+            continue
+        build = kids[1] if "BuildRight" in text else kids[0]
+        if not _subtree_bounded(nodes, build):
+            bad.append(nodes[build][1][:120])
+    return bad
+
+
 def audit(name: str, df) -> dict:
     p = plan_string(df)
+    bad_bnlj = unbounded_bnljs(df)
     scans = re.findall(r"Scan parquet", p)
     read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     widest = max((len(s.split(",")) for s in read_schemas), default=0)
@@ -56,6 +164,8 @@ def audit(name: str, df) -> dict:
         smells.append(f"cartesian x{cart}")
     if py_udf:
         smells.append(f"row-udf x{py_udf}")
+    if bad_bnlj:
+        smells.append(f"unbounded-bnlj x{len(bad_bnlj)}")
     return {
         "name": name,
         "scans": len(scans),
@@ -65,7 +175,8 @@ def audit(name: str, df) -> dict:
         "aqe_reads": aqe_reads,
         "bhj": bhj,
         "smj": smj,
-        "bnlj": bnlj,
+        # nb = all BNLJ build sides bounded by construction
+        "bnlj": f"{bnlj}b" if bnlj and not bad_bnlj else bnlj,
         "arrow_py": arrow,
         "smells": ",".join(smells) or "-",
     }
