@@ -73,11 +73,11 @@ def _q(name: str, oracle: str | None = None):
            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
            CAST(round(sum(l_extendedprice::DECIMAL(18,2) *
                           (1 - l_discount::DECIMAL(18,2))), 2)
-                AS DOUBLE)                                                  AS sum_disc_price,
+                AS DECIMAL(38,10))                                          AS sum_disc_price,
            CAST(round(sum(l_extendedprice::DECIMAL(18,2) *
                           (1 - l_discount::DECIMAL(18,2)) *
                           (1 + l_tax::DECIMAL(18,2))), 2)
-                AS DOUBLE)                                                  AS sum_charge,
+                AS DECIMAL(38,10))                                          AS sum_charge,
            round(avg(l_quantity), 6)                                        AS avg_qty,
            round(avg(l_extendedprice), 6)                                   AS avg_price,
            round(avg(l_discount), 6)                                        AS avg_disc,
@@ -99,8 +99,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # disc_price/charge sit on a 4dp/6dp decimal grid but round at 2dp:
     # an exact-.005 sum is where Spark (shortest-repr) and DuckDB
     # (binary) rounding diverge, so those two sums run in DECIMAL
-    # arithmetic (exact; HALF_UP == half-away for positives) and cast
-    # to double after the round. 2dp-grid sums rounded at 2dp (base
+    # arithmetic (exact; HALF_UP == half-away for positives) and STAY
+    # decimal in the output schema (DecimalType(38,10), §1.3). 2dp-grid sums rounded at 2dp (base
     # price) and integer-grid sums (qty) can't land on a boundary.
     ep_d = F.col("l_extendedprice").cast("decimal(18,2)")
     disc_d = ep_d * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
@@ -111,8 +111,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_d), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge_d), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(disc_d), 2)
+            .cast("decimal(38,10)")
+            .alias("sum_disc_price"),
+            F.round(F.sum(charge_d), 2)
+            .cast("decimal(38,10)")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
