@@ -187,6 +187,7 @@ def near_dup_clusters(
     )
     singletons = (
         docs.select(id_col)
+        .distinct()
         .join(comp_t.select(id_col), id_col, "left_anti")
         .select(
             id_col,
@@ -304,6 +305,56 @@ def kmeans_lloyd_step(
     )
 
 
+def kmeans_assign_kernel(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    round_dp: int = 8,
+) -> DataFrame:
+    """Nearest-centroid assignment as an Arrow kernel: one
+    (batch x dim) @ (dim x k) BLAS matmul per Arrow batch against a
+    closure-captured centroid matrix.
+
+    The expression-fold twin (kmeans_assign) splices k*dim literals
+    into codegen — the right shape for the small fixed k the exact
+    DuckDB oracle replays, and hopeless past a few dozen centroids.
+    This kernel is the k ∝ n scale path (SemDeDup's
+    constant-cluster-size lever: grow k with the corpus so the
+    within-cluster pair scan stays linear overall). Same contract as
+    kmeans_assign: adds ``__cluster`` (first-maximal argmax over
+    round_dp-rounded dots) and ``__unit``; equivalence-tested against
+    the expression path on shared k."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m = np.asarray(centroids, dtype=np.float64)
+    fields = list(df.schema.fields) + [
+        T.StructField("__cluster", T.IntegerType()),
+        T.StructField("__unit", T.ArrayType(T.DoubleType())),
+    ]
+    schema = T.StructType(fields)
+    cols = [f.name for f in df.schema.fields]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            unit = v / norms
+            dots = np.round(unit @ m.T, round_dp)
+            out = pdf[cols].copy()
+            out["__cluster"] = np.argmax(dots, axis=1).astype("int32")
+            out["__unit"] = list(unit)
+            yield out
+
+    return df.mapInPandas(assign, schema)
+
+
 def semdedup_prune(
     df: DataFrame,
     centroids,
@@ -329,6 +380,20 @@ def semdedup_prune(
     slim = assigned.select(
         F.col(id_col), F.col("__cluster").alias("cluster_id"), "__unit"
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return semdedup_prune_assigned(slim, id_col, threshold, round_dp)
+
+
+def semdedup_prune_assigned(
+    slim: DataFrame,
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """The within-cluster prune half of SemDeDup, over a prepared
+    (id, cluster_id, __unit) frame — shared by the exact-oracle
+    expression-assignment path (semdedup_prune) and the large-k
+    kernel-assignment path (kmeans_assign_kernel), so the two scale
+    regimes cannot drift semantically."""
     # materialize the assignment ONCE: it feeds three plan branches
     # (both pair-join sides + the final anti-join base), and exchange
     # reuse across them is not guaranteed under AQE. Linear state —

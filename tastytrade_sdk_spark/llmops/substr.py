@@ -268,7 +268,7 @@ def _shard_spans(pdf: pd.DataFrame, min_len: int) -> pd.DataFrame:
         off += len(codes) + 1
     if not pieces:
         return pd.DataFrame(
-            {"doc_id": pd.Series(dtype="int64"),
+            {"doc_id": pd.Series(dtype="object"),
              "span_start": pd.Series(dtype="int32"),
              "span_end": pd.Series(dtype="int32")}
         )
@@ -297,7 +297,9 @@ def _shard_spans(pdf: pd.DataFrame, min_len: int) -> pd.DataFrame:
             out_e.append(e + 1)          # exclusive end, 1-based frame
     return pd.DataFrame(
         {
-            "doc_id": pd.Series(out_id, dtype="int64"),
+            # id dtype follows the input values (long/int/string ids
+            # all pass through; Arrow casts to the declared schema)
+            "doc_id": pd.Series(out_id),
             "span_start": pd.Series(out_s, dtype="int32"),
             "span_end": pd.Series(out_e, dtype="int32"),
         }
@@ -318,9 +320,12 @@ def sa_duplicate_spans(
     groups (e.g. an LSH band id) to the same shard for exact sharded
     operation. Kernel cost is O(n log^2 n) per shard in numpy, one
     shuffle keyed by the shard id."""
+    # the output id column keeps the CALLER's name and type (like
+    # duplicate_spans), so the two tiers stay drop-in interchangeable
+    # for any id column, not just a long doc_id
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField("doc_id", df.schema[id_col].dataType),
             T.StructField("span_start", T.IntegerType()),
             T.StructField("span_end", T.IntegerType()),
         ]
@@ -330,6 +335,7 @@ def sa_duplicate_spans(
         F.col(text_col).alias("text"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("__shard"),
     )
-    return base.groupBy("__shard").applyInPandas(
+    out = base.groupBy("__shard").applyInPandas(
         lambda pdf: _shard_spans(pdf, min_len), schema
     )
+    return out.withColumnRenamed("doc_id", id_col)

@@ -43,7 +43,10 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tastytrade_sdk_spark.sources.feedbus import feed_bus_stream
+from tastytrade_sdk_spark.sources.feedbus import (
+    _latest_offsets,
+    feed_bus_stream,
+)
 
 # Reconnect reasons (reference config/enumerations.py ReconnectReason)
 CONNECTION_DROPPED = "connection_dropped"
@@ -76,7 +79,11 @@ class ReconnectSignal:
         if not self.event.wait(timeout):
             raise TimeoutError("reconnect signal not triggered")
         self.event.clear()
-        return self.reason if self.reason is not None else MANUAL_TRIGGER
+        reason = self.reason
+        # consume the reason WITH the latch: a later bare event.set()
+        # must report MANUAL_TRIGGER, not a stale prior reason
+        self.reason = None
+        return reason if reason is not None else MANUAL_TRIGGER
 
     def reset(self) -> None:
         self.event.clear()
@@ -132,6 +139,7 @@ class FeedBusConnection:
         self.last_error: str | None = None
         self.reconnect_signal = ReconnectSignal()
         self.query = None
+        self._starting_offsets: str | dict[str, int] = "earliest"
 
     # -- lifecycle ----------------------------------------------------
 
@@ -143,6 +151,16 @@ class FeedBusConnection:
         re-subscription position (sources/feedbus.py contract)."""
         if self.query is not None:
             raise RuntimeError("already connected")
+        # remember the subscription position: a checkpoint-resume
+        # reconnect must rebuild the SAME plan (offset filter included)
+        # or sub-position redeliveries arriving in new files would be
+        # admitted past the original live-only/dict position.
+        # "latest" is resolved to a concrete offset dict NOW — stored
+        # verbatim it would re-resolve at reconnect time and silently
+        # skip everything that arrived during the outage.
+        if starting_offsets == "latest":
+            starting_offsets = _latest_offsets(self.spark, self.bus_path)
+        self._starting_offsets = starting_offsets
         stream = feed_bus_stream(
             self.spark,
             self.bus_path,
@@ -205,7 +223,7 @@ class FeedBusConnection:
                 shutil.rmtree(self.checkpoint)
             self.connect(starting_offsets=self._sink_offsets() or "earliest")
         elif resume == "checkpoint":
-            self.connect(starting_offsets="earliest")
+            self.connect(starting_offsets=self._starting_offsets)
         else:
             raise ValueError(f"unknown resume mode: {resume}")
         self.last_error = None

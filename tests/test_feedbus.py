@@ -335,8 +335,9 @@ class TestReconnectionWorkflow:
         # an un-triggered wait times out instead of hanging
         with pytest.raises(TimeoutError):
             sig.wait(timeout=0.01)
-        # a set latch with no recorded reason reports MANUAL_TRIGGER
-        sig.reason = None
+        # a bare event.set() with no recorded reason reports
+        # MANUAL_TRIGGER — wait() must have consumed the prior reason
+        # along with the latch, not leak it into this cycle
         sig.event.set()
         assert sig.wait(timeout=0) == MANUAL_TRIGGER
         # reset clears both latch and reason
@@ -442,3 +443,50 @@ class TestReconnectionWorkflow:
         finally:
             conn.close()
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_reconnect_preserves_subscription_position(spark):
+    """Advisor r4: a connection opened at a non-earliest position
+    (dict or 'latest') must KEEP that position across a
+    checkpoint-resume reconnect — sub-position redeliveries arriving
+    in new bus files during the outage must stay excluded, and a
+    'latest' position must be frozen at connect time (not re-resolved
+    at reconnect, which would skip the outage window)."""
+    import tempfile
+
+    from tastytrade_sdk_spark.streaming.connection import (
+        FeedBusConnection,
+    )
+
+    tmp = tempfile.mkdtemp()
+    bus, sink, ckpt = f"{tmp}/bus", f"{tmp}/sink", f"{tmp}/ckpt"
+    # offsets 0..9 exist BEFORE the connection opens
+    write_feed_batch(spark, bus, _rows("quotes", "AAPL", 0, 10))
+    conn = FeedBusConnection(spark, bus, sink, ckpt, channels=["quotes"])
+    try:
+        conn.connect(starting_offsets="latest")  # live-only: skip 0..9
+        conn.process_available()
+        # arrivals while connected
+        write_feed_batch(spark, bus, _rows("quotes", "AAPL", 10, 5))
+        conn.process_available()
+        conn.inject_connection_dropped()
+        # during the outage: redelivery of PRE-subscription offsets
+        # 0..4 in a brand-new file, plus genuinely new 15..19
+        write_feed_batch(spark, bus, _rows("quotes", "AAPL", 0, 5))
+        write_feed_batch(spark, bus, _rows("quotes", "AAPL", 15, 5))
+        conn.reconnect(resume="checkpoint")
+        conn.process_available()
+        import os
+
+        offs = sorted(
+            r["offset"]
+            for r in spark.read.parquet(sink).select("offset").collect()
+        ) if os.path.exists(sink) else []
+        # 0..9 never admitted (live-only position held across the
+        # reconnect); outage arrivals 15..19 and live 10..14 are in
+        assert offs == list(range(10, 20)), offs
+    finally:
+        conn.close()
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -141,3 +141,29 @@ def test_scrub_preserves_every_doc_and_char_accounting(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_sa_spans_honor_custom_id_column(spark):
+    """Advisor r4: both tiers must agree for a NON-default id column
+    (name and type) — the SA kernel previously hard-coded a long
+    doc_id output."""
+    rows = [
+        ("a1", "x " + BOILER + " tail one"),
+        ("b2", "y " + BOILER + " tail two"),
+        ("c3", "nothing shared here at all, totally unique stuff"),
+    ]
+    df = spark.createDataFrame(rows, "chunk_id string, body string")
+    sa = sa_duplicate_spans(
+        df, text_col="body", id_col="chunk_id", min_len=L, n_shards=1
+    )
+    assert sa.columns == ["chunk_id", "span_start", "span_end"]
+    got = sorted(
+        (r.chunk_id, r.span_start, r.span_end) for r in sa.collect()
+    )
+    want = sorted(
+        (r.chunk_id, r.span_start, r.span_end)
+        for r in duplicate_spans(
+            df, text_col="body", id_col="chunk_id", min_len=L
+        ).collect()
+    )
+    assert got == want and got
