@@ -504,3 +504,50 @@ def test_kmeans_assign_kernel_matches_expression_path(spark):
         .collect()
     }
     assert a == b
+
+
+def test_star_contraction_matches_union_find_on_random_graphs(spark):
+    """Large-star/small-star CC must label identically to the
+    union-find path on arbitrary random graphs (including isolated
+    vertices)."""
+    import random
+
+    from tastytrade_sdk_spark.llmops.cluster import (
+        connected_components_star,
+    )
+
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randint(0, 50), rng.randint(0, 50)) for _ in range(60)
+        ]
+        edf = spark.createDataFrame(edges, "doc_a int, doc_b int")
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(70)], "doc_id int"
+        )
+        uf = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(edf, nodes=nodes).collect()
+        }
+        star = {
+            r["doc_id"]: r["component"]
+            for r in connected_components_star(edf, nodes=nodes).collect()
+        }
+        assert uf == star
+
+
+def test_star_contraction_converges_on_long_chain(spark):
+    """The O(log n) property: a 200-node chain (diameter 199) — where
+    the min-label loop at max_iters=25 would raise — converges and
+    labels the whole chain with its minimum."""
+    from tastytrade_sdk_spark.llmops.cluster import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc_a int, doc_b int"
+    )
+    out = connected_components_star(chain)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
+    assert out.count() == 200
