@@ -339,3 +339,145 @@ def sa_duplicate_spans(
         lambda pdf: _shard_spans(pdf, min_len), schema
     )
     return out.withColumnRenamed("doc_id", id_col)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) tier: the continuous-ingestion form of
+# ExactSubstr, mirroring llmops/dedup.cross_snapshot_dedup — a growing
+# corpus keeps a WINDOW STORE (distinct md5 of every length-L window
+# ever admitted) and each arriving batch probes it instead of
+# re-scanning the lake.
+
+
+def _hashed_windows(
+    df: DataFrame, text_col: str, id_col: str, min_len: int
+) -> DataFrame:
+    """(id, i, __h=md5(window)) per char position — the probe unit of
+    the incremental tier. md5 keeps the shuffle key 32 bytes instead
+    of L chars and is replayable in the DuckDB oracle; both engines
+    hash identically, so even a (cosmically unlikely) collision stays
+    parity-exact."""
+    from tastytrade_sdk_spark.llmops.dedup import _spread
+
+    L = min_len
+    n_win = F.greatest(F.length(F.col(text_col)) - F.lit(L - 1), F.lit(0))
+    idx = F.when(n_win > 0, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        _spread(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.col(text_col), F.explode(idx).alias("i"))
+        .select(
+            F.col(id_col),
+            F.col("i"),
+            F.md5(
+                F.substring(F.col(text_col), F.col("i"), L)
+            ).alias("__h"),
+        )
+    )
+
+
+def window_hash_state(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+) -> DataFrame:
+    """The persisted substring store: DISTINCT md5 of every length-L
+    window in the corpus — linear state keyed on a uniform hash
+    (column ``__h``), exactly what a lake pipeline checkpoints between
+    ingestion batches."""
+    return _hashed_windows(df, text_col, id_col, min_len).select("__h").distinct()
+
+
+def cross_snapshot_substring_spans(
+    new_docs: DataFrame,
+    window_state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+) -> DataFrame:
+    """Duplicate spans of NEW documents against corpus ∪ batch: a
+    position anchors iff its window's hash is already in the corpus
+    store OR occurs >= 2 times within the batch itself. By the same
+    window-cover argument as duplicate_spans, the output EQUALS
+    running duplicate_spans over corpus ∪ new and keeping the new
+    docs' rows (equivalence-tested) — without ever re-scanning the
+    corpus text.
+
+    Scale shape: the batch's windows are scanned once; the store is
+    touched by ONE hash-keyed semi-join (AQE broadcast-promotes the
+    batch side when it fits); nothing pairs |new| x |corpus|."""
+    wins = _hashed_windows(new_docs, text_col, id_col, min_len)
+    dup_local = (
+        wins.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("__h")
+    )
+    anchors = (
+        wins.join(window_state.select("__h"), "__h", "left_semi")
+        .unionByName(wins.join(dup_local, "__h", "left_semi"))
+        .select(id_col, "i")
+        .distinct()
+    )
+    return _merge_islands(anchors, id_col, min_len)
+
+
+def substring_store_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+) -> None:
+    """One micro-batch through the incremental substring dedup: emit
+    the batch's duplicate spans (vs store ∪ batch) to ``out_path`` and
+    fold the batch's window hashes into the store.
+
+    The store records the OWNING doc id per hash (min contributor,
+    the same self-collision guard as the streaming band store,
+    dedup_stream.py): a REPLAYED batch finds its own hashes in the
+    store, and without the owner check every one of its windows would
+    self-anchor and the whole batch would be scrubbed as duplicate.
+    Replay safety: span output is keyed-upserted on (id, span_start)
+    so a replayed batch converges; the store append is a left-anti on
+    the hash, so replays add nothing and the store stays distinct."""
+    import os
+
+    from tastytrade_sdk_spark.streaming.sinks import upsert_parquet_batch
+
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return
+    if os.path.exists(store_path):
+        state = spark.read.parquet(store_path)
+    else:
+        state = spark.createDataFrame([], f"__h string, owner long")
+    wins = _hashed_windows(batch_df, text_col, id_col, min_len)
+    wins = wins.localCheckpoint(eager=True)
+    store_hits = (
+        wins.join(state, "__h")
+        .filter(F.col("owner") != F.col(id_col))
+        .select(id_col, "i")
+    )
+    dup_local = (
+        wins.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("__h")
+    )
+    local_hits = wins.join(dup_local, "__h", "left_semi").select(id_col, "i")
+    anchors = store_hits.unionByName(local_hits).distinct()
+    spans = _merge_islands(anchors, id_col, min_len)
+    spans = spans.localCheckpoint(eager=True)
+    upsert_parquet_batch(
+        spans, out_path, [id_col, "span_start"], [id_col, "span_start"]
+    )
+    new_hashes = (
+        wins.groupBy("__h")
+        .agg(F.min(F.col(id_col)).cast("long").alias("owner"))
+        .join(state.select("__h"), "__h", "left_anti")
+    )
+    new_hashes.write.mode("append").parquet(store_path)

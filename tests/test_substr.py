@@ -167,3 +167,93 @@ def test_sa_spans_honor_custom_id_column(spark):
         ).collect()
     )
     assert got == want and got
+
+
+def test_cross_snapshot_equals_full_scan_on_new_docs(spark):
+    """Incremental tier contract: spans of the NEW batch probed
+    against the corpus window store must EQUAL a full duplicate_spans
+    run over corpus ∪ new restricted to the new docs."""
+    from tastytrade_sdk_spark.llmops.substr import (
+        cross_snapshot_substring_spans,
+        window_hash_state,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "corpus doc containing " + BOILER + " inside it"),
+            (2, "another corpus doc, entirely unique content here"),
+        ],
+        "doc_id long, text string",
+    )
+    body = "Z" * 44
+    new = spark.createDataFrame(
+        [
+            (1, "new doc reusing " + BOILER + " from the corpus"),
+            (3, "batch dup " + body + " one"),
+            (5, "batch dup " + body + " two"),
+            (7, "completely novel new content, nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    inc = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in cross_snapshot_substring_spans(
+            new, window_hash_state(corpus, min_len=L), min_len=L
+        ).collect()
+    )
+    full = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(corpus.unionByName(new), min_len=L)
+        .filter("doc_id % 2 = 1")
+        .collect()
+    )
+    assert inc == full and inc
+    # corpus-reuse (doc 1) AND within-batch duplication (3, 5) found
+    assert {d for d, *_ in inc} == {1, 3, 5}
+
+
+def test_substring_store_batch_accumulates_and_absorbs_replay(spark, tmp_path):
+    """Streaming form: the window store grows across batches (a later
+    batch duplicating an EARLIER batch's text is caught), and a
+    replayed batch leaves both the span table and the store
+    unchanged."""
+    import os
+
+    from tastytrade_sdk_spark.llmops.substr import substring_store_batch
+
+    store = str(tmp_path / "winstore")
+    out = str(tmp_path / "spans")
+
+    b1 = spark.createDataFrame(
+        [(1, "first batch text with " + BOILER + " embedded")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (2, "second batch reuses " + BOILER + " later"),
+            (3, "fresh text in the second batch, nothing repeated"),
+        ],
+        "doc_id long, text string",
+    )
+    substring_store_batch(b1, store, out)
+    # batch 1 alone: no corpus yet, no within-batch dup -> no spans
+    assert not os.path.exists(out) or spark.read.parquet(out).count() == 0
+    substring_store_batch(b2, store, out)
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert {d for d, *_ in spans} == {2}
+    n_store = spark.read.parquet(store).count()
+    # replay batch 2 (failure recovery): nothing changes
+    substring_store_batch(b2, store, out)
+    spans2 = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert spans2 == spans
+    assert spark.read.parquet(store).count() == n_store
+    # store distinctness held
+    assert (
+        spark.read.parquet(store).distinct().count() == n_store
+    )
