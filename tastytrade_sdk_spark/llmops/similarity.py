@@ -54,7 +54,11 @@ from tastytrade_sdk_spark.llmops.dedup import _spread  # noqa: E402
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the first row — with a CLEAR
     error on an empty frame (first() returns None, and len(None[0])
-    would raise an opaque TypeError deep in plan construction)."""
+    would raise an opaque TypeError deep in plan construction).
+
+    NOTE: this runs a (tiny) Spark job at PLAN-CONSTRUCTION time;
+    callers composing many searches should pass ``dim`` explicitly to
+    random_projection/lsh_topk instead of paying a job per plan."""
     row = df.select(vec_col).first()
     if row is None or row[0] is None:
         raise ValueError(
@@ -417,6 +421,7 @@ def random_projection(
     out_dim: int = 16,
     seed: int = 7,
     out_prefix: str = "proj_",
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction: out_i =
     dot(v, g_i) / sqrt(out_dim) with fixed Gaussian directions.
@@ -427,7 +432,7 @@ def random_projection(
     the projection is exactly reproducible anywhere. The flat
     ``proj_*`` columns are the natural input for cheaper brute-force
     or LSH search at lake scale."""
-    dim = _vec_dim(df, vec_col)
+    dim = dim if dim is not None else _vec_dim(df, vec_col)
     planes = hyperplanes(out_dim, dim, seed) / np.sqrt(out_dim)
     cols = []
     for i in range(out_dim):
@@ -457,6 +462,7 @@ def lsh_topk(
     bands: int = 4,
     seed: int = 42,
     round_dp: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: only candidates sharing >=1 signature band
     with the query are scored. bands divides n_planes; fewer rows per
@@ -467,7 +473,7 @@ def lsh_topk(
 
     assert n_planes % bands == 0
     rows = n_planes // bands
-    dim = _vec_dim(corpus, vec_col)
+    dim = dim if dim is not None else _vec_dim(corpus, vec_col)
     planes = hyperplanes(n_planes, dim, seed)
     weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
 
