@@ -46,6 +46,19 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
     names = HEADLINE or list(queries)
+    # run historically-slow queries FIRST: the global budget degrades
+    # late queries to single (stall-exposed) runs, so the min-of-N
+    # protection should be spent where a stall hurts most. Ordering
+    # comes from the committed previous run; new queries (no history)
+    # run last in declared order.
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json")
+        ) as fh:
+            _prev = json.load(fh).get("queries", {})
+        names = sorted(names, key=lambda n: -_prev.get(n, 0.0))
+    except Exception:
+        pass
 
     def run(df) -> None:
         # noop sink: fully materializes every column (count() would let

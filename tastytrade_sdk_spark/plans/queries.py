@@ -1602,3 +1602,56 @@ def max_drawdown_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_points"),
         )
     )
+
+
+_BLOOM_H = (
+    "('0x' || substring(md5(CAST({k} AS VARCHAR)), 1, 8))::BIGINT"
+)
+_BLOOM_H2 = (
+    "('0x' || substring(md5(CAST({k} AS VARCHAR)), 9, 8))::BIGINT"
+)
+
+_BLOOM_ORACLE = f"""
+    WITH bkeys AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000
+    ), bh AS (
+      SELECT {_BLOOM_H.format(k='c_custkey')} AS h1,
+             {_BLOOM_H2.format(k='c_custkey')} AS h2
+      FROM bkeys
+    ), bpos AS (
+      SELECT DISTINCT (h1 + i * h2) % 1024 AS p FROM bh, range(3) r(i)
+    ), probe AS (
+      SELECT o_orderkey, o_custkey,
+             {_BLOOM_H.format(k='o_custkey')} AS h1,
+             {_BLOOM_H2.format(k='o_custkey')} AS h2
+      FROM orders
+    ), pp AS (
+      SELECT o_orderkey, o_custkey, (h1 + i * h2) % 1024 AS p
+      FROM probe, range(3) r(i)
+    )
+    SELECT pp.o_orderkey, pp.o_custkey
+    FROM pp LEFT JOIN bpos ON pp.p = bpos.p
+    GROUP BY pp.o_orderkey, pp.o_custkey
+    HAVING count(bpos.p) = 3
+"""
+
+
+@_q("bloom_semijoin_prune", _BLOOM_ORACLE)
+def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators/bloom.py): a compact
+    md5-double-hash bit set over the high-balance customers, probed as
+    a pure JVM expression against the orders scan — the explicit form
+    of the scan-reduction lever a lake join applies before shuffling.
+    The bitmap is deliberately UNDERSIZED (1024 bits for ~hundreds of
+    keys) so false positives occur and the oracle must reproduce them
+    exactly — membership is a pure function of (keys, n_bits,
+    n_hashes, md5), so it does."""
+    from tastytrade_sdk_spark.operators.bloom import bloom_filter
+
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_acctbal") > 9000
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    return bloom_filter(
+        orders, cust, "o_custkey", "c_custkey", n_bits=1024, n_hashes=3
+    ).select("o_orderkey", "o_custkey")

@@ -490,3 +490,56 @@ def test_heavy_hitters_null_keys_and_validation(spark):
     for bad in (0, -5, 1001):
         with pytest.raises(ValueError):
             heavy_hitters_exact(df, "k", bad)
+
+
+class TestBloom:
+    def test_no_false_negatives_and_deterministic(self, spark):
+        from tastytrade_sdk_spark.operators.bloom import (
+            bloom_build,
+            bloom_filter,
+        )
+
+        build = spark.createDataFrame(
+            [(i * 13 + 1,) for i in range(200)], "k long"
+        )
+        fact = spark.createDataFrame([(i,) for i in range(3000)], "k long")
+        out = {
+            r["k"]
+            for r in bloom_filter(
+                fact, build, "k", "k", n_bits=1 << 10, n_hashes=3
+            ).collect()
+        }
+        true = {i * 13 + 1 for i in range(200) if i * 13 + 1 < 3000}
+        assert true <= out  # EVERY real key survives
+        # membership is a pure function of inputs: two builds agree
+        a = bloom_build(build, "k", 1 << 10, 3)
+        b = bloom_build(build, "k", 1 << 10, 3)
+        assert (a == b).all()
+
+    def test_null_keys_probe_false_and_build_ignores_null(self, spark):
+        from pyspark.sql import functions as F
+
+        from tastytrade_sdk_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe_col,
+        )
+
+        build = spark.createDataFrame([(1,), (None,)], "k long")
+        bm = bloom_build(build, "k", 256, 4)
+        probe = spark.createDataFrame([(1,), (None,)], "k long")
+        got = {
+            r["k"]: r["p"]
+            for r in probe.select(
+                "k", bloom_probe_col(F.col("k"), bm, 4).alias("p")
+            ).collect()
+        }
+        assert got[1] is True and got[None] is False
+
+    def test_rejects_unaligned_bits(self, spark):
+        import pytest
+
+        from tastytrade_sdk_spark.operators.bloom import bloom_build
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bloom_build(df, "k", 100, 3)
