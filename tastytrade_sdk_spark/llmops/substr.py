@@ -481,3 +481,26 @@ def substring_store_batch(
         .join(state.select("__h"), "__h", "left_anti")
     )
     new_hashes.write.mode("append").parquet(store_path)
+
+
+def substring_dedup_sink(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+):
+    """writeStream wiring for the incremental substring dedup: each
+    micro-batch probes the persisted window store, upserts its
+    duplicate spans, and folds its hashes in (substring_store_batch)."""
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda df, epoch: substring_store_batch(
+                df, store_path, out_path, text_col, id_col, min_len
+            )
+        )
+    )

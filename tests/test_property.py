@@ -165,3 +165,65 @@ def test_grouped_apply_carry_across_arrow_batches(spark):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (llmops/substr.py) vs a brute-force reference:
+# the window-cover identity (covered char <=> inside a >=L duplicated
+# substring) is the operator's correctness core — fuzz it.
+
+
+def _brute_spans(texts, L):
+    """All maximal per-doc ranges of chars covered by a length-L
+    window whose content occurs >= 2 times across the corpus."""
+    from collections import Counter
+
+    wins = Counter()
+    for t in texts.values():
+        for i in range(len(t) - L + 1):
+            wins[t[i : i + L]] += 1
+    out = []
+    for d, t in texts.items():
+        covered = [False] * len(t)
+        for i in range(len(t) - L + 1):
+            if wins[t[i : i + L]] >= 2:
+                for j in range(i, i + L):
+                    covered[j] = True
+        i = 0
+        while i < len(t):
+            if covered[i]:
+                j = i
+                while j < len(t) and covered[j]:
+                    j += 1
+                out.append((d, i + 1, j + 1))  # 1-based, exclusive end
+                i = j
+            else:
+                i += 1
+    return sorted(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    L=st.integers(min_value=3, max_value=7),
+)
+def test_duplicate_spans_match_bruteforce(spark, docs, L):
+    texts = {i: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    from tastytrade_sdk_spark.llmops.substr import duplicate_spans
+
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, min_len=L).collect()
+    )
+    assert got == _brute_spans(texts, L)

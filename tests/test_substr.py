@@ -257,3 +257,31 @@ def test_substring_store_batch_accumulates_and_absorbs_replay(spark, tmp_path):
     assert (
         spark.read.parquet(store).distinct().count() == n_store
     )
+
+
+def test_substring_dedup_sink_runs_live(spark, tmp_path):
+    from tastytrade_sdk_spark.llmops.substr import substring_dedup_sink
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (1, "stream doc with " + BOILER + " inside"),
+            (2, "later stream doc reusing " + BOILER + " again"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = substring_dedup_sink(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "spans"),
+        str(tmp_path / "ckpt"),
+        min_len=L,
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spans = spark.read.parquet(str(tmp_path / "spans")).collect()
+    # both docs share the boiler within one batch -> both get spans
+    assert {r.doc_id for r in spans} == {1, 2}
