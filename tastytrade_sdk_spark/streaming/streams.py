@@ -213,3 +213,38 @@ def streaming_dedup_within_watermark(
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def streaming_session_activity(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows on a live stream (the gap-merged window type
+    the batch [Q] session_window_activity oracles via the islands
+    rewrite): Spark's native session_window merges state per key until
+    ``gap`` passes with no event, and the watermark both bounds the
+    state AND finalizes sessions (append mode emits a session only
+    once it can no longer extend). Same aggregate shape as the batch
+    twin so streaming==batch equivalence is testable row-for-row."""
+    agg = (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(
+            F.session_window(F.col(time_col), gap).alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+    )
+    return agg.select(
+        key_col,
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )

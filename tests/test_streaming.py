@@ -563,3 +563,96 @@ class TestTransformWithStateLatest:
 
         # stale SPX update emitted nothing in batch 2: exactly one SPX row
         assert sum(1 for r in emitted if r["symbol"] == "SPX") == 1
+
+
+def test_streaming_session_windows_equal_batch(spark, tmp_path):
+    """ST4+ (session windows, round 4): the same gap-merged session
+    aggregation over a file stream equals the batch form — including
+    sessions that MERGE when a bridging event arrives in a later
+    micro-batch."""
+    import datetime as dt
+
+    from tastytrade_sdk_spark.streaming.streams import (
+        streaming_session_activity,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 9, 0)
+    rows1 = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(minutes=10), 5.0),
+        (2, t0, 1.0),
+    ]
+    rows2 = [
+        # bridges user 1's first session (gap < 30m from minute 10)
+        (1, t0 + dt.timedelta(minutes=35), 2.0),
+        # far later: a SECOND session for user 1
+        (1, t0 + dt.timedelta(hours=5), 7.0),
+        (2, t0 + dt.timedelta(hours=5), 3.0),
+        # watermark pusher so earlier sessions finalize
+        (9, t0 + dt.timedelta(hours=12), 0.0),
+    ]
+    schema = "user_id int, ts timestamp, value double"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_session_activity(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = (
+        spark.createDataFrame(rows1 + rows2, schema)
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    key = lambda r: (  # noqa: E731
+        r["user_id"], r["session_start"], r["session_end"],
+        r["n_events"], r["total_value"],
+    )
+    streamed = sorted(
+        map(key, spark.sql("select * from sess_stream").collect())
+    )
+    expected = sorted(
+        key(r) for r in batch.collect()
+        # append mode only emits sessions the watermark has CLOSED;
+        # the hour-12 pusher's own session (and any session still
+        # within the watermark of the final event) stays open
+        if r["session_end"]
+        <= dt.datetime(2024, 5, 1, 21, 0) - dt.timedelta(hours=1)
+    )
+    assert streamed == expected
+    # the bridged session arrived as ONE merged row, not two
+    assert sum(1 for s in streamed if s[0] == 1 and s[3] == 3) == 1
