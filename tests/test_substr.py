@@ -285,3 +285,33 @@ def test_substring_dedup_sink_runs_live(spark, tmp_path):
     spans = spark.read.parquet(str(tmp_path / "spans")).collect()
     # both docs share the boiler within one batch -> both get spans
     assert {r.doc_id for r in spans} == {1, 2}
+
+
+def test_non_ascii_parity_between_tiers(spark):
+    """Unicode code-point semantics: Spark substring/length, the
+    numpy utf-32 kernel, and Python slicing must all agree on
+    non-ASCII text (accented chars, CJK, an astral-plane emoji)."""
+    boiler = "ünïcodé-BLOCK-✓-日本語テキスト-🚀🚀-shared-across-docs!"
+    assert len(boiler) >= 40
+    rows = [
+        (1, "préfix " + boiler + " suffix-α"),
+        (2, "autre " + boiler + " fin-β"),
+        (3, "œuvre unique sans duplication ici, rien à voir 漢字"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    win = _spans(df)
+    sa = _sa_spans(df, n_shards=1)
+    assert win == sa and win
+    # every span slices out text CONTAINING the shared block when
+    # mapped back by Python code-point indexing (same 1-based frame)
+    texts = dict(rows)
+    for d, s, e in win:
+        assert boiler in texts[d][s - 1 : e - 1]
+    # scrub reconstruction is code-point exact: removed + kept ==
+    # original length, and the shared block is gone
+    scrub = {
+        r.doc_id: r for r in exact_substring_scrub(df, min_len=L).collect()
+    }
+    for d, t in texts.items():
+        assert len(scrub[d].clean_text) + scrub[d].n_dup_chars == len(t)
+        assert boiler not in scrub[d].clean_text
