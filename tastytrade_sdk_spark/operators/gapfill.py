@@ -130,3 +130,64 @@ def prior_valid_value(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    interval: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Linear interpolation onto the complete per-key time grid (the
+    numeric sibling of gap_fill's forward fill — the resampling a
+    feature pipeline applies to sparse sensor/price series before
+    fixed-step models).
+
+    Synthetic buckets get
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)``;
+    real observations pass through untouched; grid points before the
+    first / after the last observation (possible only when another
+    value column extends the range) fall back to the one-sided
+    neighbor. Plan: the same scaffold + left join as gap_fill, then
+    per value column TWO window passes (last/first ignorenulls with
+    their epoch stamps) — one shuffle on the key, linear scan, no UDF.
+    Output: key, time, interpolated value columns, is_synthetic."""
+    cal = calendar_scaffold(df, key_cols, time_col, interval)
+    base = cal.join(df, on=[*key_cols, time_col], how="left")
+    # a real row whose values are ALL NULL is still a real bucket
+    present = df.select(*key_cols, time_col).distinct().withColumn(
+        "__real", F.lit(True)
+    )
+    marked = (
+        base.join(present, [*key_cols, time_col], "left")
+        .withColumn("is_synthetic", F.coalesce(~F.col("__real"), F.lit(True)))
+        .drop("__real")
+    )
+    ep = F.unix_timestamp(F.col(time_col)).cast("double")
+    wb = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*key_cols)
+        .orderBy(time_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = marked
+    for c in value_cols:
+        stamped = F.when(F.col(c).isNotNull(), ep)
+        prev_v = F.last(c, ignorenulls=True).over(wb)
+        prev_t = F.last(stamped, ignorenulls=True).over(wb)
+        next_v = F.first(c, ignorenulls=True).over(wf)
+        next_t = F.first(stamped, ignorenulls=True).over(wf)
+        interp = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+            F.when(
+                prev_v.isNotNull() & next_v.isNotNull(),
+                prev_v
+                + (next_v - prev_v) * (ep - prev_t) / (next_t - prev_t),
+            ).otherwise(F.coalesce(prev_v, next_v))
+        )
+        out = out.withColumn(c, interp)
+    return out.select(*key_cols, time_col, *value_cols, "is_synthetic")

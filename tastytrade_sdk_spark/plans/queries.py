@@ -1655,3 +1655,86 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_filter(
         orders, cust, "o_custkey", "c_custkey", n_bits=1024, n_hashes=3
     ).select("o_orderkey", "o_custkey")
+
+
+@_q(
+    "interpolate_hourly",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             round(sum(value), 6) AS hour_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(bucket) AS t0, max(bucket) AS t1 FROM hourly GROUP BY 1
+    ), cal AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ), j AS (
+      SELECT c.user_id, c.bucket, h.hour_value
+      FROM cal c LEFT JOIN hourly h
+        ON c.user_id = h.user_id AND c.bucket = h.bucket
+    ), w AS (
+      SELECT user_id, bucket, hour_value,
+        last_value(hour_value IGNORE NULLS) OVER wb AS pv,
+        last_value(CASE WHEN hour_value IS NOT NULL
+                        THEN CAST(epoch(bucket) AS DOUBLE) END IGNORE NULLS)
+          OVER wb AS pt,
+        first_value(hour_value IGNORE NULLS) OVER wf AS nv,
+        first_value(CASE WHEN hour_value IS NOT NULL
+                         THEN CAST(epoch(bucket) AS DOUBLE) END IGNORE NULLS)
+          OVER wf AS nt
+      FROM j
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket AS time,
+           -- floor(x*1e6 + 0.5)/1e6 on BOTH engines: round() here is a
+           -- shortest-repr-vs-binary trap (Spark BigDecimal.valueOf
+           -- rounds the printed form, DuckDB rounds the binary value;
+           -- 65.40468749999999.. diverges). The explicit formula is
+           -- the same IEEE ops on both sides, so it cannot.
+           floor(CASE WHEN hour_value IS NOT NULL THEN hour_value
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (nv - pv)
+                           * (CAST(epoch(bucket) AS DOUBLE) - pt)
+                           / (nt - pt)
+                      ELSE coalesce(pv, nv) END * 1000000 + 0.5)
+             / 1000000 AS hour_value,
+           (hour_value IS NULL) AS is_synthetic
+    FROM w
+    """,
+)
+def interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6+ linear interpolation (round 4): the numeric sibling of
+    gap_fill_hourly — synthetic buckets get the time-weighted value
+    between their real neighbors instead of a carried-forward copy
+    (the resampling step before fixed-step feature models). Same
+    scaffold + one keyed shuffle; the interpolation itself is two
+    window passes, identical arithmetic order on both engines."""
+    from tastytrade_sdk_spark.operators.gapfill import interpolate_linear
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.round(F.sum("value"), 6).alias("hour_value"))
+    out = interpolate_linear(
+        hourly,
+        key_cols=["user_id"],
+        time_col="bucket",
+        interval="1 hour",
+        value_cols=["hour_value"],
+    )
+    # shared explicit rounding site (see the oracle comment): the
+    # same floor(x*1e6 + 0.5)/1e6 double arithmetic on both engines
+    return out.select(
+        "user_id",
+        F.col("bucket").alias("time"),
+        (
+            F.floor(F.col("hour_value") * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("hour_value"),
+        "is_synthetic",
+    )

@@ -189,3 +189,38 @@ def test_gap_fill_keeps_unaligned_real_rows(spark):
     assert out[(30, True)] == 1.0   # filled from 00:00
     assert out[(45, False)] == 9.0  # REAL row preserved
     assert out[(60, False)] == 2.0
+
+
+def test_interpolate_linear_values_and_edges(spark):
+    """W6+ linear interpolation: gap buckets get the time-weighted
+    value between real neighbors; real rows pass through; grid points
+    with only one-sided neighbors fall back to that neighbor."""
+    import datetime as dt
+
+    from tastytrade_sdk_spark.operators.gapfill import interpolate_linear
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        ("A", t0, 10.0),
+        # hours 1,2 missing -> 20.0, 30.0 (linear to hour 3's 40)
+        ("A", t0 + 3 * h, 40.0),
+        ("A", t0 + 4 * h, None),  # real bucket, null value
+        ("A", t0 + 5 * h, 50.0),
+        ("B", t0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "sym string, t timestamp, v double")
+    out = {
+        (r["sym"], r["t"]): r
+        for r in interpolate_linear(
+            df, ["sym"], "t", "1 hour", ["v"]
+        ).collect()
+    }
+    assert out[("A", t0 + h)]["v"] == 20.0
+    assert out[("A", t0 + 2 * h)]["v"] == 30.0
+    assert out[("A", t0 + h)]["is_synthetic"]
+    assert not out[("A", t0 + 3 * h)]["is_synthetic"]
+    # the real-but-null hour 4 is NOT synthetic, and interpolates
+    assert not out[("A", t0 + 4 * h)]["is_synthetic"]
+    assert out[("A", t0 + 4 * h)]["v"] == 45.0
+    assert out[("B", t0)]["v"] == 7.0
