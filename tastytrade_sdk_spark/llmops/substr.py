@@ -58,10 +58,13 @@ __all__ = [
 ]
 
 
-def _anchors(df: DataFrame, text_col: str, id_col: str, min_len: int) -> DataFrame:
-    """(id, i) rows: 1-based positions whose length-L window occurs
-    >= 2 times in the corpus (multiplicity counts within-doc repeats).
-    """
+def _window_rows(
+    df: DataFrame, text_col: str, id_col: str, min_len: int
+) -> DataFrame:
+    """(id, i, __win) — one length-L window per 1-based char position.
+    The ONE copy of the window-generation scaffolding (NULL-text
+    greatest() guard, spread for one-file local sources, per-char
+    Generate) every substring tier projects from."""
     from tastytrade_sdk_spark.llmops.dedup import _spread
 
     L = min_len
@@ -72,16 +75,22 @@ def _anchors(df: DataFrame, text_col: str, id_col: str, min_len: int) -> DataFra
         F.array().cast("array<int>")
     )
     # the per-char window Generate is the dominant cost and is
-    # consumed twice (count side + join-back side): spread the doc
-    # scan across the cluster first or both run single-task on a
-    # one-file local source
-    wins = _spread(df.select(id_col, text_col), id_col).select(
+    # consumed multiple times downstream: spread the doc scan across
+    # the cluster first or it runs single-task on a one-file source
+    return _spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col), F.col(text_col), F.explode(idx).alias("i")
     ).select(
         F.col(id_col),
         F.col("i"),
         F.substring(F.col(text_col), F.col("i"), L).alias("__win"),
     )
+
+
+def _anchors(df: DataFrame, text_col: str, id_col: str, min_len: int) -> DataFrame:
+    """(id, i) rows: 1-based positions whose length-L window occurs
+    >= 2 times in the corpus (multiplicity counts within-doc repeats).
+    """
+    wins = _window_rows(df, text_col, id_col, min_len)
     dup = (
         wins.groupBy("__win")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -353,27 +362,13 @@ def _hashed_windows(
     df: DataFrame, text_col: str, id_col: str, min_len: int
 ) -> DataFrame:
     """(id, i, __h=md5(window)) per char position — the probe unit of
-    the incremental tier. md5 keeps the shuffle key 32 bytes instead
-    of L chars and is replayable in the DuckDB oracle; both engines
-    hash identically, so even a (cosmically unlikely) collision stays
+    the incremental tier, projected from the shared _window_rows
+    scaffold. md5 keeps the shuffle key 32 bytes instead of L chars
+    and is replayable in the DuckDB oracle; both engines hash
+    identically, so even a (cosmically unlikely) collision stays
     parity-exact."""
-    from tastytrade_sdk_spark.llmops.dedup import _spread
-
-    L = min_len
-    n_win = F.greatest(F.length(F.col(text_col)) - F.lit(L - 1), F.lit(0))
-    idx = F.when(n_win > 0, F.sequence(F.lit(1), n_win)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return (
-        _spread(df.select(id_col, text_col), id_col)
-        .select(F.col(id_col), F.col(text_col), F.explode(idx).alias("i"))
-        .select(
-            F.col(id_col),
-            F.col("i"),
-            F.md5(
-                F.substring(F.col(text_col), F.col("i"), L)
-            ).alias("__h"),
-        )
+    return _window_rows(df, text_col, id_col, min_len).select(
+        F.col(id_col), F.col("i"), F.md5(F.col("__win")).alias("__h")
     )
 
 
@@ -408,7 +403,11 @@ def cross_snapshot_substring_spans(
     Scale shape: the batch's windows are scanned once; the store is
     touched by ONE hash-keyed semi-join (AQE broadcast-promotes the
     batch side when it fits); nothing pairs |new| x |corpus|."""
-    wins = _hashed_windows(new_docs, text_col, id_col, min_len)
+    # the window explode is the dominant cost and has THREE consumers
+    # (local-dup agg + two semi-join branches): cut the lineage once
+    wins = _hashed_windows(new_docs, text_col, id_col, min_len).localCheckpoint(
+        eager=False
+    )
     dup_local = (
         wins.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -451,10 +450,11 @@ def substring_store_batch(
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return
+    id_type = dict(batch_df.dtypes)[id_col]
     if os.path.exists(store_path):
         state = spark.read.parquet(store_path)
     else:
-        state = spark.createDataFrame([], f"__h string, owner long")
+        state = spark.createDataFrame([], f"__h string, owner {id_type}")
     wins = _hashed_windows(batch_df, text_col, id_col, min_len)
     wins = wins.localCheckpoint(eager=True)
     store_hits = (
@@ -477,7 +477,10 @@ def substring_store_batch(
     )
     new_hashes = (
         wins.groupBy("__h")
-        .agg(F.min(F.col(id_col)).cast("long").alias("owner"))
+        # owner keeps the id column's own type: a long cast would
+        # NULL string ids and the owner != id guard (NULL) would then
+        # silently drop every store hit
+        .agg(F.min(F.col(id_col)).alias("owner"))
         .join(state.select("__h"), "__h", "left_anti")
     )
     new_hashes.write.mode("append").parquet(store_path)

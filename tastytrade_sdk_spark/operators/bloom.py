@@ -100,9 +100,11 @@ def bloom_probe_col(
     hash_fn: str = "md5",
 ) -> Column:
     """Membership test as a pure JVM expression over the spliced
-    literal bitmap: TRUE iff every probe bit is set (NULL keys probe
-    FALSE — a NULL never joins, so pruning it is semantics-preserving
-    for the semi-join use)."""
+    literal bitmap: TRUE iff every probe bit is set. NULL keys probe
+    FALSE via an EXPLICIT isNull guard — a NULL never joins, and the
+    guard cannot be left to null-propagation because xxhash64(NULL)
+    returns the SEED (a non-null long), which would probe a fixed
+    position set and pass on a dense bitmap."""
     n_bits = len(bitmap) * 64
     # a TRUE array Literal (F.lit of a list), NOT F.array(*lits): the
     # latter is a CreateArray expression that re-materializes the
@@ -123,7 +125,7 @@ def bloom_probe_col(
         )
         == 1,
     )
-    return F.coalesce(probe, F.lit(False))
+    return F.when(key.isNull(), F.lit(False)).otherwise(probe)
 
 
 def bloom_filter(

@@ -1670,18 +1670,22 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
       FROM bounds
     ), j AS (
-      SELECT c.user_id, c.bucket, h.hour_value
+      -- membership flag, not value-nullness: a real bucket whose
+      -- aggregate happens to be NULL must not read as synthetic
+      -- (matches the operator's join-membership definition)
+      SELECT c.user_id, c.bucket, h.hour_value,
+             (h.bucket IS NULL) AS is_synth
       FROM cal c LEFT JOIN hourly h
         ON c.user_id = h.user_id AND c.bucket = h.bucket
     ), w AS (
-      SELECT user_id, bucket, hour_value,
+      SELECT user_id, bucket, hour_value, is_synth,
         last_value(hour_value IGNORE NULLS) OVER wb AS pv,
         last_value(CASE WHEN hour_value IS NOT NULL
-                        THEN CAST(epoch(bucket) AS DOUBLE) END IGNORE NULLS)
+                        THEN CAST(epoch_us(bucket) AS DOUBLE) END IGNORE NULLS)
           OVER wb AS pt,
         first_value(hour_value IGNORE NULLS) OVER wf AS nv,
         first_value(CASE WHEN hour_value IS NOT NULL
-                         THEN CAST(epoch(bucket) AS DOUBLE) END IGNORE NULLS)
+                         THEN CAST(epoch_us(bucket) AS DOUBLE) END IGNORE NULLS)
           OVER wf AS nt
       FROM j
       WINDOW
@@ -1699,11 +1703,11 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(CASE WHEN hour_value IS NOT NULL THEN hour_value
                       WHEN pv IS NOT NULL AND nv IS NOT NULL
                       THEN pv + (nv - pv)
-                           * (CAST(epoch(bucket) AS DOUBLE) - pt)
+                           * (CAST(epoch_us(bucket) AS DOUBLE) - pt)
                            / (nt - pt)
                       ELSE coalesce(pv, nv) END * 1000000 + 0.5)
              / 1000000 AS hour_value,
-           (hour_value IS NULL) AS is_synthetic
+           is_synth AS is_synthetic
     FROM w
     """,
 )

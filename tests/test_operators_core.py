@@ -224,3 +224,50 @@ def test_interpolate_linear_values_and_edges(spark):
     assert not out[("A", t0 + 4 * h)]["is_synthetic"]
     assert out[("A", t0 + 4 * h)]["v"] == 45.0
     assert out[("B", t0)]["v"] == 7.0
+
+
+def test_interpolate_linear_keeps_unaligned_rows(spark):
+    """Review r4: a real observation OFF the min(t)-anchored grid must
+    stay in the output and participate in its neighbors'
+    interpolation (full join, not left-from-calendar)."""
+    import datetime as dt
+
+    from tastytrade_sdk_spark.operators.gapfill import interpolate_linear
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        ("A", t0, 10.0),
+        ("A", t0 + dt.timedelta(minutes=45), 99.0),  # unaligned
+        ("A", t0 + dt.timedelta(hours=2), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "sym string, t timestamp, v double")
+    out = {
+        r["t"]: r
+        for r in interpolate_linear(df, ["sym"], "t", "1 hour", ["v"]).collect()
+    }
+    assert t0 + dt.timedelta(minutes=45) in out          # row retained
+    assert not out[t0 + dt.timedelta(minutes=45)]["is_synthetic"]
+    # the 01:00 synthetic interpolates from 00:45 (99.0) to 02:00
+    # (30.0): 99 + (30-99) * (15/75) = 85.2
+    assert abs(out[t0 + dt.timedelta(hours=1)]["v"] - 85.2) < 1e-9
+
+
+def test_interpolate_linear_subsecond_grid(spark):
+    """Review r4: microsecond epoch stamps — a sub-second grid must
+    not collapse neighbor timestamps to the same whole second."""
+    import datetime as dt
+
+    from tastytrade_sdk_spark.operators.gapfill import interpolate_linear
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 0)
+    ms = dt.timedelta(milliseconds=200)
+    rows = [("A", t0, 0.0), ("A", t0 + 3 * ms, 6.0)]
+    df = spark.createDataFrame(rows, "sym string, t timestamp, v double")
+    out = {
+        r["t"]: r["v"]
+        for r in interpolate_linear(
+            df, ["sym"], "t", "0.2 seconds", ["v"]
+        ).collect()
+    }
+    assert abs(out[t0 + ms] - 2.0) < 1e-9
+    assert abs(out[t0 + 2 * ms] - 4.0) < 1e-9

@@ -525,15 +525,20 @@ class TestBloom:
         )
 
         build = spark.createDataFrame([(1,), (None,)], "k long")
-        bm = bloom_build(build, "k", 256, 4)
         probe = spark.createDataFrame([(1,), (None,)], "k long")
-        got = {
-            r["k"]: r["p"]
-            for r in probe.select(
-                "k", bloom_probe_col(F.col("k"), bm, 4).alias("p")
-            ).collect()
-        }
-        assert got[1] is True and got[None] is False
+        for hf in ("md5", "xxhash64"):
+            bm = bloom_build(build, "k", 256, 4, hash_fn=hf)
+            got = {
+                r["k"]: r["p"]
+                for r in probe.select(
+                    "k",
+                    bloom_probe_col(F.col("k"), bm, 4, hash_fn=hf).alias("p"),
+                ).collect()
+            }
+            # xxhash64(NULL) returns the SEED, so the NULL verdict
+            # must come from the explicit isNull guard, not from
+            # null-propagation
+            assert got[1] is True and got[None] is False, hf
 
     def test_rejects_unaligned_bits(self, spark):
         import pytest

@@ -315,3 +315,25 @@ def test_non_ascii_parity_between_tiers(spark):
     for d, t in texts.items():
         assert len(scrub[d].clean_text) + scrub[d].n_dup_chars == len(t)
         assert boiler not in scrub[d].clean_text
+
+
+def test_substring_store_batch_string_ids(spark, tmp_path):
+    """Review r4: the store's owner column must follow the id type —
+    a hardcoded long cast NULLed string ids and the owner guard then
+    silently dropped every cross-batch hit."""
+    from tastytrade_sdk_spark.llmops.substr import substring_store_batch
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "spans")
+    b1 = spark.createDataFrame(
+        [("doc-aaa", "first batch with " + BOILER + " present")],
+        "doc_id string, text string",
+    )
+    b2 = spark.createDataFrame(
+        [("doc-bbb", "second batch reusing " + BOILER + " too")],
+        "doc_id string, text string",
+    )
+    substring_store_batch(b1, store, out)
+    substring_store_batch(b2, store, out)
+    spans = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in spans} == {"doc-bbb"}
