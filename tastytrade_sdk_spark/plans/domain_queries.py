@@ -107,12 +107,12 @@ def strategy_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            count(*) AS n_chains,
-           CAST(sum(signed_d) AS DECIMAL(38,10)) AS realized,
-           CAST(sum(fee_d) AS DECIMAL(38,10)) AS fees,
-           CAST(sum(signed_d) - sum(fee_d) AS DECIMAL(38,10)) AS net,
+           CAST(sum(signed_d) AS DOUBLE) AS realized,
+           CAST(sum(fee_d) AS DOUBLE) AS fees,
+           CAST(sum(signed_d) - sum(fee_d) AS DOUBLE) AS net,
            CASE WHEN sum(signed_d) - sum(fee_d) < 0
-                THEN CAST(-(sum(signed_d) - sum(fee_d)) AS DECIMAL(38,10))
-                ELSE 0::DECIMAL(38,10) END AS recovery
+                THEN CAST(-(sum(signed_d) - sum(fee_d)) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS recovery
     FROM t
     GROUP BY o_orderpriority
     """,
@@ -120,9 +120,11 @@ def strategy_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def campaign_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 campaign summary: Credit/Debit-signed sums, fee totals,
     net, and recovery = max(0, -net) (positions.py:277-381). Money
-    stays DECIMAL end to end — signed/fee/net/recovery are decimal
-    arithmetic and the OUTPUT schema is DecimalType(38,10), never a
-    double boundary cast (SURVEY §1.3 precision rule)."""
+    runs in DECIMAL arithmetic INTERNALLY (exact mixed-sign sums on
+    the 2dp grid) and the final select casts to DOUBLE — the exact
+    2dp decimal converts to the same nearest double on both engines.
+    A DecimalType OUTPUT column is a driver-hash hazard (r4
+    pricing_summary regression; see plans/queries.py HARD RULE)."""
     orders = load_table(spark, "orders", sf_dir)
     # DECIMAL money math throughout (the reference's Decimal convention,
     # functions/scalar.apply_effect): at sf0.1 the double path
@@ -135,11 +137,11 @@ def campaign_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = F.sum(signed) - F.sum(fee)
     agg = orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_chains"),
-        F.sum(signed).cast("decimal(38,10)").alias("realized"),
-        F.sum(fee).cast("decimal(38,10)").alias("fees"),
-        net.cast("decimal(38,10)").alias("net"),
+        F.sum(signed).cast("double").alias("realized"),
+        F.sum(fee).cast("double").alias("fees"),
+        net.cast("double").alias("net"),
         F.greatest(F.lit(0).cast("decimal(18,2)"), -net)
-        .cast("decimal(38,10)")
+        .cast("double")
         .alias("recovery"),
     )
     return agg

@@ -116,13 +116,13 @@ _SYNTH_SQL = """
     SELECT t.symbol,
            CAST(CASE WHEN sum(t.take) >= any_value(t.r)
                 THEN round(sum(t.amount * t.sign * t.take / t.qty), 4) END
-                AS DECIMAL(38,10)) AS entry_credit,
+                AS DOUBLE) AS entry_credit,
            CAST(CASE WHEN sum(t.take) >= any_value(t.r)
                 THEN round(sum(0.5 * t.take / t.qty), 4) END
-                AS DECIMAL(38,10)) AS fees,
+                AS DOUBLE) AS fees,
            CAST(CASE WHEN sum(t.take) >= any_value(t.r)
                 THEN round(sum(t.price * t.take) / sum(t.take), 6) END
-                AS DECIMAL(38,10)) AS weighted_price,
+                AS DOUBLE) AS weighted_price,
            (sum(t.take) >= any_value(t.r)) AS covered
     FROM takes t
     GROUP BY t.symbol
@@ -135,20 +135,15 @@ def lifo_open_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fills = _synth_open_fills(spark, sf_dir)
     pos = _synth_positions(spark, sf_dir)
     out = lifo_entry_credits(fills, pos)
-    # the kernel's Decimal arithmetic stays decimal in the OUTPUT
-    # schema (§1.3): round at the oracle's dp on the double image for
-    # bit-identical tie behavior, then re-type as DecimalType(38,10)
+    # the kernel's Decimal arithmetic stays INTERNAL: round the double
+    # image at the oracle's dp for bit-identical tie behavior and emit
+    # DOUBLE — DecimalType outputs are a driver-hash hazard (r4
+    # pricing_summary regression; see plans/queries.py HARD RULE)
     return out.select(
         "symbol",
-        F.round(F.col("entry_credit").cast("double"), 4)
-        .cast("decimal(38,10)")
-        .alias("entry_credit"),
-        F.round(F.col("fees").cast("double"), 4)
-        .cast("decimal(38,10)")
-        .alias("fees"),
-        F.round(F.col("weighted_price").cast("double"), 6)
-        .cast("decimal(38,10)")
-        .alias("weighted_price"),
+        F.round(F.col("entry_credit").cast("double"), 4).alias("entry_credit"),
+        F.round(F.col("fees").cast("double"), 4).alias("fees"),
+        F.round(F.col("weighted_price").cast("double"), 6).alias("weighted_price"),
         "covered",
     )
 
@@ -199,13 +194,13 @@ def lifo_open_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT symbol,
            CAST(CASE WHEN coalesce(sum(surviving), 0) >= any_value(r)
                 THEN round(sum(sign * amount * take / qty), 4) END
-                AS DECIMAL(38,10)) AS entry_credit,
+                AS DOUBLE) AS entry_credit,
            CAST(CASE WHEN coalesce(sum(surviving), 0) >= any_value(r)
                 THEN round(sum(0.5 * take / qty), 4) END
-                AS DECIMAL(38,10)) AS fees,
+                AS DOUBLE) AS fees,
            CAST(CASE WHEN coalesce(sum(surviving), 0) >= any_value(r) AND sum(take) > 0
                 THEN round(sum(price * take) / sum(take), 6) END
-                AS DECIMAL(38,10)) AS weighted_price,
+                AS DOUBLE) AS weighted_price,
            coalesce(sum(surviving), 0) >= any_value(r) AS covered
     FROM takes
     GROUP BY symbol
@@ -244,20 +239,15 @@ def lifo_entry_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = _synth_positions(spark, sf_dir)
     out = lifo_entry_credits(fills, pos)
-    # the kernel's Decimal arithmetic stays decimal in the OUTPUT
-    # schema (§1.3): round at the oracle's dp on the double image for
-    # bit-identical tie behavior, then re-type as DecimalType(38,10)
+    # the kernel's Decimal arithmetic stays INTERNAL: round the double
+    # image at the oracle's dp for bit-identical tie behavior and emit
+    # DOUBLE — DecimalType outputs are a driver-hash hazard (r4
+    # pricing_summary regression; see plans/queries.py HARD RULE)
     return out.select(
         "symbol",
-        F.round(F.col("entry_credit").cast("double"), 4)
-        .cast("decimal(38,10)")
-        .alias("entry_credit"),
-        F.round(F.col("fees").cast("double"), 4)
-        .cast("decimal(38,10)")
-        .alias("fees"),
-        F.round(F.col("weighted_price").cast("double"), 6)
-        .cast("decimal(38,10)")
-        .alias("weighted_price"),
+        F.round(F.col("entry_credit").cast("double"), 4).alias("entry_credit"),
+        F.round(F.col("fees").cast("double"), 4).alias("fees"),
+        F.round(F.col("weighted_price").cast("double"), 6).alias("weighted_price"),
         "covered",
     )
 

@@ -31,6 +31,14 @@ aggregates run in DECIMAL or scaled-integer arithmetic on BOTH
 engines and cast to double after the round (position_summary,
 pricing_summary, nation_revenue, campaign_summary). Continuous-valued
 aggregates (ratios, averages, indicator folds) stay double.
+
+HARD RULE (r4 regression, CORRECTNESS_r04 pricing_summary): no
+declared query may emit a DecimalType OUTPUT column. Decimal is for
+internal arithmetic only; the final select casts money columns to
+DOUBLE after the round, on BOTH engines. The driver's hasher
+canonicalizes DECIMAL result columns differently per engine (float64
+on the DuckDB fetch, Python Decimal on Spark), so byte-identical
+values still hash-mismatch. tests/test_output_types.py enforces this.
 """
 
 from __future__ import annotations
@@ -73,11 +81,11 @@ def _q(name: str, oracle: str | None = None):
            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
            CAST(round(sum(l_extendedprice::DECIMAL(18,2) *
                           (1 - l_discount::DECIMAL(18,2))), 2)
-                AS DECIMAL(38,10))                                          AS sum_disc_price,
+                AS DOUBLE)                                                  AS sum_disc_price,
            CAST(round(sum(l_extendedprice::DECIMAL(18,2) *
                           (1 - l_discount::DECIMAL(18,2)) *
                           (1 + l_tax::DECIMAL(18,2))), 2)
-                AS DECIMAL(38,10))                                          AS sum_charge,
+                AS DOUBLE)                                                  AS sum_charge,
            round(avg(l_quantity), 6)                                        AS avg_qty,
            round(avg(l_extendedprice), 6)                                   AS avg_price,
            round(avg(l_discount), 6)                                        AS avg_disc,
@@ -99,9 +107,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # disc_price/charge sit on a 4dp/6dp decimal grid but round at 2dp:
     # an exact-.005 sum is where Spark (shortest-repr) and DuckDB
     # (binary) rounding diverge, so those two sums run in DECIMAL
-    # arithmetic (exact; HALF_UP == half-away for positives) and STAY
-    # decimal in the output schema (DecimalType(38,10), §1.3). 2dp-grid sums rounded at 2dp (base
-    # price) and integer-grid sums (qty) can't land on a boundary.
+    # arithmetic (exact; HALF_UP == half-away for positives) and cast
+    # back to DOUBLE after the round — decimal stays INTERNAL. A
+    # DecimalType output column is a driver-hash hazard: the r4 gate
+    # recorded hash_match=false on byte-identical values because the
+    # driver canonicalizes DECIMAL result columns differently per
+    # engine (float64 on the DuckDB fetch path vs Python Decimal on
+    # Spark's). 2dp-grid sums rounded at 2dp (base price) and
+    # integer-grid sums (qty) can't land on a boundary.
     ep_d = F.col("l_extendedprice").cast("decimal(18,2)")
     disc_d = ep_d * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
     charge_d = disc_d * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)"))
@@ -112,10 +125,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_d), 2)
-            .cast("decimal(38,10)")
+            .cast("double")
             .alias("sum_disc_price"),
             F.round(F.sum(charge_d), 2)
-            .cast("decimal(38,10)")
+            .cast("double")
             .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),

@@ -1,0 +1,60 @@
+"""Schema sweep: no declared query may emit a DecimalType output column.
+
+Driver-hash hazard class found in round 4 (CORRECTNESS_r04
+pricing_summary): the driver's hasher canonicalizes DECIMAL result
+columns differently per engine (float64 on the DuckDB fetch path vs
+Python Decimal on Spark's), so byte-identical values still
+hash-mismatch. The rule (plans/queries.py module docstring): decimal
+arithmetic stays internal; final money columns cast to DOUBLE after
+the round on BOTH sides.
+
+This test is plan-only — it builds every Spark DataFrame (no job) and
+plans every DuckDB oracle (rel.types needs no execution), so it sweeps
+all ~131 queries in well under a minute.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tastytrade_sdk_spark.sources.tables import TABLE_NAMES
+from tools.check_oracle import type_tag
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_no_decimal_output_columns_spark(spark):
+    bad = []
+    for name, fn in entrymod.queries().items():
+        sdf = fn(spark, SF_DIR)
+        for f in sdf.schema.fields:
+            if type_tag(f.dataType.simpleString()) == "decimal":
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, (
+        "DecimalType output columns (driver-hash hazard, r4 "
+        f"pricing_summary): {bad}"
+    )
+
+
+def test_no_decimal_output_columns_oracle(duck):
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        rel = duck.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            if type_tag(str(typ)) == "decimal":
+                bad.append(f"{name}.{col}: {typ}")
+    assert not bad, (
+        "DECIMAL/HUGEINT oracle output columns (driver-hash hazard, "
+        f"r4 pricing_summary): {bad}"
+    )

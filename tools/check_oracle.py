@@ -71,6 +71,19 @@ def type_issues(spark_schema, duck_cols, duck_types):
                 f"TYPES col {name}: duck={dtype}({dtag}) vs "
                 f"spark({stag}) — driver hash would diverge; add a cast"
             )
+        elif dtag == "decimal" and stag == "decimal":
+            # r4 pricing_summary: both engines emitted DECIMAL(38,10),
+            # values byte-identical, local gate green — yet the DRIVER
+            # hash-mismatched because its fetch path canonicalizes
+            # DECIMAL differently per engine (float64 via DuckDB,
+            # Python Decimal via Spark). DECIMAL output columns are
+            # banned outright: decimal arithmetic stays internal, cast
+            # to DOUBLE after the round on both sides.
+            issues.append(
+                f"TYPES col {name}: DECIMAL output on both engines — "
+                f"driver-hash hazard (r4 pricing_summary); cast to "
+                f"DOUBLE after the round on both sides"
+            )
     return issues
 
 
