@@ -53,9 +53,12 @@ def connected_components(
     count, never a guess): once the DISTINCT EDGE list is materialized
     and is at most ``small_graph_edges`` rows, the component labeling
     runs as a driver union-find over that bounded list — one job in,
-    one broadcast-sized result out (<= 16 MB at the default bound) —
-    because a 2-round distributed propagation costs ~6 tiny shuffles
-    of fixed scheduling overhead that dwarf a micro-graph. Above the
+    one broadcast-sized result out. The edge list comes back via
+    Arrow/pandas (two int64 columns: ~16 MB at the 1M default bound),
+    NOT ``collect()`` — a million Python Row objects would cost
+    hundreds of MB of driver heap. A 2-round distributed propagation
+    costs ~6 tiny shuffles of fixed scheduling overhead that dwarf a
+    micro-graph. Above the
     bound, the distributed min-label loop runs unchanged; LSH near-dup
     graphs at lake scale land there only when the candidate graph
     itself is lake-sized.
@@ -81,8 +84,11 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in sym.collect():
-            a, b = row["__n"], row["__m"]
+        # Arrow transfer: two flat columns, ~16 B/edge, vs hundreds of
+        # MB of Row objects at the 1M bound (tolist() yields plain
+        # Python ints/strs, so union-find semantics are unchanged)
+        pdf = sym.toPandas()
+        for a, b in zip(pdf["__n"].tolist(), pdf["__m"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -288,24 +294,35 @@ def near_dup_clusters(
     plus cluster_size and the keep-canonical flag the dedup filter
     uses.
 
+    Output is DOCS-BOUNDED: exactly one row per distinct docs id. Ids
+    appearing in ``pairs`` but absent from ``docs`` (a caller passing
+    a stale or wider candidate graph) are dropped before sizing, and
+    cluster_id/cluster_size/is_canonical are recomputed over the doc
+    members only — so every cluster has exactly one canonical row and
+    sizes count documents, not phantom edge endpoints.
+
     Every shuffle here is bounded by the EDGE SUBGRAPH, not the
-    corpus: propagation, the size agg, and the size join all touch
-    only edge-touched nodes; the corpus-sized work is one anti-join
-    (broadcast when the subgraph is small, as LSH graphs are) and a
-    narrow singleton projection."""
-    comp_t = connected_components(pairs, src=src, dst=dst, id_col=id_col)
-    sizes = comp_t.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
+    corpus: propagation, the member filter, the canonical agg, and
+    the size join all touch only edge-touched nodes; the corpus-sized
+    work is one id distinct + one anti-join (broadcast when the
+    subgraph is small, as LSH graphs are) and a narrow singleton
+    projection."""
+    doc_ids = docs.select(id_col).distinct()
+    comp_t = connected_components(pairs, src=src, dst=dst, id_col=id_col).join(
+        doc_ids, id_col, "left_semi"
     )
-    touched = comp_t.join(sizes, "component").select(
+    canon = comp_t.groupBy("component").agg(
+        F.min(id_col).alias("cluster_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    touched = comp_t.join(canon, "component").select(
         id_col,
-        F.col("component").alias("cluster_id"),
+        "cluster_id",
         "cluster_size",
-        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
     singletons = (
-        docs.select(id_col)
-        .distinct()
+        doc_ids
         .join(comp_t.select(id_col), id_col, "left_anti")
         .select(
             id_col,

@@ -30,20 +30,36 @@ from pyspark.sql import functions as F
 __all__ = ["bloom_positions", "bloom_build", "bloom_probe_col", "bloom_filter"]
 
 
-def _h12(key: Column, hash_fn: str = "md5") -> tuple[Column, Column]:
-    """Two independent hash streams. "md5" is the engine-portable
-    form the DuckDB oracle replicates; "xxhash64" is the production
-    probe — native, no string materialization, ~20x cheaper per row
-    (the md5 probe was MEASURED dominating the very join it prunes:
-    scale_probe --bloom). pmod(+abs-free) keeps positions non-negative
-    for either."""
+def _h12(key: Column, n_bits: int, hash_fn: str = "md5") -> tuple[Column, Column]:
+    """Base and step hash streams, already reduced mod n_bits.
+
+    Reducing both streams BEFORE combining keeps h1 + i*h2 inside the
+    long range under ANSI ((a%m + i*(b%m)) % m == (a + i*b) % m, so
+    md5 oracle parity is untouched).
+
+    "md5" is the engine-portable form the DuckDB oracle replicates
+    (h1/h2 = first/second 8 hex chars, each mod n_bits — frozen).
+    "xxhash64" is the production probe — native, no string
+    materialization, ~20x cheaper per row (the md5 probe was MEASURED
+    dominating the very join it prunes: scale_probe --bloom). Its two
+    streams come from the SAME function under different seeds, so the
+    step is forced into [1, n_bits-1]: when a plain h2 % n_bits hit 0,
+    all n_hashes probes collapsed onto the single bit h1, inflating
+    the false-positive rate past (1-e^{-kn/m})^k. Build and probe
+    share the formula, so remapping cannot introduce false
+    negatives."""
     if hash_fn == "md5":
         md5 = F.md5(key.cast("string"))
         h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
         h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
-        return h1, h2
+        return F.pmod(h1, F.lit(n_bits)), F.pmod(h2, F.lit(n_bits))
     if hash_fn == "xxhash64":
-        return F.xxhash64(key), F.xxhash64(key, F.lit(0x9E3779B9))
+        h1 = F.xxhash64(key)
+        h2 = F.xxhash64(key, F.lit(0x9E3779B9))
+        return (
+            F.pmod(h1, F.lit(n_bits)),
+            F.pmod(h2, F.lit(n_bits - 1)) + F.lit(1),
+        )
     raise ValueError(f"unknown hash_fn: {hash_fn}")
 
 
@@ -56,11 +72,7 @@ def bloom_positions(
 ) -> DataFrame:
     """DISTINCT bit positions set by the build side's keys — one
     explode + one distinct, output <= n_bits rows by construction."""
-    h1, h2 = _h12(F.col(key_col), hash_fn)
-    # reduce both streams mod n_bits BEFORE combining: xxhash64 spans
-    # the full long range and h1 + i*h2 would overflow under ANSI;
-    # (a%m + i*(b%m)) % m == (a + i*b) % m, so md5 parity is untouched
-    h1, h2 = F.pmod(h1, F.lit(n_bits)), F.pmod(h2, F.lit(n_bits))
+    h1, h2 = _h12(F.col(key_col), n_bits, hash_fn)
     pos = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_hashes - 1)),
@@ -113,8 +125,7 @@ def bloom_probe_col(
     bm = F.lit(
         [int(w) - (1 << 64 if int(w) >= 1 << 63 else 0) for w in bitmap]
     )
-    h1, h2 = _h12(key, hash_fn)
-    h1, h2 = F.pmod(h1, F.lit(n_bits)), F.pmod(h2, F.lit(n_bits))
+    h1, h2 = _h12(key, n_bits, hash_fn)
     probe = F.forall(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_hashes - 1)),

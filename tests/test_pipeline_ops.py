@@ -44,6 +44,25 @@ def test_near_dup_clusters_sizes_and_canonicals(spark):
     assert kept == 2
 
 
+def test_near_dup_clusters_output_is_docs_bounded(spark):
+    """Ids in the pairs graph but absent from docs (stale/wider
+    candidate graph) must not gain output rows, and cluster_id/
+    cluster_size/is_canonical are computed over doc members only —
+    here phantom id 1 is the component min, so the canonical must
+    fall to the smallest DOC member (5), and size counts docs (2),
+    not edge endpoints (3)."""
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 7), (30, 31)], "doc_a int, doc_b int"
+    )
+    docs = spark.createDataFrame([(i,) for i in [5, 7, 42]], "doc_id int")
+    rows = {r["doc_id"]: r for r in near_dup_clusters(docs, edges).collect()}
+    assert set(rows) == {5, 7, 42}
+    assert rows[5]["cluster_id"] == 5 and rows[5]["is_canonical"]
+    assert rows[7]["cluster_id"] == 5 and not rows[7]["is_canonical"]
+    assert rows[5]["cluster_size"] == 2 and rows[7]["cluster_size"] == 2
+    assert rows[42]["cluster_size"] == 1 and rows[42]["is_canonical"]
+
+
 def test_split_assignment_deterministic_and_partitioned(spark):
     docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id int")
     a = {r["doc_id"]: (r["bucket"], r["split"]) for r in

@@ -548,3 +548,33 @@ class TestBloom:
         df = spark.createDataFrame([(1,)], "k long")
         with pytest.raises(ValueError, match="multiple of 64"):
             bloom_build(df, "k", 100, 3)
+
+    def test_xxhash64_step_never_collapses(self, spark):
+        """xxhash64's two streams share the function (different seed),
+        so a plain h2 % n_bits occasionally hits 0, collapsing all
+        n_hashes probes onto the single bit h1 — the step is remapped
+        into [1, n_bits-1], so every key must set >= 2 distinct bits
+        (4 probes with a nonzero step can coincide only at step
+        n_bits/2, never all four)."""
+        from pyspark.sql import functions as F
+
+        from tastytrade_sdk_spark.operators.bloom import _h12
+
+        n_bits, n_hashes = 64, 4
+        keys = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+        h1, h2 = _h12(F.col("k"), n_bits, "xxhash64")
+        pos = F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(n_bits)),
+        )
+        stats = keys.select(
+            h2.alias("step"), F.size(F.array_distinct(pos)).alias("nd")
+        ).collect()
+        assert all(1 <= r["step"] <= n_bits - 1 for r in stats)
+        assert all(r["nd"] >= 2 for r in stats)
+        # and the raw second stream DOES hit 0 mod n_bits on this key
+        # range — i.e. the remap is load-bearing, not vacuous
+        raw_zero = keys.filter(
+            F.pmod(F.xxhash64("k", F.lit(0x9E3779B9)), F.lit(n_bits)) == 0
+        ).count()
+        assert raw_zero > 0
