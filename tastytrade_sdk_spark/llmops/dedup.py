@@ -112,6 +112,7 @@ def minhash_signatures(
     k: int = 16,
     shingle_n: int = 3,
     tokens_col: str | None = None,
+    include_missing: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature as k flat columns sig_0..sig_{k-1}.
 
@@ -120,6 +121,12 @@ def minhash_signatures(
     array-expression form (array_min(transform(...)) x k) gets inlined
     k times by project-collapse and recomputes tokenization + md5 per
     hash function — ~30x slower at sf0.1.
+
+    ``include_missing``: keep shingle-less docs as all-NULL-signature
+    rows via a left join back to ``df``. The LSH-band path DROPS those
+    rows immediately (no shingles => no band keys), so it passes False
+    and skips the join — one fewer shuffle stage on the pair-generation
+    critical path.
     """
     from tastytrade_sdk_spark.llmops.textops import h32
 
@@ -135,6 +142,8 @@ def minhash_signatures(
         for i, (a, b) in enumerate(default_coeffs(k))
     ]
     sigs = sh.groupBy(id_col).agg(*aggs)
+    if not include_missing:
+        return sigs
     # left join keeps shingle-less docs (NULL signature)
     return df.select(id_col).join(sigs, id_col, "left")
 
@@ -153,16 +162,19 @@ def band_hashes(
     every LSH consumer (pair generation, streaming dedup store)."""
     assert k % bands == 0
     rows = k // bands
-    # shingle-less docs (fewer than shingle_n tokens) come back from
-    # minhash_signatures with an all-NULL signature; concat_ws skips
-    # NULLs, so WITHOUT this filter every short doc would share the
-    # md5("") band hash in every band — a full candidate-pair CLIQUE
-    # of unrelated short docs (quadratic blowup + bogus near-dups).
-    # A doc with no shingles has no similarity evidence: it gets no
-    # band keys and so no candidate pairs.
+    # shingle-less docs (fewer than shingle_n tokens) must NOT reach
+    # the band hash: concat_ws skips NULLs, so an all-NULL signature
+    # would share the md5("") band hash in every band — a full
+    # candidate-pair CLIQUE of unrelated short docs (quadratic blowup
+    # + bogus near-dups). A doc with no shingles has no similarity
+    # evidence: it gets no band keys and so no candidate pairs.
+    # include_missing=False means such docs never gain a row at all
+    # (the shingle agg only emits docs WITH shingles), skipping the
+    # keep-missing join on this critical path.
     sigs = minhash_signatures(
-        df, text_col, id_col, k, shingle_n, tokens_col
-    ).filter(F.col("sig_0").isNotNull())
+        df, text_col, id_col, k, shingle_n, tokens_col,
+        include_missing=False,
+    )
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
