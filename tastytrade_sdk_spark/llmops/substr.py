@@ -321,14 +321,34 @@ def sa_duplicate_spans(
     id_col: str = "doc_id",
     min_len: int = 40,
     n_shards: int = 1,
+    routing: str = "hash",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Duplicate spans via per-shard suffix arrays (grouped Arrow
     kernel). With n_shards=1 output is IDENTICAL to duplicate_spans
-    (equivalence-tested); with more shards, duplicates whose only
-    witnesses live in different shards are missed — route candidate
-    groups (e.g. an LSH band id) to the same shard for exact sharded
-    operation. Kernel cost is O(n log^2 n) per shard in numpy, one
-    shuffle keyed by the shard id."""
+    (equivalence-tested). Kernel cost is O(n log^2 n) per shard in
+    numpy, one shuffle keyed by the shard id.
+
+    ``routing`` picks how documents map to shards when n_shards > 1:
+
+    - ``"hash"``: plain id hash. Within-doc repeats are always found,
+      but a cross-doc duplicate pair is found only when the two docs
+      happen to co-locate — the fast, approximate tier.
+    - ``"lsh"``: near-dup-candidate co-location. The MinHash-LSH band
+      graph (dedup.lsh_candidate_pairs, k/bands/shingle_n) is
+      clustered into connected components and each component routes to
+      ONE shard, so every candidate pair — including transitive
+      chains across band buckets — shares a suffix array; docs with
+      no candidate (the overwhelming majority) hash into the n_shards
+      buckets as before. Output equals the global tier whenever every
+      cross-doc duplicate pair is an LSH candidate at the chosen
+      k/bands (equivalence-tested on a seeded cross-shard fixture);
+      shard size is bounded by the largest candidate component, the
+      same bound every LSH consumer already carries. The routing join
+      is SUBGRAPH-bounded (only edge-touched docs have a component
+      row), so AQE broadcasts it against the corpus scan."""
     # the output id column keeps the CALLER's name and type (like
     # duplicate_spans), so the two tiers stay drop-in interchangeable
     # for any id column, not just a long doc_id
@@ -339,11 +359,44 @@ def sa_duplicate_spans(
             T.StructField("span_end", T.IntegerType()),
         ]
     )
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("__shard"),
-    )
+    hash_bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    if routing == "lsh" and n_shards > 1:
+        from tastytrade_sdk_spark.llmops.cluster import connected_components
+        from tastytrade_sdk_spark.llmops.dedup import lsh_candidate_pairs
+
+        comp = connected_components(
+            lsh_candidate_pairs(
+                df,
+                text_col=text_col,
+                id_col=id_col,
+                k=k,
+                bands=bands,
+                shingle_n=shingle_n,
+            ),
+            id_col=id_col,
+        ).select(
+            F.col(id_col).alias("__rid"), F.col("component").alias("__comp")
+        )
+        base = (
+            df.select(F.col(id_col), F.col(text_col))
+            .join(comp, F.col(id_col) == F.col("__rid"), "left")
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.col(text_col).alias("text"),
+                F.coalesce(
+                    F.concat(F.lit("c"), F.col("__comp").cast("string")),
+                    F.concat(F.lit("h"), hash_bucket.cast("string")),
+                ).alias("__shard"),
+            )
+        )
+    elif routing == "hash" or n_shards <= 1:
+        base = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            hash_bucket.alias("__shard"),
+        )
+    else:
+        raise ValueError(f"unknown routing: {routing}")
     out = base.groupBy("__shard").applyInPandas(
         lambda pdf: _shard_spans(pdf, min_len), schema
     )
