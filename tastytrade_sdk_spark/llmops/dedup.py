@@ -189,6 +189,29 @@ def band_hashes(
     ).select(id_col, "band.band_id", "band.band_hash")
 
 
+def band_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_a, doc_b), doc_a < doc_b, from a band-key frame
+    (id_col, band_id, band_hash) — the pair-generation half of the LSH
+    recipe, split out so callers that ALREADY hold band keys (the
+    streaming band store, the banded SA router) don't recompute the
+    MinHash pass just to pair them."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -204,21 +227,7 @@ def lsh_candidate_pairs(
     Returns distinct (doc_a, doc_b) with doc_a < doc_b.
     """
     banded = band_hashes(df, text_col, id_col, k, bands, shingle_n, tokens_col)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col(f"a.band_id") == F.col(f"b.band_id"))
-            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .distinct()
-    )
+    return band_pairs(banded, id_col)
 
 
 def simhash_fingerprints(

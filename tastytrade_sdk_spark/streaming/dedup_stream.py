@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tastytrade_sdk_spark.llmops.cluster import near_dup_clusters
-from tastytrade_sdk_spark.llmops.dedup import band_hashes, lsh_candidate_pairs
+from tastytrade_sdk_spark.llmops.dedup import band_hashes, band_pairs
 from tastytrade_sdk_spark.streaming.sinks import upsert_parquet_batch
 
 
@@ -47,7 +47,13 @@ def near_dup_filter_batch(
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return
-    incoming = band_hashes(batch_df, text_col, id_col, k, bands)
+    # ONE MinHash pass per batch: the band keys computed here drive
+    # the store probe, the within-batch pair generation, AND the store
+    # append — the checkpoint barrier stops the three consumers from
+    # each re-running tokenize/shingle/minhash
+    incoming = band_hashes(batch_df, text_col, id_col, k, bands).localCheckpoint(
+        eager=True
+    )
     if os.path.exists(store_path):
         store = spark.read.parquet(store_path)
         hits = (
@@ -59,7 +65,9 @@ def near_dup_filter_batch(
         survivors = batch_df.join(hits, id_col, "left_anti")
     else:
         survivors = batch_df
-    pairs = lsh_candidate_pairs(survivors, text_col, id_col, k, bands)
+    pairs = band_pairs(
+        incoming.join(survivors.select(id_col), id_col, "left_semi"), id_col
+    )
     clusters = near_dup_clusters(survivors, pairs, id_col=id_col)
     kept = survivors.join(
         clusters.filter("is_canonical").select(id_col), id_col, "left_semi"
