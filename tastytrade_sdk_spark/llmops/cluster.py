@@ -304,13 +304,18 @@ def near_dup_clusters(
     Every shuffle here is bounded by the EDGE SUBGRAPH, not the
     corpus: propagation, the member filter, the canonical agg, and
     the size join all touch only edge-touched nodes; the corpus-sized
-    work is one id distinct + one anti-join (broadcast when the
-    subgraph is small, as LSH graphs are) and a narrow singleton
-    projection."""
-    doc_ids = docs.select(id_col).distinct()
+    work is ONE id-distinct pass (the distinct is lineage-cut lazily
+    so its two consumers — the member semi-join and the singleton
+    anti-join — share one execution; AQE exchange reuse is not
+    guaranteed, per the kmeans note below) plus the anti-join itself
+    (broadcast when the subgraph is small, as LSH graphs are) and a
+    narrow singleton projection. ``comp_t`` is likewise cut: it feeds
+    the canonical agg, the size join and the anti-join's build side,
+    and is bounded by the edge subgraph."""
+    doc_ids = docs.select(id_col).distinct().localCheckpoint(eager=False)
     comp_t = connected_components(pairs, src=src, dst=dst, id_col=id_col).join(
         doc_ids, id_col, "left_semi"
-    )
+    ).localCheckpoint(eager=False)
     canon = comp_t.groupBy("component").agg(
         F.min(id_col).alias("cluster_id"),
         F.count(F.lit(1)).alias("cluster_size"),

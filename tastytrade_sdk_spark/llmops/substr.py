@@ -331,6 +331,12 @@ def sa_duplicate_spans(
     (equivalence-tested). Kernel cost is O(n log^2 n) per shard in
     numpy, one shuffle keyed by the shard id.
 
+    SIZE n_shards WITH THE CORPUS (n_shards ∝ corpus bytes / target
+    shard size, ~one task's worth of text): a fixed shard count makes
+    per-shard n grow with the corpus and the superlinear kernel
+    dominates — measured in SCALING.md (100× corpus: n_shards=32 →
+    112 s, n_shards=3200 → 5.8 s). Same lever as SemDeDup's k ∝ n.
+
     ``routing`` picks how documents map to shards when n_shards > 1:
 
     - ``"hash"``: plain id hash. Within-doc repeats are always found,
@@ -359,6 +365,12 @@ def sa_duplicate_spans(
             T.StructField("span_end", T.IntegerType()),
         ]
     )
+    if routing not in ("hash", "lsh"):
+        # validate BEFORE the n_shards branch: with the check inside
+        # the elif chain a typo'd routing silently ran the hash tier
+        # whenever n_shards <= 1 and only raised once the caller
+        # scaled the shard count up
+        raise ValueError(f"unknown routing: {routing}")
     hash_bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     if routing == "lsh" and n_shards > 1:
         from tastytrade_sdk_spark.llmops.cluster import connected_components
@@ -389,14 +401,12 @@ def sa_duplicate_spans(
                 ).alias("__shard"),
             )
         )
-    elif routing == "hash" or n_shards <= 1:
+    else:
         base = df.select(
             F.col(id_col).alias("doc_id"),
             F.col(text_col).alias("text"),
             hash_bucket.alias("__shard"),
         )
-    else:
-        raise ValueError(f"unknown routing: {routing}")
     out = base.groupBy("__shard").applyInPandas(
         lambda pdf: _shard_spans(pdf, min_len), schema
     )

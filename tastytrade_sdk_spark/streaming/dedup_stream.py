@@ -85,6 +85,24 @@ def near_dup_filter_batch(
     kept_bands.write.mode("append").parquet(store_path)
 
 
+def read_band_store(
+    spark, store_path: str, owner_type: str = "bigint"
+) -> DataFrame:
+    """Current band store contents: (band_id, band_hash, owner).
+
+    A store that was never created (every batch so far empty, so
+    near_dup_filter_batch returned before the first append) reads as
+    an empty store — the state a zero-document stream is actually in —
+    instead of a path-not-found AnalysisException. ``owner_type`` is
+    the id column's Spark type (the writer stores the caller's id
+    values as ``owner``)."""
+    if not os.path.exists(store_path):
+        return spark.createDataFrame(
+            [], f"band_id int, band_hash string, owner {owner_type}"
+        )
+    return spark.read.parquet(store_path)
+
+
 def streaming_near_dup_sink(
     stream: DataFrame,
     store_path: str,

@@ -116,7 +116,15 @@ def read_mg_store(spark, store_path: str, key_col: str) -> tuple[DataFrame, int]
     ``key_col`` is required and must name the same column the writer
     used (mg_store_batch stores under the caller-chosen key column); a
     default here could silently mismatch the written schema and raise
-    an unresolved-column error at read time."""
+    an unresolved-column error at read time.
+
+    A store that was never created (every batch so far empty or
+    epoch-rejected, so mg_store_batch never wrote) reads as an empty
+    candidate set with 0 rows seen — the state a zero-event stream is
+    actually in — instead of a path-not-found AnalysisException."""
+    if not os.path.exists(store_path):
+        df = spark.createDataFrame([], f"`{key_col}` string, mg_lb long")
+        return df, 0
     df = spark.read.parquet(store_path)
     total = (
         df.filter(F.col(key_col) == F.lit(_TOTAL_KEY))

