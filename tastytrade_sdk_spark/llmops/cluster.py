@@ -50,30 +50,34 @@ def connected_components(
     variant for pathological chain graphs.
 
     Runtime adaptivity (the AQE pattern, decided from a materialized
-    count, never a guess): once the DISTINCT EDGE list is materialized
-    and is at most ``small_graph_edges`` rows, the component labeling
-    runs as a driver union-find over that bounded list — one job in,
-    one broadcast-sized result out. The edge list comes back via
-    Arrow/pandas (two int64 columns: ~16 MB at the 1M default bound),
-    NOT ``collect()`` — a million Python Row objects would cost
-    hundreds of MB of driver heap. A 2-round distributed propagation
-    costs ~6 tiny shuffles of fixed scheduling overhead that dwarf a
-    micro-graph. Above the
-    bound, the distributed min-label loop runs unchanged; LSH near-dup
-    graphs at lake scale land there only when the candidate graph
-    itself is lake-sized.
+    probe, never a guess): the edge list is probed with ONE bounded
+    job — ``limit(small_graph_edges + 1).toPandas()`` — so the driver
+    transfer can never exceed the bound + 1 rows. If the probe came
+    back under the bound it IS the complete edge list (a limit larger
+    than the input returns everything), and the component labeling
+    runs as a driver union-find over it — one job total, replacing the
+    former count()-then-fetch pair of jobs, which doubled the fixed
+    scheduling overhead precisely on the micro-graphs where overhead
+    dominates. The transfer is Arrow/pandas (two flat columns, ~16 B/
+    edge, ~16 MB at the 1M default bound), NOT ``collect()`` — a
+    million Python Row objects would cost hundreds of MB of driver
+    heap. Above the bound the probe is discarded and the distributed
+    min-label loop runs unchanged (its first action materializes the
+    lazy checkpoint); LSH near-dup graphs at lake scale land there
+    only when the candidate graph itself is lake-sized.
     """
     from tastytrade_sdk_spark.llmops.dedup import symmetrize_pairs
 
     sym = symmetrize_pairs(edges, src, dst, "__n", "__m")
-    # checkpoint the edge list ONCE (lazily — the count() below is the
-    # materializing action, one job instead of two): every propagation
-    # round joins against it, and without the barrier the upstream
-    # pair-generation pipeline (e.g. the whole MinHash-LSH plan) would
-    # re-execute per round
+    # checkpoint the edge list ONCE (lazily — the probe below, or the
+    # first propagation round on the big-graph path, materializes it):
+    # every propagation round joins against it, and without the
+    # barrier the upstream pair-generation pipeline (e.g. the whole
+    # MinHash-LSH plan) would re-execute per round
     sym = sym.localCheckpoint(eager=False)
     spark = sym.sparkSession
-    if sym.count() <= small_graph_edges:
+    probe = sym.limit(small_graph_edges + 1).toPandas()
+    if len(probe) <= small_graph_edges:
         parent: dict = {}
 
         def find(x):
@@ -84,10 +88,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        # Arrow transfer: two flat columns, ~16 B/edge, vs hundreds of
-        # MB of Row objects at the 1M bound (tolist() yields plain
-        # Python ints/strs, so union-find semantics are unchanged)
-        pdf = sym.toPandas()
+        pdf = probe
         for a, b in zip(pdf["__n"].tolist(), pdf["__m"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)

@@ -20,7 +20,7 @@ Scale design (the whole point of these on Spark):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tastytrade_sdk_spark.llmops.textops import (
@@ -573,5 +573,125 @@ def cross_snapshot_dedup(
             (F.col("__exact").isNull() & F.col("__near").isNull()).alias(
                 "keep"
             ),
+        )
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = 12,
+) -> DataFrame:
+    """Segment-level dedup with text rebuild — the CCNet/RefinedWeb
+    paragraph/line-dedup recipe (Wenzek et al., CCNet; Penedo et al.,
+    RefinedWeb): hash each segment, keep only the FIRST occurrence of
+    each distinct segment corpus-wide (ordered by (id, position)), and
+    rebuild every document from its surviving segments. Catches the
+    boilerplate the document-level dedups can't: headers, navbars and
+    license blocks repeated across otherwise-distinct pages.
+
+    The reference corpora split on newline paragraphs; this corpus has
+    no newline structure, so the segment boundary RULE is fixed
+    ``seg_len``-token windows — the boundary rule is corpus-specific
+    plumbing, the dedup machinery (hash -> first-occurrence ->
+    rebuild) is the paper's.
+
+    Plan shape (linear, two keyed shuffles): the segment array builds
+    NARROW (transform over a sequence of slice offsets — no explode
+    until the segments exist), then one posexplode, ONE hash-keyed
+    window for first-occurrence (the winner needs a total order over
+    occurrences of the same hash, so this is a genuine shuffle on the
+    segment digest — uniform keys, no skew by construction), and ONE
+    doc-keyed rebuild agg. Text shuffles once, as segments; at 100 TB
+    both shuffles are hash-partitioned and spill-safe, and the window
+    per key is tiny (occurrence count of one segment).
+
+    Output: one row per input doc — (id, n_segments, n_kept,
+    text_rebuilt); a doc whose every segment was already seen rebuilds
+    to '' (dropping such docs is the caller's one-line filter).
+    """
+    toks = tokens_expr(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
+    segs = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_len + 1, seg_len), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg")
+    )
+    first = (
+        F.row_number().over(
+            Window.partitionBy(F.md5(F.col("seg"))).orderBy(
+                F.col(id_col).asc(), F.col("seg_idx").asc()
+            )
+        )
+        == 1
+    )
+    marked = exploded.withColumn("__keep", first)
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("__keep").cast("int")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("seg_idx"), F.col("seg")),
+                        )
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("text_rebuilt"),
+    )
+
+
+def near_dup_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """NEAR-duplicate benchmark contamination: corpus docs sharing at
+    least one MinHash-LSH band with any eval/benchmark doc. The exact
+    n-gram audit (plans/llm_queries.contamination_check) misses
+    rephrased or lightly-edited benchmark leakage; band collision at
+    the LSH operating point is the standard recall net for that
+    (the same dedup threshold GPT-3's and Gopher's decontamination
+    used fuzzy variants of).
+
+    Plan shape: ONE MinHash pass per side (the corpus side is the
+    expensive one and is computed exactly once), then an equi-join on
+    (band_id, band_hash) with the EVAL side broadcast — benchmarks are
+    tiny by definition, so the corpus never shuffles; the per-corpus-
+    doc rollup keys on the corpus doc id. Linear in corpus bands.
+
+    Output: (id, n_eval_partners, n_shared_bands) — one row per
+    FLAGGED corpus doc (unflagged docs absent; contamination lists are
+    sparse by construction).
+    """
+    co = band_hashes(corpus, text_col, id_col, k, bands, shingle_n)
+    ev = band_hashes(eval_set, text_col, id_col, k, bands, shingle_n).select(
+        F.col("band_id"),
+        F.col("band_hash"),
+        F.col(id_col).alias("__eval_id"),
+    )
+    return (
+        co.join(F.broadcast(ev), ["band_id", "band_hash"])
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("__eval_id").alias("n_eval_partners"),
+            F.count(F.lit(1)).alias("n_shared_bands"),
         )
     )

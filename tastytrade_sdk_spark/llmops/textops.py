@@ -237,3 +237,79 @@ CANONICAL_URL_SQL = (
     " '[?&]+$', ''),"
     " '/$', '')"
 )
+
+
+# Gopher quality-rule thresholds (Rae et al., "Scaling Language
+# Models: ... Gopher", Table A1), adapted to this corpus's scale: the
+# word-count floor is the paper's 50, the ceiling its 100k; mean word
+# length [3, 10]; symbol-to-word ratio (hash marks + ellipses) <= 0.1;
+# >= 80% of words must contain an alphabetic character; and at least 2
+# distinct stopword hits (the paper requires 2 of a small function-
+# word set, evidence the text is prose rather than a token list).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_flags(tokens: Column, text: Column | str) -> dict[str, Column]:
+    """Per-rule Gopher quality flags (True = rule PASSED) plus the
+    underlying measurements. Pure JVM expressions — one narrow
+    projection, no shuffle, no UDF; at 100 TB this fuses into the
+    corpus scan alongside every other per-doc signal.
+
+    Returns measurement and flag columns keyed by name; ``keep`` is
+    the conjunction. Ratio measurements are rounded to 6dp at the
+    SOURCE so both engines compare the same grid (the float-parity
+    rule from plans/queries.py)."""
+    t = _c(text)
+    n_words = F.size(tokens)
+    n_words_f = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.round(
+        F.aggregate(
+            tokens, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / n_words_f,
+        6,
+    )
+    symbol_ratio = F.round(
+        (
+            F.regexp_count(t, F.lit("#"))
+            + F.regexp_count(t, F.lit(r"\.\.\."))
+        ).cast("double")
+        / n_words_f,
+        6,
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(tokens, lambda x: x.rlike("[a-z]"))).cast("double")
+        / n_words_f,
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(tokens, F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    flags = {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_ratio": alpha_ratio,
+        "n_stopword_hits": stop_hits.cast("long"),
+        "pass_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "pass_mean_word_len": (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN),
+        "pass_symbol_ratio": symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "pass_alpha_words": alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO,
+        "pass_stopwords": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    flags["keep"] = (
+        flags["pass_word_count"]
+        & flags["pass_mean_word_len"]
+        & flags["pass_symbol_ratio"]
+        & flags["pass_alpha_words"]
+        & flags["pass_stopwords"]
+    )
+    return flags

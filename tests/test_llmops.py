@@ -602,3 +602,97 @@ def test_short_docs_get_no_lsh_band_clique(spark):
     assert bands.filter(F.col("doc_id") < 5).count() == 0
     pairs = lsh_candidate_pairs(docs).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(5, 6)}
+
+
+def test_segment_dedup_first_occurrence_and_rebuild(spark):
+    from tastytrade_sdk_spark.llmops.dedup import segment_dedup
+
+    # seg_len=3: doc 1 = [A B C][D E F]; doc 2 repeats doc 1's first
+    # segment then adds a fresh one; doc 3 is entirely doc 1's content
+    rows = [
+        (1, "aa bb cc dd ee ff"),
+        (2, "aa bb cc gg hh ii"),
+        (3, "aa bb cc dd ee ff"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, seg_len=3).collect()
+    }
+    assert got[1]["n_segments"] == 2 and got[1]["n_kept"] == 2
+    assert got[1]["text_rebuilt"] == "aa bb cc dd ee ff"
+    # doc 2: first segment already owned by doc 1, second is fresh
+    assert got[2]["n_segments"] == 2 and got[2]["n_kept"] == 1
+    assert got[2]["text_rebuilt"] == "gg hh ii"
+    # doc 3: everything already seen -> rebuilds empty, row kept
+    assert got[3]["n_kept"] == 0 and got[3]["text_rebuilt"] == ""
+
+
+def test_segment_dedup_short_tail_segment(spark):
+    from tastytrade_sdk_spark.llmops.dedup import segment_dedup
+
+    # 4 tokens at seg_len=3 -> segments [3][1]; the 1-token tail is a
+    # real segment and dedups independently
+    rows = [(1, "aa bb cc dd"), (2, "dd")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in segment_dedup(docs, seg_len=3).collect()}
+    assert got[1]["n_segments"] == 2 and got[1]["n_kept"] == 2
+    assert got[2]["n_segments"] == 1 and got[2]["n_kept"] == 0
+
+
+def test_gopher_flags_rule_by_rule(spark):
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.llmops.textops import (
+        gopher_flags,
+        tokens_expr,
+    )
+
+    prose = " ".join(
+        ["the quick brown fox jumps over a lazy dog near the river"] * 5
+    )  # 55 words, 2+ distinct stopwords, clean
+    rows = [
+        (1, prose),
+        (2, "short text with the a of"),          # fails word count only
+        (3, " ".join(["supercalifragilistic"] * 60)),  # mean wl + stopwords
+        (4, prose + " " + "#" * 1 + (" ... " * 7)),    # symbol ratio
+        (5, " ".join(["42"] * 60)),                # alpha ratio + stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = gopher_flags(tokens_expr(F.col("text")), F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *[e.alias(n) for n, e in flags.items()]
+        ).collect()
+    }
+    assert got[1]["keep"] is True
+    assert got[2]["pass_word_count"] is False and got[2]["keep"] is False
+    assert got[3]["pass_mean_word_len"] is False
+    assert got[3]["pass_stopwords"] is False
+    assert got[4]["pass_symbol_ratio"] is False
+    assert got[5]["pass_alpha_words"] is False and got[5]["keep"] is False
+
+
+def test_near_dup_contamination_flags_partners(spark):
+    from tastytrade_sdk_spark.llmops.dedup import near_dup_contamination
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog while rain in "
+        "spain stays mainly in the plain and every boy deserves fudge"
+    )
+    other = (
+        "completely unrelated text about distributed query engines and "
+        "columnar storage formats with vectorized execution pipelines"
+    )
+    corpus = spark.createDataFrame(
+        [(10, shared), (11, other)], "doc_id long, text string"
+    )
+    eval_set = spark.createDataFrame(
+        [(1, shared)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           near_dup_contamination(corpus, eval_set).collect()}
+    assert 10 in got and got[10]["n_eval_partners"] == 1
+    assert got[10]["n_shared_bands"] >= 1
+    assert 11 not in got
