@@ -29,7 +29,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tastytrade_sdk_spark.llmops.cluster import near_dup_clusters
+from tastytrade_sdk_spark.llmops.cluster import connected_components
 from tastytrade_sdk_spark.llmops.dedup import band_hashes, band_pairs
 from tastytrade_sdk_spark.streaming.sinks import upsert_parquet_batch
 
@@ -68,10 +68,17 @@ def near_dup_filter_batch(
     pairs = band_pairs(
         incoming.join(survivors.select(id_col), id_col, "left_semi"), id_col
     )
-    clusters = near_dup_clusters(survivors, pairs, id_col=id_col)
-    kept = survivors.join(
-        clusters.filter("is_canonical").select(id_col), id_col, "left_semi"
-    )
+    # within-batch canonicalization needs only the NON-canonical id
+    # set, which the component labels carry directly (a node is
+    # non-canonical iff its label differs from its id; pairs are
+    # already survivor-bounded, so the component min IS the min over
+    # survivor members). The full near_dup_clusters output (sizes,
+    # singleton rows, per-doc flags) would add a corpus-side distinct,
+    # a canonical agg and a singleton union per micro-batch — stages
+    # the hot streaming path doesn't need.
+    comp = connected_components(pairs, id_col=id_col)
+    noncanon = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
+    kept = survivors.join(noncanon, id_col, "left_anti")
     # barrier: the two admit actions below would otherwise each
     # re-execute the full MinHash/LSH/anti-join lineage
     kept = kept.localCheckpoint(eager=True)

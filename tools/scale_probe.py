@@ -73,6 +73,10 @@ PROBE = [
     "exact_substring_scrub",
     "cross_snapshot_substring_spans",
     "backtest_entry_enrichment",
+    # round-5 operator additions
+    "segment_dedup_rebuild",
+    "gopher_quality_filter",
+    "contamination_near_dup",
 ]
 
 
