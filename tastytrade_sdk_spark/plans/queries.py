@@ -453,6 +453,67 @@ def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stats_pruned_scan",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(round(sum(l_extendedprice::DECIMAL(18,2) *
+                          (1 - l_discount::DECIMAL(18,2))), 2)
+                AS DOUBLE)           AS revenue,
+           count(*)                  AS n_rows
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                         AND TIMESTAMP '1995-03-31 23:59:59'
+    GROUP BY l_returnflag
+    """,
+)
+def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min/max data skipping (sources/skipping.py): write
+    lineitem range-clustered on l_shipdate with a per-file stats
+    sidecar, then answer a shipdate-range aggregate through the pruned
+    reader — files whose [min, max] cannot intersect the range are
+    dropped at PLANNING time, before any task is scheduled. The
+    residual predicate always applies, so the result is byte-identical
+    to the plain filtered scan the oracle runs; the pruning win itself
+    (files skipped, wall-clock) is asserted in tests/test_skipping.py
+    and measured at 100x by scale_probe --skipping.
+
+    Scale notes: this is the hand-rolled Delta/Iceberg data-skipping
+    recipe — at 100 TB a selective range predicate over the cluster
+    column reads O(matching files), not O(table)."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from tastytrade_sdk_spark.sources.skipping import (
+        read_pruned,
+        write_clustered,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    lo = datetime(1995, 1, 1, 0, 0, 0)
+    hi = datetime(1995, 3, 31, 23, 59, 59)
+    tmp = tempfile.mkdtemp(prefix="skipping_")
+    try:
+        write_clustered(li, f"{tmp}/li", ["l_shipdate"], n_files=16)
+        pruned = read_pruned(spark, f"{tmp}/li", "l_shipdate", lo, hi)
+        ep_d = F.col("l_extendedprice").cast("decimal(18,2)")
+        disc_d = ep_d * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        out = (
+            pruned.groupBy("l_returnflag")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum(disc_d), 2).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@_q(
     "retention_cap_per_user",
     """
     SELECT user_id, event_id, ts, value FROM (

@@ -1,0 +1,140 @@
+"""File-level min/max data skipping (Delta-style statistics pruning).
+
+At lake scale the cheapest scan is the one that never happens:
+a table clustered on its dominant predicate column plus per-file
+min/max statistics lets the reader drop whole files at PLANNING time,
+before Spark schedules a single task. Parquet row-group stats give the
+same effect inside one file, but only after the file is opened and
+footers are fetched — at 100 TB / ~1 M files, footer round-trips alone
+dominate a highly-selective scan. Open table formats (Delta, Iceberg)
+solve this with file-level stats in the transaction log; no such
+package exists in this container, so this module is the honest
+hand-rolled equivalent, mirroring streaming/manifest_store.py's role
+for versioning.
+
+Mechanics:
+
+- ``write_clustered`` range-partitions the frame on the cluster
+  columns (so each file owns a narrow value slice — the whole point;
+  without clustering every file spans the full range and nothing
+  prunes) and, after the data lands, computes ONE aggregation pass
+  grouped by ``input_file_name()`` to produce per-file min/max for the
+  requested stat columns. The stats sidecar is written tmp-then-rename
+  so a crash mid-write leaves no sidecar (readers fall back to a full
+  scan) rather than a partial one.
+- ``read_pruned`` plans from the sidecar: files whose [min, max]
+  interval cannot intersect the predicate range are never handed to
+  the reader. The residual predicate is ALWAYS applied to the
+  surviving rows, so skipping is a pure optimization — correct for
+  any stats, and rows where the predicate column is NULL are excluded
+  by the range predicate on both the pruned and the fallback path
+  (an all-NULL file has NULL stats and is skippable for the same
+  reason). Planning collects one row per data file onto the driver —
+  the same bound every table format's planner pays (a Delta log
+  checkpoint read); at ~1 M files that is tens of MB, and the
+  sidecar's column pruning keeps it to (file, min, max).
+
+100 TB shape: the stats pass is a map-side-partial aggregation over
+data just written (one extra scan at write time — what Delta's OPTIMIZE
++ stats collection costs); reads are planning-time file pruning plus a
+scan of only the surviving files, so a range predicate over a clustered
+column reads O(matching files), not O(table). Compose with
+operators/scale.zorder_key for multi-column predicates: cluster on the
+interleaved key, keep per-column stats, prune on any participating
+column.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATS_SUFFIX = ".stats"
+
+
+def _stats_path(path: str) -> str:
+    return path.rstrip("/") + STATS_SUFFIX
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int = 16,
+    stats_cols: Sequence[str] | None = None,
+) -> None:
+    """Write ``df`` range-clustered on ``cluster_cols`` with a per-file
+    min/max stats sidecar for ``stats_cols`` (default: cluster_cols)."""
+    stats_cols = list(stats_cols or cluster_cols)
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"min__{c}"))
+        aggs.append(F.max(c).alias(f"max__{c}"))
+    stats = (
+        written.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
+    )
+    tmp = _stats_path(path) + f".__tmp-{uuid.uuid4().hex[:8]}"
+    # single stats file: the sidecar is one row per data file
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    final = _stats_path(path)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+
+
+def pruned_file_plan(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> tuple[list[str], int] | None:
+    """Planning step: (surviving files, total files) for the predicate
+    ``col BETWEEN lo AND hi``, or None when no usable sidecar exists
+    (missing, crash-orphaned, or lacking stats for ``col``) — callers
+    fall back to a full scan. A file survives iff its [min, max] can
+    intersect [lo, hi]; NULL stats (all-NULL file) cannot satisfy a
+    range predicate and are skipped."""
+    sp = _stats_path(path)
+    if not os.path.exists(sp):
+        return None
+    stats = spark.read.parquet(sp)
+    if f"min__{col}" not in stats.columns:
+        return None
+    rows = stats.select(
+        "file",
+        (
+            (F.col(f"max__{col}") >= F.lit(lo))
+            & (F.col(f"min__{col}") <= F.lit(hi))
+        ).alias("keep"),
+    ).collect()
+    total = len(rows)
+    files = [r["file"] for r in rows if r["keep"]]
+    return files, total
+
+
+def read_pruned(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> DataFrame:
+    """``read(path).filter(col BETWEEN lo AND hi)``, planned through
+    the stats sidecar when one exists. Always applies the residual
+    predicate, so the result is identical with or without pruning."""
+    plan = pruned_file_plan(spark, path, col, lo, hi)
+    pred = F.col(col).between(F.lit(lo), F.lit(hi))
+    if plan is None:
+        return spark.read.parquet(path).filter(pred)
+    files, _total = plan
+    if not files:
+        return spark.read.parquet(path).filter(pred).limit(0)
+    # empty-schema inference is avoided: surviving files share the
+    # table schema by construction (one writer)
+    return spark.read.parquet(*files).filter(pred)

@@ -1,0 +1,116 @@
+"""File-level min/max data skipping (sources/skipping.py)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.sources.skipping import (
+    STATS_SUFFIX,
+    pruned_file_plan,
+    read_pruned,
+    write_clustered,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def clustered_events(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF}/orders.parquet")  # o_orderkey bigint keys
+    path = str(tmp_path / "orders")
+    write_clustered(ev, path, ["o_orderkey"], n_files=8)
+    return ev, path
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestPrunedRead:
+    def test_equals_plain_filter(self, spark, clustered_events):
+        ev, path = clustered_events
+        lo, hi = 100, 900
+        got = read_pruned(spark, path, "o_orderkey", lo, hi)
+        want = ev.filter(F.col("o_orderkey").between(lo, hi))
+        assert _sorted_rows(got.select(*sorted(got.columns))) == _sorted_rows(
+            want.select(*sorted(want.columns))
+        )
+
+    def test_actually_prunes_files(self, spark, clustered_events):
+        _, path = clustered_events
+        files, total = pruned_file_plan(spark, path, "o_orderkey", 100, 900)
+        assert total == 8
+        # a narrow range over a range-clustered key must drop files
+        assert 0 < len(files) < total
+        # and the pruned scan's inputs are exactly the surviving files
+        got = read_pruned(spark, path, "o_orderkey", 100, 900)
+        assert set(got.inputFiles()) <= set(files)
+
+    def test_empty_range(self, spark, clustered_events):
+        ev, path = clustered_events
+        top = ev.agg(F.max("o_orderkey")).first()[0]
+        got = read_pruned(spark, path, "o_orderkey", top + 1, top + 1000)
+        assert got.count() == 0
+        files, total = pruned_file_plan(
+            spark, path, "o_orderkey", top + 1, top + 1000
+        )
+        assert files == []
+
+    def test_full_range_keeps_everything(self, spark, clustered_events):
+        ev, path = clustered_events
+        got = read_pruned(spark, path, "o_orderkey", -(10**9), 10**12)
+        assert got.count() == ev.count()
+
+    def test_missing_sidecar_falls_back(self, spark, clustered_events):
+        ev, path = clustered_events
+        shutil.rmtree(path + STATS_SUFFIX)
+        assert pruned_file_plan(spark, path, "o_orderkey", 100, 900) is None
+        got = read_pruned(spark, path, "o_orderkey", 100, 900)
+        want = ev.filter(F.col("o_orderkey").between(100, 900))
+        assert got.count() == want.count()
+
+    def test_unstated_column_falls_back(self, spark, clustered_events):
+        ev, path = clustered_events
+        # stats exist only for o_orderkey; pruning on another column
+        # must fall back to the full scan, not mis-prune
+        got = read_pruned(spark, path, "o_custkey", 1, 50)
+        want = ev.filter(F.col("o_custkey").between(1, 50))
+        assert got.count() == want.count()
+
+    def test_null_cluster_values(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 25), (4, None), (5, 40)],
+            "id bigint, k bigint",
+        )
+        path = str(tmp_path / "nulls")
+        write_clustered(df, path, ["k"], n_files=2)
+        got = read_pruned(spark, path, "k", 0, 30)
+        # NULL k rows fail BETWEEN on both the pruned and plain path
+        assert sorted(r["id"] for r in got.collect()) == [1, 3]
+
+    def test_crash_orphan_tmp_stats_ignored(self, spark, clustered_events):
+        ev, path = clustered_events
+        # simulate a crash mid-sidecar-write: tmp dir left behind,
+        # real sidecar gone — reader must fall back cleanly
+        shutil.move(path + STATS_SUFFIX, path + STATS_SUFFIX + ".__tmp-dead")
+        got = read_pruned(spark, path, "o_orderkey", 100, 900)
+        want = ev.filter(F.col("o_orderkey").between(100, 900))
+        assert got.count() == want.count()
+
+    def test_timestamp_cluster_column(self, spark, tmp_path):
+        from datetime import datetime
+
+        df = spark.createDataFrame(
+            [(i, datetime(2024, 1, 1 + i % 28, i % 24)) for i in range(200)],
+            "id bigint, ts timestamp",
+        )
+        path = str(tmp_path / "ts")
+        write_clustered(df, path, ["ts"], n_files=4)
+        lo, hi = datetime(2024, 1, 5), datetime(2024, 1, 10)
+        got = read_pruned(spark, path, "ts", lo, hi)
+        want = df.filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+        assert got.count() == want.count() > 0
+        files, total = pruned_file_plan(spark, path, "ts", lo, hi)
+        assert len(files) < total

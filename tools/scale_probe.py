@@ -197,6 +197,56 @@ def semdedup_scaled_demo(spark, sf_dir: str, mult: int) -> None:
                       "sec": round(best, 2)}), flush=True)
 
 
+def skipping_demo(spark, sf_dir: str) -> None:
+    """Data skipping at scale: build the l_shipdate-clustered lineitem
+    layout ONCE, then compare a selective range aggregate through the
+    pruned reader vs the plain filtered scan of the same files. The
+    win is planning-time file elimination — the thing parquet
+    row-group stats can't give you without opening every footer."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.sources.skipping import (
+        pruned_file_plan,
+        read_pruned,
+        write_clustered,
+    )
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    lo, hi = datetime(1995, 1, 1), datetime(1995, 3, 31, 23, 59, 59)
+    tmp = tempfile.mkdtemp(prefix="skip_probe_")
+    try:
+        t0 = time.perf_counter()
+        write_clustered(li, f"{tmp}/li", ["l_shipdate"], n_files=64)
+        build = round(time.perf_counter() - t0, 3)
+        files, total = pruned_file_plan(
+            spark, f"{tmp}/li", "l_shipdate", lo, hi
+        )
+
+        def agg(df):
+            return df.filter(
+                F.col("l_shipdate").between(F.lit(lo), F.lit(hi))
+            ).groupBy("l_returnflag").agg(
+                F.sum("l_quantity"), F.count(F.lit(1))
+            )
+
+        full = _time_noop(agg(spark.read.parquet(f"{tmp}/li")), 3)
+        pruned = _time_noop(
+            agg(read_pruned(spark, f"{tmp}/li", "l_shipdate", lo, hi)), 3
+        )
+        print(json.dumps({
+            "demo": "skipping", "build_sec": build,
+            "files_total": total, "files_scanned": len(files),
+            "full_scan_sec": full, "pruned_scan_sec": pruned,
+        }), flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bloom_demo(spark, sf_dir: str) -> None:
     """Bloom semi-join pruning, measured honestly. Two probe-cost
     defects were found and fixed BY this demo: per-row md5 hashing
@@ -433,7 +483,8 @@ def zorder_demo(spark, sf_dir: str) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--bucketing", "--skew", "--zorder",
-                         "--semdedup-scaled", "--bloom", "--sa")
+                         "--semdedup-scaled", "--bloom", "--sa",
+                         "--skipping")
             and not a.startswith("--only=")]
     probe = PROBE
     for a in sys.argv[1:]:
@@ -476,6 +527,8 @@ def main() -> None:
             zorder_demo(spark, sf_dir)
         if "--semdedup-scaled" in sys.argv and mult == max(mults + [1]):
             semdedup_scaled_demo(spark, sf_dir, mult)
+        if "--skipping" in sys.argv and mult == max(mults + [1]):
+            skipping_demo(spark, sf_dir)
         if "--bloom" in sys.argv and mult == max(mults + [1]):
             bloom_demo(spark, sf_dir)
         if "--sa" in sys.argv:
