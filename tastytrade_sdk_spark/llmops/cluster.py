@@ -345,6 +345,7 @@ def kmeans_assign(
     centroids,
     vec_col: str = "embedding",
     round_dp: int = 8,
+    keep_sim: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment against a FIXED centroid matrix
     (spherical k-means: rows are L2-normalized, similarity = dot).
@@ -355,7 +356,9 @@ def kmeans_assign(
     unrounded 1e-16 noise must not flip an assignment). Ties take the
     FIRST maximal centroid (np.argmax rule).
 
-    Adds ``__cluster`` (int) and ``__unit`` (the normalized vector).
+    Adds ``__cluster`` (int) and ``__unit`` (the normalized vector);
+    with ``keep_sim`` also ``__sim`` — the (rounded) similarity to the
+    assigned centroid, i.e. the prototypicality score.
     """
     import numpy as np
 
@@ -384,9 +387,12 @@ def kmeans_assign(
         for row in m
     ]
     arr = F.array(*dots)
-    return out.withColumn(
+    out = out.withColumn(
         "__cluster", (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
     )
+    if keep_sim:
+        out = out.withColumn("__sim", F.array_max(arr))
+    return out
 
 
 def kmeans_lloyd_step(
@@ -568,4 +574,56 @@ def semdedup_prune_assigned(
             "cluster_id",
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def prototypes_prune(
+    df: DataFrame,
+    centroids,
+    drop_num: int = 1,
+    drop_den: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 8,
+) -> DataFrame:
+    """SSL-prototypes pruning (Sorscher et al.; the second stage of
+    D4, Tirumala et al.): within each k-means cluster, the examples
+    MOST similar to their centroid are the most prototypical — the
+    redundant, easy examples a training run learns from least — so the
+    top ``drop_num/drop_den`` fraction per cluster is marked dropped.
+    Composed with SemDeDup (semdedup_prune removes near-exact copies,
+    this removes the dense core) it is the full D4 recipe.
+
+    The drop boundary is INTEGER arithmetic — rank <= (n * drop_num)
+    div drop_den — never a float multiply, so both engines cut at the
+    identical member (house decision-boundary rule). Prototypicality
+    ties are broken by id ascending, making the kept set deterministic.
+
+    Plan: narrow spliced-literal assignment (no shuffle), then ONE
+    window shuffle keyed on cluster_id for the rank and member count —
+    linear in vectors, independent of corpus pair structure. At large
+    k the assignment swaps to kmeans_assign_kernel (same contract);
+    skew-wise a cluster's window partition is bounded by the largest
+    cluster, which the k ∝ n rule keeps at a constant expected size.
+
+    Output: (id_col, cluster_id, proto_sim, proto_rank, n_members,
+    is_dropped).
+    """
+    from pyspark.sql import Window
+
+    assigned = kmeans_assign(df, centroids, vec_col, round_dp, keep_sim=True)
+    w = Window.partitionBy("__cluster").orderBy(
+        F.col("__sim").desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("__cluster")
+    return assigned.select(
+        F.col(id_col),
+        F.col("__cluster").alias("cluster_id"),
+        F.col("__sim").alias("proto_sim"),
+        F.row_number().over(w).alias("proto_rank"),
+        F.count(F.lit(1)).over(wc).alias("n_members"),
+    ).withColumn(
+        "is_dropped",
+        F.col("proto_rank")
+        <= F.expr(f"(n_members * {drop_num}) div {drop_den}"),
     )

@@ -570,3 +570,57 @@ def test_star_contraction_converges_on_long_chain(spark):
     comps = {r["component"] for r in out.collect()}
     assert comps == {0}
     assert out.count() == 200
+
+
+def test_prototypes_prune_drops_exact_fraction_per_cluster(spark):
+    """Per cluster of size n, exactly n // 5 members are dropped (the
+    integer drop boundary), and the dropped set is the top of the
+    prototypicality ranking."""
+    import numpy as np
+
+    from tastytrade_sdk_spark.llmops.cluster import prototypes_prune
+    from tastytrade_sdk_spark.llmops.similarity import hyperplanes
+
+    m = hyperplanes(4, 8, seed=7)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = prototypes_prune(df, m, drop_num=1, drop_den=5).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == 200
+    for cid, members in by_cluster.items():
+        n = len(members)
+        assert all(r["n_members"] == n for r in members)
+        dropped = [r for r in members if r["is_dropped"]]
+        assert len(dropped) == n // 5
+        # dropped = highest-similarity prefix of the rank order
+        assert {r["proto_rank"] for r in dropped} == set(
+            range(1, n // 5 + 1)
+        )
+        min_kept_sim = min(
+            (r["proto_sim"] for r in members if not r["is_dropped"]),
+            default=None,
+        )
+        if dropped and min_kept_sim is not None:
+            assert min(r["proto_sim"] for r in dropped) >= min_kept_sim
+
+
+def test_prototypes_prune_tiny_clusters_drop_nothing(spark):
+    """Clusters with fewer than drop_den members have n // den == 0 —
+    nothing dropped, no div-by-zero/edge crash."""
+    import numpy as np
+
+    from tastytrade_sdk_spark.llmops.cluster import prototypes_prune
+    from tastytrade_sdk_spark.llmops.similarity import hyperplanes
+
+    m = hyperplanes(3, 4, seed=9)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    # 3 vectors, each exactly on one centroid -> three 1-member clusters
+    rows = [(i, [float(x) for x in m[i]]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = prototypes_prune(df, m, drop_num=1, drop_den=5).collect()
+    assert len(out) == 3
+    assert not any(r["is_dropped"] for r in out)
