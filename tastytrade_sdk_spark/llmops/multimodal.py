@@ -127,3 +127,163 @@ def frame_sample_plan(
         id_col,
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
     )
+
+
+def cdc_chunk_fingerprints(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window: int = 8,
+    boundary_max: str = "03",
+) -> DataFrame:
+    """Content-defined chunking (CDC) fingerprints over a BINARY
+    payload — the storage-dedup recipe (LBFS/Venti lineage): chunk
+    boundaries are decided by the CONTENT of a trailing ``window``-byte
+    rolling region, so inserting or deleting bytes only re-chunks the
+    neighborhood of the edit, where fixed-offset chunking would shift
+    and invalidate every downstream fingerprint. A boundary falls
+    after byte i when md5 of the trailing window's hex has its first
+    two hex chars <= ``boundary_max`` ('03' -> 4/256, mean chunk ~64
+    bytes; widen/narrow the prefix range to tune chunk size).
+
+    The payload is processed through ``hex()`` (a faithful 2-chars/
+    byte encoding both engines implement for binary) — byte semantics,
+    not text semantics. Everything is narrow per-row HOF expressions
+    (filter/transform/zip_with over an index sequence): no explode, no
+    shuffle, no UDF; O(n_bytes * window) transient chars per row.
+
+    Returns DISTINCT (id_col, fp) — the per-payload chunk fingerprint
+    set. Empty payloads yield no rows (no content, no chunks).
+    """
+    from tastytrade_sdk_spark.llmops.dedup import _spread
+
+    w = window
+    rows = _spread(
+        df.select(
+            F.col(id_col),
+            F.hex(F.col(payload_col)).alias("__hx"),
+            F.octet_length(F.col(payload_col)).alias("__n"),
+        ).filter(F.col("__n") >= 1),
+        id_col,
+    ).localCheckpoint(eager=False)
+    # candidate boundary positions [w, n]; Spark sequence DESCENDS when
+    # stop < start, so short payloads need the explicit empty guard.
+    # The per-position boundary test runs as a codegen'd Project AFTER
+    # the index Generate (explode bare ints, then substring/md5 on the
+    # carried hex) — the same shape as substr._window_rows; evaluating
+    # it inside an array HOF lambda is interpreted per element and
+    # measured ~5x slower at sf0.1.
+    idx = F.when(
+        F.col("__n") >= w, F.sequence(F.lit(w), F.col("__n"))
+    ).otherwise(F.array().cast("array<int>"))
+    bnd_rows = (
+        rows.select(id_col, "__hx", F.explode(idx).alias("__i"))
+        .filter(
+            F.substring(
+                F.md5(
+                    F.substring(
+                        F.col("__hx"), (F.col("__i") - w) * 2 + 1, 2 * w
+                    )
+                ),
+                1,
+                2,
+            )
+            <= F.lit(boundary_max)
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__i")).alias("__bnd"))
+    )
+    base = rows.join(bnd_rows, id_col, "left").select(
+        F.col(id_col),
+        "__hx",
+        "__n",
+        F.coalesce("__bnd", F.array().cast("array<int>")).alias("__bnd"),
+    )
+    ends = F.when(
+        (F.size("__bnd") > 0)
+        & (F.element_at("__bnd", -1) == F.col("__n")),
+        F.col("__bnd"),
+    ).otherwise(F.concat("__bnd", F.array(F.col("__n"))))
+    base = base.select(id_col, "__hx", ends.alias("__ends"))
+    starts = F.transform(
+        "__ends",
+        lambda _e, j: F.when(j == 0, F.lit(1)).otherwise(
+            F.element_at("__ends", j) + 1
+        ),
+    )
+    fps = F.zip_with(
+        starts,
+        F.col("__ends"),
+        lambda s, e: F.md5(
+            F.substring(F.col("__hx"), (s - 1) * 2 + 1, (e - s + 1) * 2)
+        ),
+    )
+    return (
+        base.select(F.col(id_col), F.explode(fps).alias("fp"))
+        .distinct()
+    )
+
+
+def payload_near_dup_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_fp_freq: int = 100,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """Near-duplicate payload pairs by chunk-set Jaccard >=
+    t_num/t_den, from cdc_chunk_fingerprints output.
+
+    Scale shape: pair generation is a fingerprint-keyed equi-join —
+    only payloads SHARING a chunk ever pair, never an all-pairs scan —
+    and fingerprints occurring in more than ``max_fp_freq`` payloads
+    are dropped first (the hot-chunk guard: a ubiquitous chunk — zero
+    blocks, boilerplate headers — would otherwise form a quadratic
+    clique while carrying no dedup evidence; same role as the LSH
+    NULL-band guard). Jaccard is computed over the GUARDED sets on
+    both sides of the comparison, and the keep decision is INTEGER
+    arithmetic — t_den*shared >= t_num*(na+nb-shared) — so engines cut
+    identically.
+    """
+    fps = fps.localCheckpoint(eager=False)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_fp_freq)
+        .select("fp")
+    )
+    guarded = fps.join(rare, "fp", "left_semi").localCheckpoint(eager=False)
+    sizes = guarded.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nch"))
+    a, b = guarded.alias("a"), guarded.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("__nch").alias("chunks_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("__nch").alias("chunks_b")
+    )
+    out = shared.join(sa, "id_a").join(sb, "id_b")
+    union_sz = (
+        F.col("chunks_a") + F.col("chunks_b") - F.col("shared_chunks")
+    )
+    return out.filter(
+        F.lit(t_den) * F.col("shared_chunks") >= F.lit(t_num) * union_sz
+    ).select(
+        "id_a",
+        "id_b",
+        "shared_chunks",
+        "chunks_a",
+        "chunks_b",
+        F.round(F.col("shared_chunks") / union_sz, 6).alias("jaccard"),
+    )

@@ -696,3 +696,87 @@ def test_near_dup_contamination_flags_partners(spark):
     assert 10 in got and got[10]["n_eval_partners"] == 1
     assert got[10]["n_shared_bands"] >= 1
     assert 11 not in got
+
+
+class TestCdcChunkDedup:
+    """Content-defined chunking dedup (multimodal.cdc_chunk_fingerprints
+    + payload_near_dup_pairs)."""
+
+    def _payload(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return df.select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+
+    def _varied(self, seed, n_words=300):
+        import random
+
+        rng = random.Random(seed)
+        words = ["alpha", "bravo", "charlie", "delta", "echo",
+                 "fox", "golf", "hotel", "india", "juliet"]
+        return " ".join(rng.choice(words) for _ in range(n_words))
+
+    def test_shift_invariance(self, spark):
+        """A prefix insertion re-chunks only the edit neighborhood:
+        the shifted payload shares all but O(1) chunks with the
+        original — the property fixed-offset chunking cannot have."""
+        from tastytrade_sdk_spark.llmops.multimodal import (
+            cdc_chunk_fingerprints,
+        )
+
+        base = self._varied(7)
+        p = self._payload(spark, [(1, base), (2, "XY " + base)])
+        fps = cdc_chunk_fingerprints(p)
+        sets: dict[int, set] = {1: set(), 2: set()}
+        for r in fps.collect():
+            sets[r["doc_id"]].add(r["fp"])
+        assert len(sets[1]) > 10  # enough chunks for the property to bite
+        # at most 2 chunks differ (the edited head chunk on each side)
+        assert len(sets[1] - sets[2]) <= 2
+        assert len(sets[2] - sets[1]) <= 2
+
+    def test_exact_duplicates_pair_at_jaccard_one(self, spark):
+        from tastytrade_sdk_spark.llmops.multimodal import (
+            cdc_chunk_fingerprints,
+            payload_near_dup_pairs,
+        )
+
+        t = self._varied(3)
+        p = self._payload(spark, [(1, t), (2, t), (3, self._varied(99))])
+        pairs = payload_near_dup_pairs(cdc_chunk_fingerprints(p)).collect()
+        assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [
+            (1, 2, 1.0)
+        ]
+
+    def test_hot_chunk_guard_blocks_clique(self, spark):
+        """Payloads whose ONLY shared chunk is ubiquitous must not
+        pair: the guard drops fingerprints above max_fp_freq."""
+        from tastytrade_sdk_spark.llmops.multimodal import (
+            cdc_chunk_fingerprints,
+            payload_near_dup_pairs,
+        )
+
+        common = self._varied(5, 60)
+        rows = [(i, common + " " + self._varied(100 + i, 120))
+                for i in range(12)]
+        fps = cdc_chunk_fingerprints(self._payload(spark, rows))
+        # with the guard tight enough to kill the shared-prefix chunks,
+        # no unrelated pair may survive
+        pairs = payload_near_dup_pairs(fps, max_fp_freq=3).collect()
+        assert pairs == []
+
+    def test_empty_and_short_payloads(self, spark):
+        from tastytrade_sdk_spark.llmops.multimodal import (
+            cdc_chunk_fingerprints,
+        )
+
+        p = self._payload(spark, [(1, ""), (2, "ab"), (3, "x")])
+        rows = cdc_chunk_fingerprints(p).collect()
+        # empty payload -> no chunks; short ones -> exactly one chunk
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["doc_id"], []).append(r["fp"])
+        assert 1 not in by_id
+        assert len(by_id[2]) == 1 and len(by_id[3]) == 1

@@ -77,6 +77,8 @@ PROBE = [
     "segment_dedup_rebuild",
     "gopher_quality_filter",
     "contamination_near_dup",
+    "prototypes_prune",
+    "cdc_chunk_dedup",
 ]
 
 
