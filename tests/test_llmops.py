@@ -780,3 +780,27 @@ class TestCdcChunkDedup:
             by_id.setdefault(r["doc_id"], []).append(r["fp"])
         assert 1 not in by_id
         assert len(by_id[2]) == 1 and len(by_id[3]) == 1
+
+
+def test_ccnet_ppl_buckets_tercile_boundaries(spark):
+    """Per language: head/middle/tail sizes follow the integer tercile
+    cuts (n//3-ish), unscorable docs land in tail, and every doc is
+    bucketed exactly once."""
+    from tastytrade_sdk_spark.plans.llm_queries import ccnet_ppl_buckets
+
+    out = ccnet_ppl_buckets(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 500
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        n = len(rows)
+        heads = sum(1 for r in rows if r["bucket"] == "head")
+        mids = sum(1 for r in rows if r["bucket"] == "middle")
+        # rank*3 <= n  ->  exactly n // 3 heads (all scorable here or
+        # NULLs rank last and become tail anyway)
+        assert heads <= n // 3
+        assert heads + mids <= 2 * n // 3
+        for r in rows:
+            if r["avg_logprob"] is None:
+                assert r["bucket"] == "tail"
