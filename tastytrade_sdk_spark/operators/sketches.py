@@ -76,6 +76,78 @@ def kmv_distinct(
     )
 
 
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group MERGEABLE KMV sketch: the sorted k minimum hash
+    values as an array column (group_cols..., kmv). Unlike the scalar
+    estimate (kmv_distinct), the array form supports downstream SET
+    ALGEBRA — union/intersection/Jaccard between groups — without
+    touching the raw data again; at lake scale the sketches are tiny
+    (k longs per group) and every pairwise overlap query runs on the
+    sketch table alone."""
+    h = _h60(F.col(value_col)).alias("__h")
+    distinct = df.select(*group_cols, h).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__h"))
+    topk = distinct.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__h")).alias("kmv")
+    )
+
+
+def kmv_pair_overlap(
+    sketches: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise distinct-set overlap between groups, from KMV sketches
+    only (Beyer et al.): merge two sketches by keeping the k smallest
+    of the union; the union estimate is the standard (k-1)/kth-min on
+    the merged sketch (exact when the merged set is still smaller than
+    k); Jaccard is the fraction of merged-sketch hashes present in
+    BOTH input sketches; intersection = jaccard * union. Cost: a
+    groups x groups self-join over k-long arrays — the raw corpus is
+    never rescanned.
+
+    Outputs (group_a, group_b, union_est, jaccard, inter_est), halves
+    ordered group_a < group_b; estimates rounded at 4dp (division
+    noise ~1e-16, sketch error ~1/sqrt(k))."""
+    a = sketches.select(
+        F.col(group_col).alias("group_a"), F.col("kmv").alias("__ka")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("group_b"), F.col("kmv").alias("__kb")
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("__ka"), F.col("__kb"))), 1, k
+    )
+    pairs = pairs.withColumn("__m", merged)
+    s = F.size("__m")
+    # F.get (0-based) NULLs on out-of-bounds instead of raising under
+    # ANSI — the when() guard's other branch is still evaluated
+    # vectorized, so element_at(k) would throw on short merged sets
+    union_raw = F.when(s < k, s.cast("double")).otherwise(
+        F.lit(float(k - 1))
+        / (F.get("__m", k - 1).cast("double") / F.lit(_H60_DEN))
+    )
+    shared = F.size(
+        F.filter(
+            F.col("__m"),
+            lambda h: F.array_contains(F.col("__ka"), h)
+            & F.array_contains(F.col("__kb"), h),
+        )
+    )
+    jac_raw = shared.cast("double") / s.cast("double")
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.round(union_raw, 4).alias("union_est"),
+        F.round(jac_raw, 6).alias("jaccard"),
+        F.round(jac_raw * union_raw, 4).alias("inter_est"),
+    )
+
+
 def _cms_col(key: Column, row: Column, width: int) -> Column:
     """Row-seeded counter index: md5('<row>:<key>') mod width."""
     digest = F.md5(F.concat_ws(":", row.cast("string"), key.cast("string")))

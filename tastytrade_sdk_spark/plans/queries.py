@@ -1114,6 +1114,61 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kmv_set_overlap",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ), r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h
+    ), sk AS (
+      SELECT event_type, list_sort(list(h)) AS kmv
+      FROM r WHERE rn <= 64 GROUP BY event_type
+    ), p AS (
+      SELECT a.event_type AS group_a, b.event_type AS group_b,
+             a.kmv AS ka, b.kmv AS kb,
+             list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[1:64] AS m
+      FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ), e AS (
+      SELECT group_a, group_b, ka, kb, m, len(m) AS s,
+             CASE WHEN len(m) < 64 THEN CAST(len(m) AS DOUBLE)
+                  ELSE 63.0 / (CAST(m[64] AS DOUBLE) / 1152921504606846976.0)
+             END AS union_raw,
+             len(list_filter(m, x ->
+               list_contains(ka, x) AND list_contains(kb, x))) AS shared
+      FROM p
+    )
+    SELECT group_a, group_b,
+           round(union_raw, 4) AS union_est,
+           round(CAST(shared AS DOUBLE) / s, 6) AS jaccard,
+           round((CAST(shared AS DOUBLE) / s) * union_raw, 4) AS inter_est
+    FROM e
+    """,
+)
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra (Beyer et al.): pairwise distinct-user overlap
+    between event types computed ONLY from the mergeable k-min
+    sketches — union via the merged sketch's k-th minimum, Jaccard as
+    the both-present fraction of the merged sketch, intersection =
+    jaccard * union. The raw events table is scanned once to build the
+    sketch table; every pairwise question after that is array algebra
+    on k longs per group (operators/sketches.kmv_sketch +
+    kmv_pair_overlap)."""
+    from tastytrade_sdk_spark.operators.sketches import (
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    return kmv_pair_overlap(
+        kmv_sketch(ev, ["event_type"], "user_id", k=64), "event_type", k=64
+    )
+
+
+@_q(
     "cms_user_counts",
     """
     WITH rows AS (SELECT unnest([0, 1, 2, 3]) AS cms_row),

@@ -67,6 +67,62 @@ class TestKMV:
         assert a == b
 
 
+class TestKMVSetOps:
+    @staticmethod
+    def _mk(spark):
+        # groups with a KNOWN overlap structure: g1 = 0..599,
+        # g2 = 300..899 (overlap 300, union 900), g3 disjoint 5000..5099
+        rows = (
+            [("g1", f"u{i}") for i in range(600)]
+            + [("g2", f"u{i}") for i in range(300, 900)]
+            + [("g3", f"u{i}") for i in range(5000, 5100)]
+        )
+        return spark.createDataFrame(rows, "g string, v string")
+
+    def test_overlap_estimates_within_sketch_error(self, spark):
+        from tastytrade_sdk_spark.operators.sketches import (
+            kmv_pair_overlap,
+            kmv_sketch,
+        )
+
+        df = self._mk(spark)
+        out = {
+            (r["group_a"], r["group_b"]): r
+            for r in kmv_pair_overlap(
+                kmv_sketch(df, ["g"], "v", k=64), "g", k=64
+            ).collect()
+        }
+        r12 = out[("g1", "g2")]
+        # ~1/sqrt(64) = 12.5% sigma; allow 3-4 sigma on each figure
+        assert abs(r12["union_est"] - 900) / 900 < 0.4
+        assert abs(r12["jaccard"] - 300 / 900) < 0.15
+        assert abs(r12["inter_est"] - 300) / 300 < 0.6
+        # disjoint pairs: zero shared hashes is EXACT, not estimated
+        assert out[("g1", "g3")]["jaccard"] == 0.0
+        assert out[("g1", "g3")]["inter_est"] == 0.0
+        # small union (g2 u g3 = 700) with both sketches saturated
+        # still estimates; identical-set sanity via self-union bound
+        assert out[("g2", "g3")]["jaccard"] == 0.0
+
+    def test_small_groups_exact_union(self, spark):
+        from tastytrade_sdk_spark.operators.sketches import (
+            kmv_pair_overlap,
+            kmv_sketch,
+        )
+
+        rows = [("a", f"x{i}") for i in range(20)] + [
+            ("b", f"x{i}") for i in range(10, 40)
+        ]
+        df = spark.createDataFrame(rows, "g string, v string")
+        r = kmv_pair_overlap(
+            kmv_sketch(df, ["g"], "v", k=64), "g", k=64
+        ).collect()[0]
+        # both sketches complete -> merged set is the exact union
+        assert r["union_est"] == 40.0
+        assert r["jaccard"] == round(10 / 40, 6)
+        assert r["inter_est"] == 10.0
+
+
 class TestCMS:
     def test_never_underestimates_and_tight_here(self, keyed_rows):
         sketch = cms_build(keyed_rows, "v", depth=4, width=2048)
