@@ -702,3 +702,40 @@ def near_dup_contamination(
             F.count(F.lit(1)).alias("n_shared_bands"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus delta report between two snapshots: per document id,
+    'added' (only in new), 'removed' (only in old), 'modified' (same
+    id, different content hash) or 'unchanged'. The driving question
+    of every incremental pipeline run — which docs need re-processing
+    (re-chunk, re-embed, re-dedup) and which downstream artifacts to
+    invalidate — answered as ONE id-keyed full outer hash join over
+    (id, md5(text)) projections; content never shuffles, only ids and
+    32-char digests. At lake scale both sides prune to two columns at
+    the scan, and the join co-partitions on the id (bucket both
+    snapshots on id to make it exchange-free — operators/scale).
+
+    Output: (id_col, status, old_hash, new_hash); hashes NULL on the
+    side the doc is absent from.
+    """
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("old_hash")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("new_hash")
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(id_col), status.alias("status"),
+                    "old_hash", "new_hash")

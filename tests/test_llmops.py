@@ -804,3 +804,16 @@ def test_ccnet_ppl_buckets_tercile_boundaries(spark):
         for r in rows:
             if r["avg_logprob"] is None:
                 assert r["bucket"] == "tail"
+
+
+def test_snapshot_diff_statuses(spark):
+    from tastytrade_sdk_spark.llmops.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "modified", 4: "added"}
