@@ -215,3 +215,66 @@ def additive_agg_sink(
             lambda df, epoch: additive_agg_batch(df, path, keys, sum_cols, epoch)
         )
     )
+
+
+def compact_parquet_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction — the OPTIMIZE half of a lake table's
+    lifecycle. Streaming append sinks (append_log_sink) accrete one
+    file per micro-batch; at lake scale a day of 10-second batches is
+    ~8,640 files whose per-file open/footer cost eventually dominates
+    every scan. Compaction rewrites the table into
+    ceil(bytes / target_file_bytes) files via coalesce (a NARROW
+    repartition: no shuffle, existing files are concatenated
+    per-output-task) and commits with the same tmp-then-rename dance
+    as the upsert sinks, so a crash mid-compact leaves the original
+    table untouched (the standard recovery in upsert_parquet_batch's
+    docstring applies).
+
+    If a data-skipping stats sidecar (sources/skipping) exists it is
+    REMOVED rather than silently left stale: the old per-file stats
+    describe files that no longer exist, and a missing sidecar means
+    fallback-to-full-scan (correct), where a stale one could mis-prune.
+    Callers re-cluster + re-stat via skipping.write_clustered when the
+    table is meant to stay skippable.
+
+    Returns {"files_before", "files_after", "bytes"} for observability.
+    """
+    from tastytrade_sdk_spark.sources.skipping import STATS_SUFFIX
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp, old = path + ".__tmp", path + ".__old"
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    # carry the epoch sidecar through the rewrite (additive/upsert
+    # stores guard replays with it; losing it would re-admit an old
+    # epoch after compaction)
+    epoch = os.path.join(path, "_epoch")
+    if os.path.exists(epoch):
+        with open(epoch) as fh:
+            val = fh.read()
+        with open(os.path.join(tmp, "_epoch"), "w") as fh:
+            fh.write(val)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    sidecar = path.rstrip("/") + STATS_SUFFIX
+    if os.path.exists(sidecar):
+        shutil.rmtree(sidecar)
+    return {
+        "files_before": len(files),
+        "files_after": n_out,
+        "bytes": total,
+    }

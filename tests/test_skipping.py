@@ -114,3 +114,71 @@ class TestPrunedRead:
         assert got.count() == want.count() > 0
         files, total = pruned_file_plan(spark, path, "ts", lo, hi)
         assert len(files) < total
+
+
+class TestCompaction:
+    def test_compacts_and_preserves_rows(self, spark, tmp_path):
+        from tastytrade_sdk_spark.streaming.sinks import (
+            compact_parquet_table,
+        )
+
+        path = str(tmp_path / "logs")
+        # simulate many micro-batch appends -> many small files
+        for i in range(12):
+            spark.range(i * 100, (i + 1) * 100).withColumnRenamed(
+                "id", "v"
+            ).write.mode("append").parquet(path)
+        before = sorted(r["v"] for r in spark.read.parquet(path).collect())
+        import os as _os
+
+        n_files_before = len(
+            [f for f in _os.listdir(path) if f.endswith(".parquet")]
+        )
+        assert n_files_before >= 12
+        stats = compact_parquet_table(spark, path)
+        assert stats["files_before"] == n_files_before
+        n_files_after = len(
+            [f for f in _os.listdir(path) if f.endswith(".parquet")]
+        )
+        assert n_files_after == stats["files_after"] < n_files_before
+        after = sorted(r["v"] for r in spark.read.parquet(path).collect())
+        assert after == before
+
+    def test_epoch_sidecar_survives(self, spark, tmp_path):
+        import os as _os
+
+        from tastytrade_sdk_spark.streaming.sinks import (
+            compact_parquet_table,
+        )
+
+        path = str(tmp_path / "store")
+        spark.range(100).write.parquet(path)
+        with open(_os.path.join(path, "_epoch"), "w") as fh:
+            fh.write("7")
+        compact_parquet_table(spark, path)
+        with open(_os.path.join(path, "_epoch")) as fh:
+            assert fh.read() == "7"
+
+    def test_stale_stats_sidecar_removed(self, spark, tmp_path):
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from tastytrade_sdk_spark.sources.skipping import (
+            STATS_SUFFIX,
+            read_pruned,
+            write_clustered,
+        )
+        from tastytrade_sdk_spark.streaming.sinks import (
+            compact_parquet_table,
+        )
+
+        path = str(tmp_path / "clustered")
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        write_clustered(df, path, ["k"], n_files=8)
+        assert _os.path.exists(path + STATS_SUFFIX)
+        compact_parquet_table(spark, path)
+        # sidecar gone -> reader falls back to full scan, stays correct
+        assert not _os.path.exists(path + STATS_SUFFIX)
+        got = read_pruned(spark, path, "k", 100, 200).count()
+        assert got == 101
