@@ -98,7 +98,8 @@ def kmv_sketch(
 
 
 def kmv_pair_overlap(
-    sketches: DataFrame, group_col: str, k: int = 64
+    sketches: DataFrame, group_col: str, k: int = 64,
+    max_groups: int = 1024,
 ) -> DataFrame:
     """Pairwise distinct-set overlap between groups, from KMV sketches
     only (Beyer et al.): merge two sketches by keeping the k smallest
@@ -111,11 +112,30 @@ def kmv_pair_overlap(
 
     Outputs (group_a, group_b, union_est, jaccard, inter_est), halves
     ordered group_a < group_b; estimates rounded at 4dp (division
-    noise ~1e-16, sketch error ~1/sqrt(k))."""
-    a = sketches.select(
+    noise ~1e-16, sketch error ~1/sqrt(k)).
+
+    Pairwise overlap is QUADRATIC in groups by definition (the a < b
+    self-join has no equi key), so the operator refuses more than
+    ``max_groups`` sketch rows instead of silently nested-looping a
+    data-sized side: the sketch table is materialized (tiny — k longs
+    per group), counted, and the explicit limit() makes the broadcast
+    build side bounded BY CONSTRUCTION (the plan-smell gate rejects
+    any BNLJ it cannot prove bounded). Millions of groups need a
+    different question — e.g. kmv per group joined to a fixed probe
+    set — not all-pairs."""
+    sketches = sketches.localCheckpoint(eager=True)
+    n = sketches.count()
+    if n > max_groups:
+        raise ValueError(
+            f"kmv_pair_overlap: {n} groups > max_groups={max_groups}; "
+            "all-pairs overlap is quadratic — raise max_groups "
+            "deliberately or restructure the question"
+        )
+    bounded = sketches.limit(max_groups)
+    a = bounded.select(
         F.col(group_col).alias("group_a"), F.col("kmv").alias("__ka")
     )
-    b = sketches.select(
+    b = bounded.select(
         F.col(group_col).alias("group_b"), F.col("kmv").alias("__kb")
     )
     pairs = a.join(b, F.col("group_a") < F.col("group_b"))

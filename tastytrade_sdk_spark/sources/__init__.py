@@ -12,10 +12,18 @@ from tastytrade_sdk_spark.sources.accounts import (
     parse_order_json,
     parse_trade_chain_json,
 )
+from tastytrade_sdk_spark.sources.skipping import (
+    pruned_file_plan,
+    read_pruned,
+    write_clustered,
+)
 from tastytrade_sdk_spark.sources.tables import TABLE_NAMES, load_table, load_tables
 
 __all__ = [
     "TABLE_NAMES",
+    "pruned_file_plan",
+    "read_pruned",
+    "write_clustered",
     "load_table",
     "load_tables",
     "ACCOUNT_BALANCE_SCHEMA",
