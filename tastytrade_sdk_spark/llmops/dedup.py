@@ -604,19 +604,22 @@ def segment_dedup(
     plumbing, the dedup machinery (hash -> first-occurrence ->
     rebuild) is the paper's.
 
-    Plan shape (linear, two keyed shuffles): the segment array builds
-    NARROW (transform over a sequence of slice offsets — no explode
-    until the segments exist), then one posexplode, ONE hash-keyed
-    window for first-occurrence (the winner needs a total order over
-    occurrences of the same hash, so this is a genuine shuffle on the
-    segment digest — uniform keys, no skew by construction), and ONE
-    doc-keyed rebuild agg. Text shuffles once, as segments; at 100 TB
-    both shuffles are hash-partitioned and spill-safe, and the window
-    per key is tiny (occurrence count of one segment).
+    Plan shape (linear): the segment array builds NARROW (transform
+    over a sequence of slice offsets — no explode until the segments
+    exist), then one posexplode, a digest-keyed MIN-AGGREGATE for the
+    first occurrence, a digest-keyed join-back, and ONE doc-keyed
+    rebuild agg. The winner is min(struct(id, seg_idx)) per digest —
+    NOT a row_number window: the boilerplate segments this operator
+    exists to catch (a navbar repeated 10^8 times) are exactly the
+    hot keys a window cannot split, while the min-agg collapses them
+    map-side to one row per digest per task and the join-back probe
+    is AQE-skew-splittable.
 
     Output: one row per input doc — (id, n_segments, n_kept,
     text_rebuilt); a doc whose every segment was already seen rebuilds
-    to '' (dropping such docs is the caller's one-line filter).
+    to '' (dropping such docs is the caller's one-line filter), and a
+    doc with NO tokens at all still gets its row (n_segments = 0,
+    rebuilt ''), honoring the per-doc contract.
     """
     toks = tokens_expr(F.col(text_col))
     n_segs = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
@@ -631,17 +634,20 @@ def segment_dedup(
     ).otherwise(F.array().cast("array<string>"))
     exploded = df.select(
         F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg")
-    )
-    first = (
-        F.row_number().over(
-            Window.partitionBy(F.md5(F.col("seg"))).orderBy(
-                F.col(id_col).asc(), F.col("seg_idx").asc()
+    ).withColumn("__dig", F.md5(F.col("seg")))
+    winners = exploded.groupBy("__dig").agg(
+        F.min(
+            F.struct(
+                F.col(id_col).alias("i"), F.col("seg_idx").alias("s")
             )
-        )
-        == 1
+        ).alias("__w")
     )
-    marked = exploded.withColumn("__keep", first)
-    return marked.groupBy(id_col).agg(
+    marked = exploded.join(winners, "__dig").withColumn(
+        "__keep",
+        (F.col(id_col) == F.col("__w.i"))
+        & (F.col("seg_idx") == F.col("__w.s")),
+    )
+    agg = marked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(F.col("__keep").cast("int")).cast("long").alias("n_kept"),
         F.array_join(
@@ -658,6 +664,18 @@ def segment_dedup(
             ),
             " ",
         ).alias("text_rebuilt"),
+    )
+    # zero-token docs produced no exploded rows; restore them so the
+    # output keeps its one-row-per-input-doc contract
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_rebuilt", F.lit("")).alias("text_rebuilt"),
+        )
     )
 
 

@@ -148,9 +148,17 @@ def cdc_chunk_fingerprints(
 
     The payload is processed through ``hex()`` (a faithful 2-chars/
     byte encoding both engines implement for binary) — byte semantics,
-    not text semantics. Everything is narrow per-row HOF expressions
-    (filter/transform/zip_with over an index sequence): no explode, no
-    shuffle, no UDF; O(n_bytes * window) transient chars per row.
+    not text semantics. Plan shape: the candidate boundary positions
+    EXPLODE to one row per byte (codegen'd md5 over the carried hex —
+    the HOF-lambda form is interpreted per element, measured ~5x
+    slower), boundary hits aggregate per payload (ONE id-keyed
+    shuffle, map-side combinable) and join back narrow; the chunk
+    fingerprints themselves are a small per-row HOF pass over the
+    O(n_bytes / mean_chunk) boundary array. Linear in payload bytes;
+    the per-byte Generate carries the hex string per row, so very
+    large blobs should be pre-split (frame_sample_plan-style) before
+    chunking — same discipline as exact substring dedup's per-char
+    window tier.
 
     Returns DISTINCT (id_col, fp) — the per-payload chunk fingerprint
     set. Empty payloads yield no rows (no content, no chunks).

@@ -118,7 +118,18 @@ def pruned_file_plan(
         ).alias("keep"),
     ).collect()
     total = len(rows)
-    files = [r["file"] for r in rows if r["keep"]]
+    # input_file_name() yields percent-ENCODED file URIs; Hadoop Path
+    # does not decode them on the way back in, so a table directory
+    # containing a space (or '%', '#', ...) would make every pruned
+    # read PATH_NOT_FOUND while the unpruned fallback works. Decode to
+    # plain paths before handing them to the reader.
+    from urllib.parse import unquote, urlparse
+
+    def _to_path(uri: str) -> str:
+        p = urlparse(uri)
+        return unquote(p.path) if p.scheme == "file" else unquote(uri)
+
+    files = [_to_path(r["file"]) for r in rows if r["keep"]]
     return files, total
 
 

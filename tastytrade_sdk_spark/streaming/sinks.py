@@ -230,14 +230,26 @@ def compact_parquet_table(
     ceil(bytes / target_file_bytes) files via coalesce (a NARROW
     repartition: no shuffle, existing files are concatenated
     per-output-task) and commits with the same tmp-then-rename dance
-    as the upsert sinks, so a crash mid-compact leaves the original
-    table untouched (the standard recovery in upsert_parquet_batch's
-    docstring applies).
+    as the upsert sinks, INCLUDING their restore-before-delete crash
+    recovery: a run that died between its two renames left the only
+    copy under ``.__old``, which the next call restores before
+    anything can delete it.
+
+    The WRITER MUST BE QUIESCED for the read-rewrite-swap window —
+    this is a directory swap, not a transaction log; a concurrent
+    append's file would ride into ``.__old`` and be deleted with it.
+    Without Delta/Iceberg optimistic commits in this container the
+    hazard is detected, not prevented: the file listing is re-checked
+    immediately before the swap and the compaction ABORTS (table
+    untouched) if it changed.
 
     If a data-skipping stats sidecar (sources/skipping) exists it is
     REMOVED rather than silently left stale: the old per-file stats
     describe files that no longer exist, and a missing sidecar means
     fallback-to-full-scan (correct), where a stale one could mis-prune.
+    The removal happens BEFORE the new table swaps in, so no reader
+    can pair fresh data files with stale per-file stats (and a crash
+    anywhere after leaves only the safe missing-sidecar state).
     Callers re-cluster + re-stat via skipping.write_clustered when the
     table is meant to stay skippable.
 
@@ -245,18 +257,28 @@ def compact_parquet_table(
     """
     from tastytrade_sdk_spark.sources.skipping import STATS_SUFFIX
 
-    files = [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    ]
-    total = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, -(-total // target_file_bytes))
-    df = spark.read.parquet(path)
     tmp, old = path + ".__tmp", path + ".__old"
+    # crash recovery FIRST (same as upsert_parquet_batch): a previous
+    # run that died between its renames left the full table under
+    # `old` and no `path` — restore it before the cleanup below could
+    # delete the only copy
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
     for d in (tmp, old):
         if os.path.exists(d):
             shutil.rmtree(d)
+
+    def _listing() -> list[str]:
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    files = _listing()
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
     # carry the epoch sidecar through the rewrite (additive/upsert
     # stores guard replays with it; losing it would re-admit an old
@@ -267,12 +289,23 @@ def compact_parquet_table(
             val = fh.read()
         with open(os.path.join(tmp, "_epoch"), "w") as fh:
             fh.write(val)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    if _listing() != files:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compact_parquet_table: {path} changed during compaction "
+            "(concurrent writer?) — aborted, table untouched; quiesce "
+            "the writer and retry"
+        )
+    # stale stats go BEFORE the swap: missing sidecar = full-scan
+    # fallback for any reader racing the window; removing it after
+    # would let a pruned read resolve old file URIs that the swap
+    # just deleted
     sidecar = path.rstrip("/") + STATS_SUFFIX
     if os.path.exists(sidecar):
         shutil.rmtree(sidecar)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
     return {
         "files_before": len(files),
         "files_after": n_out,

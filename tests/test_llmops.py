@@ -817,3 +817,19 @@ def test_snapshot_diff_statuses(spark):
     )
     out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert out == {1: "removed", 2: "unchanged", 3: "modified", 4: "added"}
+
+
+def test_segment_dedup_zero_token_doc_keeps_its_row(spark):
+    """A doc that tokenizes to nothing must still appear in the output
+    (n_segments=0, rebuilt '') — the one-row-per-input-doc contract."""
+    from tastytrade_sdk_spark.llmops.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "...!!!"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_len=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_segments"] == 0 and out[2]["text_rebuilt"] == ""
+    assert out[3]["n_segments"] == 0 and out[3]["text_rebuilt"] == ""
+    assert out[1]["n_kept"] >= 1

@@ -45,8 +45,12 @@ class TestPrunedRead:
         # a narrow range over a range-clustered key must drop files
         assert 0 < len(files) < total
         # and the pruned scan's inputs are exactly the surviving files
+        # (normalize inputFiles' URI form to the plan's plain paths)
+        from urllib.parse import unquote, urlparse
+
         got = read_pruned(spark, path, "o_orderkey", 100, 900)
-        assert set(got.inputFiles()) <= set(files)
+        got_paths = {unquote(urlparse(u).path) for u in got.inputFiles()}
+        assert got_paths <= set(files)
 
     def test_empty_range(self, spark, clustered_events):
         ev, path = clustered_events
@@ -182,3 +186,69 @@ class TestCompaction:
         assert not _os.path.exists(path + STATS_SUFFIX)
         got = read_pruned(spark, path, "k", 100, 200).count()
         assert got == 101
+
+    def test_crash_between_renames_recovers(self, spark, tmp_path):
+        """A compaction that died between its two renames leaves the
+        only copy under .__old; the next call must restore it first
+        (the upsert sinks' restore-before-delete rule)."""
+        import os as _os
+
+        from tastytrade_sdk_spark.streaming.sinks import (
+            compact_parquet_table,
+        )
+
+        path = str(tmp_path / "crashy")
+        spark.range(500).withColumnRenamed("id", "v").write.parquet(path)
+        # simulate the crash window: path renamed away, no new path yet
+        _os.rename(path, path + ".__old")
+        assert not _os.path.exists(path)
+        compact_parquet_table(spark, path)
+        got = sorted(r["v"] for r in spark.read.parquet(path).collect())
+        assert got == list(range(500))
+
+    def test_concurrent_append_aborts_untouched(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A file appearing between the compaction read and the swap
+        must abort the compaction with the table untouched."""
+        import os as _os
+
+        import pytest as _pytest
+
+        import tastytrade_sdk_spark.streaming.sinks as sinks
+
+        path = str(tmp_path / "racy")
+        spark.range(300).withColumnRenamed("id", "v").write.parquet(path)
+        real_listdir = _os.listdir
+        calls = {"n": 0}
+
+        def racy_listdir(p):
+            out = real_listdir(p)
+            if str(p) == path:
+                calls["n"] += 1
+                if calls["n"] > 1:
+                    out = list(out) + ["part-99999-phantom.snappy.parquet"]
+            return out
+
+        monkeypatch.setattr(sinks.os, "listdir", racy_listdir)
+        with _pytest.raises(RuntimeError, match="changed during compaction"):
+            sinks.compact_parquet_table(spark, path)
+        monkeypatch.undo()
+        got = sorted(r["v"] for r in spark.read.parquet(path).collect())
+        assert got == list(range(300))
+        assert not _os.path.exists(path + ".__tmp")
+
+
+def test_pruned_read_on_path_with_special_chars(spark, tmp_path):
+    """input_file_name() returns percent-encoded URIs; the pruned
+    reader must decode them or every read on a space-containing table
+    path dies with PATH_NOT_FOUND (the fallback path doesn't)."""
+    base = tmp_path / "my table %dir"
+    base.mkdir()
+    path = str(base / "t")
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    write_clustered(df, path, ["k"], n_files=4)
+    got = read_pruned(spark, path, "k", 100, 200)
+    assert got.count() == 101
+    files, total = pruned_file_plan(spark, path, "k", 100, 200)
+    assert 0 < len(files) < total
