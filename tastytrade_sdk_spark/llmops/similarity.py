@@ -324,6 +324,35 @@ def axis_centroids(n_lists: int = 16, dim: int = 64) -> np.ndarray:
     return m
 
 
+def _ivf_assign_udf(cent):
+    """Pandas UDF assigning each vector to its nearest (cosine)
+    centroid list — np.argmax first-maximal tie rule, the same
+    first-occurrence rule the SQL oracle's array_position uses."""
+    import pandas as pd
+
+    def _assign(vecs):
+        m = _unit_rows(_as_matrix(vecs.values))
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype("int32"))
+
+    return F.pandas_udf(_assign, "int")
+
+
+def _ivf_probe_udf(cent, nprobe: int):
+    """Pandas UDF returning each query's nprobe nearest list ids
+    (stable sort pins score ties to ascending list id)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _probe(vecs):
+        m = _unit_rows(_as_matrix(vecs.values))
+        order = np.argsort(
+            -(m @ cent.T), axis=1, kind="stable"
+        )[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    return F.pandas_udf(_probe, T.ArrayType(T.IntegerType()))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -354,13 +383,7 @@ def ivf_topk(
         else ivf_centroids(corpus, vec_col, n_lists=n_lists, seed=seed)
     )
 
-    def _assign(vecs):
-        # np.argmax picks the FIRST maximal list on ties — the same
-        # first-occurrence rule the SQL oracle's array_position uses
-        m = _unit_rows(_as_matrix(vecs.values))
-        return pd.Series(np.argmax(m @ cent.T, axis=1).astype("int32"))
-
-    assign_udf = F.pandas_udf(_assign, "int")
+    assign_udf = _ivf_assign_udf(cent)
 
     def _cos(a, b):
         ma = _unit_rows(_as_matrix(a.values))
@@ -374,16 +397,7 @@ def ivf_topk(
     )
 
     # each query probes its nprobe nearest lists
-    def _probe(vecs):
-        m = _unit_rows(_as_matrix(vecs.values))
-        # stable sort pins the tie-break to ascending list id — score
-        # ties must probe the same lists on every engine
-        order = np.argsort(-(m @ cent.T), axis=1, kind="stable")[:, :nprobe].astype(
-            "int32"
-        )
-        return pd.Series(list(order))
-
-    probe_udf = F.pandas_udf(_probe, T.ArrayType(T.IntegerType()))
+    probe_udf = _ivf_probe_udf(cent, nprobe)
     qb = (
         queries.select(
             F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
@@ -664,4 +678,86 @@ def sq8_rescore_topk(
         rescored.withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "dot8", "cosine", "rnk")
+    )
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF inverted lists as a list_id-PARTITIONED parquet
+    table: one directory per inverted list. This is the index-as-table
+    lifecycle the in-memory ivf_topk alludes to — build once, then
+    every query session reads ONLY its probed lists via Spark's
+    partition pruning (directory-level elimination at planning time,
+    visible as PartitionFilters in the scan). At lake scale the index
+    is maintained like any other table: append new vectors to their
+    list directories, compact per partition."""
+    assign_udf = _ivf_assign_udf(centroids)
+    (
+        _spread(corpus.select(id_col, vec_col))
+        .withColumn("list_id", assign_udf(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    nprobe: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """nprobe search over a persisted IVF index (ivf_index_write):
+    probe lists are computed per query, their UNION is collected to
+    the driver (bounded by n_lists integers — the partition universe,
+    never data), and the index scan is filtered on the partition
+    column so only those directories are read. Scoring/top-k is the
+    same exact path as ivf_topk, so results are identical to the
+    in-memory form (equivalence-tested)."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    probe_udf = _ivf_probe_udf(centroids, nprobe)
+    qb = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    ).withColumn("__list", F.explode(probe_udf(F.col("__qvec"))))
+    qb = qb.localCheckpoint(eager=True)  # probe lists used twice below
+    probed = sorted(
+        r["__list"] for r in qb.select("__list").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(F.col("list_id").isin(probed))
+
+    def _cos(a, b):
+        ma = _unit_rows(_as_matrix(a.values))
+        mb = _unit_rows(_as_matrix(b.values))
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    cos_udf = F.pandas_udf(_cos, "double")
+    cands = (
+        index.withColumnRenamed("list_id", "__list")
+        .join(F.broadcast(qb), "__list")
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select("__qid", id_col, vec_col, "__qvec")
+    )
+    scored = cands.withColumn(
+        "cosine", F.round(cos_udf(F.col("__qvec"), F.col(vec_col)), round_dp)
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("__qid").alias(query_id_col), id_col, "cosine", "rnk")
     )

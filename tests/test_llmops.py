@@ -833,3 +833,43 @@ def test_segment_dedup_zero_token_doc_keeps_its_row(spark):
     assert out[2]["n_segments"] == 0 and out[2]["text_rebuilt"] == ""
     assert out[3]["n_segments"] == 0 and out[3]["text_rebuilt"] == ""
     assert out[1]["n_kept"] >= 1
+
+
+class TestIvfIndex:
+    def test_matches_in_memory_path_and_prunes_partitions(
+        self, spark, tmp_path
+    ):
+        """The persisted-index search must return exactly what the
+        in-memory ivf_topk returns, while reading ONLY the probed
+        list_id partitions from disk."""
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            ivf_index_topk,
+            ivf_index_write,
+            ivf_topk,
+        )
+        from tastytrade_sdk_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cent = axis_centroids(16, 64)
+        path = str(tmp_path / "index")
+        ivf_index_write(emb, path, cent)
+        got = ivf_index_topk(spark, path, queries, cent, k=5, nprobe=4)
+        want = ivf_topk(
+            emb, queries, k=5, n_lists=16, nprobe=4, centroids=cent
+        )
+        key = lambda r: (r["query_id"], r["rnk"])
+        assert sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3])) \
+            == sorted(map(tuple, want.collect()), key=lambda t: (t[0], t[3]))
+        # partition pruning: the index scan must carry a PARTITION
+        # filter on list_id (directory-level elimination — note
+        # inputFiles() reports the unpruned relation listing, so the
+        # executed plan is the right witness)
+        import re
+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "list_id" in m.group(1), plan[:2000]
