@@ -13,6 +13,7 @@ from tastytrade_sdk_spark.sources.accounts import (
     parse_trade_chain_json,
 )
 from tastytrade_sdk_spark.sources.skipping import (
+    append_clustered,
     pruned_file_plan,
     read_pruned,
     write_clustered,
@@ -21,6 +22,7 @@ from tastytrade_sdk_spark.sources.tables import TABLE_NAMES, load_table, load_ta
 
 __all__ = [
     "TABLE_NAMES",
+    "append_clustered",
     "pruned_file_plan",
     "read_pruned",
     "write_clustered",

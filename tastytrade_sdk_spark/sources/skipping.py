@@ -130,6 +130,20 @@ def pruned_file_plan(
         return unquote(p.path) if p.scheme == "file" else unquote(uri)
 
     files = [_to_path(r["file"]) for r in rows if r["keep"]]
+    # completeness check: a sidecar that does not describe EXACTLY the
+    # table's current data files would silently mis-prune (a data file
+    # absent from the sidecar is never selected). Any mismatch — a
+    # crash between a data append and its sidecar extension, an
+    # out-of-band writer — falls back to the full scan, which is
+    # always correct. One directory listing; no data touched.
+    actual = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    described = sorted(_to_path(r["file"]) for r in rows)
+    if actual != described:
+        return None
     return files, total
 
 
@@ -149,3 +163,68 @@ def read_pruned(
     # empty-schema inference is avoided: surviving files share the
     # table schema by construction (one writer)
     return spark.read.parquet(*files).filter(pred)
+
+
+def append_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int = 1,
+    stats_cols: Sequence[str] | None = None,
+) -> None:
+    """Append a batch to a clustered table and EXTEND the stats
+    sidecar incrementally — the streaming half of the data-skipping
+    lifecycle (a micro-batch sink calls this per batch; compaction +
+    write_clustered re-establish the global clustering periodically).
+
+    Stats are computed only over the files this append created (one
+    scan of the new files, never the table), then unioned with the
+    existing sidecar tmp-then-rename. Crash ordering is safe BY THE
+    READER'S COMPLETENESS CHECK: data lands first, sidecar second, and
+    a reader that sees data files the sidecar does not describe falls
+    back to the full scan (pruned_file_plan returns None) instead of
+    mis-pruning.
+    """
+    stats_cols = list(stats_cols or cluster_cols)
+    spark = df.sparkSession
+
+    def _listing() -> set:
+        if not os.path.exists(path):
+            return set()
+        return {
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+
+    before = _listing()
+    (
+        df.repartitionByRange(max(1, n_files), *[F.col(c) for c in cluster_cols])
+        .write.mode("append")
+        .parquet(path)
+    )
+    new_files = sorted(_listing() - before)
+    if not new_files:
+        return
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"min__{c}"))
+        aggs.append(F.max(c).alias(f"max__{c}"))
+    new_stats = (
+        spark.read.parquet(*new_files)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
+    )
+    final = _stats_path(path)
+    if os.path.exists(final):
+        merged = spark.read.parquet(final).unionByName(new_stats)
+    else:
+        merged = new_stats
+    tmp = final + f".__tmp-{uuid.uuid4().hex[:8]}"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = final + f".__old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(tmp, final)
+    if os.path.exists(old):
+        shutil.rmtree(old)

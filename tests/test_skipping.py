@@ -252,3 +252,55 @@ def test_pruned_read_on_path_with_special_chars(spark, tmp_path):
     assert got.count() == 101
     files, total = pruned_file_plan(spark, path, "k", 100, 200)
     assert 0 < len(files) < total
+
+
+class TestAppendClustered:
+    def test_append_extends_sidecar_and_keeps_pruning(self, spark, tmp_path):
+        from tastytrade_sdk_spark.sources.skipping import (
+            append_clustered,
+            pruned_file_plan,
+            read_pruned,
+            write_clustered,
+        )
+
+        path = str(tmp_path / "t")
+        base = spark.range(0, 1000).withColumnRenamed("id", "k")
+        write_clustered(base, path, ["k"], n_files=8)
+        batch = spark.range(5000, 5200).withColumnRenamed("id", "k")
+        append_clustered(batch, path, ["k"], n_files=2)
+        # all rows present
+        assert read_pruned(spark, path, "k", -1, 10**9).count() == 1200
+        # sidecar still complete -> pruning active, and a range inside
+        # the appended batch selects only its files
+        plan = pruned_file_plan(spark, path, "k", 5000, 5100)
+        assert plan is not None
+        files, total = plan
+        assert total == 10 and 0 < len(files) <= 2
+        assert read_pruned(spark, path, "k", 5000, 5100).count() == 101
+
+    def test_incomplete_sidecar_falls_back_not_misprunes(
+        self, spark, tmp_path
+    ):
+        """A data file the sidecar does not describe (crash between
+        append and sidecar extension, out-of-band writer) must force
+        the full-scan fallback — never a silent skip of that file."""
+        from tastytrade_sdk_spark.sources.skipping import (
+            pruned_file_plan,
+            read_pruned,
+            write_clustered,
+        )
+
+        path = str(tmp_path / "t2")
+        write_clustered(
+            spark.range(0, 1000).withColumnRenamed("id", "k"),
+            path,
+            ["k"],
+            n_files=4,
+        )
+        # out-of-band append WITHOUT sidecar maintenance
+        spark.range(100, 150).withColumnRenamed("id", "k").write.mode(
+            "append"
+        ).parquet(path)
+        assert pruned_file_plan(spark, path, "k", 100, 149) is None
+        # fallback sees every copy: 50 original + 50 appended
+        assert read_pruned(spark, path, "k", 100, 149).count() == 100
