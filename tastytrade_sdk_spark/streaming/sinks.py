@@ -107,6 +107,39 @@ def append_log_sink(
     return w
 
 
+def clustered_log_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    cluster_cols: Sequence[str],
+    n_files: int = 1,
+):
+    """K1 append sink that keeps the table DATA-SKIPPABLE as it grows:
+    each micro-batch lands range-clustered on ``cluster_cols`` with
+    its per-file min/max stats appended to the sidecar
+    (sources/skipping.append_clustered), so range reads over the
+    cluster column prune files from the very first batch — no separate
+    indexing pass. Periodic compact_parquet_table + write_clustered
+    re-establish the GLOBAL clustering (per-batch clustering is local:
+    every batch spans its own value range, so pruning selectivity
+    degrades as overlapping batches accumulate — the same reason lake
+    tables re-OPTIMIZE). Crash between a batch's data and its stats is
+    absorbed by the reader's completeness check (full-scan fallback),
+    and a replayed batch re-appends — pair with the dedup sinks when
+    exact-once matters, same as append_log_sink."""
+    from tastytrade_sdk_spark.sources.skipping import append_clustered
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda df, epoch: append_clustered(
+                df, path, list(cluster_cols), n_files
+            )
+        )
+    )
+
+
 def _epoch_admits(path: str, epoch_id: int, who: str) -> bool:
     """Shared epoch guard for NON-idempotent (additive/decrementing)
     foreachBatch merges. Recovers a crashed swap (``.__old`` left

@@ -304,3 +304,34 @@ class TestAppendClustered:
         assert pruned_file_plan(spark, path, "k", 100, 149) is None
         # fallback sees every copy: 50 original + 50 appended
         assert read_pruned(spark, path, "k", 100, 149).count() == 100
+
+
+def test_clustered_log_sink_streams_into_skippable_table(spark, tmp_path):
+    """Micro-batches through clustered_log_sink land clustered with an
+    extended sidecar: after the stream, a range read prunes files and
+    returns exactly the filtered rows."""
+    from tastytrade_sdk_spark.streaming.sinks import clustered_log_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 400).withColumnRenamed("id", "k").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.range(400, 800).withColumnRenamed("id", "k").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("k bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = clustered_log_sink(stream, out, ckpt, ["k"], n_files=2).start()
+    q.processAllAvailable()
+    q.stop()
+    plan = pruned_file_plan(spark, out, "k", 100, 150)
+    assert plan is not None  # sidecar complete after streaming appends
+    files, total = plan
+    assert total >= 4 and 0 < len(files) < total
+    assert read_pruned(spark, out, "k", 100, 150).count() == 51
+    assert read_pruned(spark, out, "k", -1, 10**9).count() == 800
