@@ -79,6 +79,10 @@ PROBE = [
     "contamination_near_dup",
     "prototypes_prune",
     "cdc_chunk_dedup",
+    "ccnet_ppl_buckets",
+    "corpus_snapshot_diff",
+    "kmv_set_overlap",
+    "ivf_index_search",
 ]
 
 
