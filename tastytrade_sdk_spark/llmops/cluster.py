@@ -535,17 +535,22 @@ def semdedup_prune_assigned(
     id_col: str = "vec_id",
     threshold: float = 0.4,
     round_dp: int = 6,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """The within-cluster prune half of SemDeDup, over a prepared
     (id, cluster_id, __unit) frame — shared by the exact-oracle
     expression-assignment path (semdedup_prune) and the large-k
     kernel-assignment path (kmeans_assign_kernel), so the two scale
-    regimes cannot drift semantically."""
+    regimes cannot drift semantically. Pass ``checkpoint=False`` when
+    ``slim`` is ALREADY pinned (a caller-side localCheckpoint feeding
+    other branches too, e.g. d4_curation) — a second checkpoint would
+    duplicate the widest column into block storage for nothing."""
     # materialize the assignment ONCE: it feeds three plan branches
     # (both pair-join sides + the final anti-join base), and exchange
     # reuse across them is not guaranteed under AQE. Linear state —
     # exactly what a SemDeDup pipeline checkpoints at corpus scale.
-    slim = slim.localCheckpoint(eager=True)
+    if checkpoint:
+        slim = slim.localCheckpoint(eager=True)
     a, b = slim.alias("a"), slim.alias("b")
     cos = F.round(
         F.aggregate(

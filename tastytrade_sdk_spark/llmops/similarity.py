@@ -324,6 +324,48 @@ def axis_centroids(n_lists: int = 16, dim: int = 64) -> np.ndarray:
     return m
 
 
+def _cos_udf():
+    """Pandas UDF: rowwise cosine between two vector columns (unit-
+    normalized einsum) — the ONE scoring kernel every IVF/brute path
+    shares."""
+    import pandas as pd
+
+    def _cos(a, b):
+        ma = _unit_rows(_as_matrix(a.values))
+        mb = _unit_rows(_as_matrix(b.values))
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return F.pandas_udf(_cos, "double")
+
+
+def _score_topk(
+    cands: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str,
+    k: int,
+    round_dp: int,
+) -> DataFrame:
+    """Shared IVF scoring tail: cosine, round, per-query rank with the
+    (score desc, id asc) tiebreak, top-k — one copy so the in-memory
+    and persisted-index paths cannot drift (their equivalence test and
+    the shared SQL oracle both depend on these exact semantics)."""
+    from pyspark.sql import Window
+
+    scored = cands.withColumn(
+        "cosine",
+        F.round(_cos_udf()(F.col("__qvec"), F.col(vec_col)), round_dp),
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("__qid").alias(query_id_col), id_col, "cosine", "rnk")
+    )
+
+
 def _ivf_assign_udf(cent):
     """Pandas UDF assigning each vector to its nearest (cosine)
     centroid list — np.argmax first-maximal tie rule, the same
@@ -385,13 +427,6 @@ def ivf_topk(
 
     assign_udf = _ivf_assign_udf(cent)
 
-    def _cos(a, b):
-        ma = _unit_rows(_as_matrix(a.values))
-        mb = _unit_rows(_as_matrix(b.values))
-        return pd.Series(np.einsum("ij,ij->i", ma, mb))
-
-    cos_udf = F.pandas_udf(_cos, "double")
-
     cb = _spread(corpus.select(id_col, vec_col)).withColumn(
         "__list", assign_udf(F.col(vec_col))
     )
@@ -413,15 +448,7 @@ def ivf_topk(
         .filter(F.col(id_col) != F.col("__qid"))
         .select("__qid", id_col, vec_col, "__qvec")
     )
-    scored = cands.withColumn(
-        "cosine", F.round(cos_udf(F.col("__qvec"), F.col(vec_col)), round_dp)
-    )
-    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(F.col("__qid").alias(query_id_col), id_col, "cosine", "rnk")
-    )
+    return _score_topk(cands, id_col, query_id_col, vec_col, k, round_dp)
 
 
 def hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 42) -> np.ndarray:
@@ -500,13 +527,8 @@ def lsh_topk(
         bits = np.round(m @ planes.T, round_dp) > 0
         return pd.Series(bits @ weights)
 
-    def _cos(a, b):
-        ma = _unit_rows(_as_matrix(a.values))
-        mb = _unit_rows(_as_matrix(b.values))
-        return pd.Series(np.einsum("ij,ij->i", ma, mb))
-
     sig_udf = F.pandas_udf(_sig, "long")
-    cos_udf = F.pandas_udf(_cos, "double")
+    cos_udf = _cos_udf()
 
     def banded(df: DataFrame, idc: str) -> DataFrame:
         df = _spread(df) if idc == id_col else df
@@ -725,9 +747,6 @@ def ivf_index_topk(
     column so only those directories are read. Scoring/top-k is the
     same exact path as ivf_topk, so results are identical to the
     in-memory form (equivalence-tested)."""
-    import pandas as pd
-    from pyspark.sql import Window
-
     probe_udf = _ivf_probe_udf(centroids, nprobe)
     qb = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
@@ -737,27 +756,10 @@ def ivf_index_topk(
         r["__list"] for r in qb.select("__list").distinct().collect()
     )
     index = spark.read.parquet(path).filter(F.col("list_id").isin(probed))
-
-    def _cos(a, b):
-        ma = _unit_rows(_as_matrix(a.values))
-        mb = _unit_rows(_as_matrix(b.values))
-        return pd.Series(np.einsum("ij,ij->i", ma, mb))
-
-    cos_udf = F.pandas_udf(_cos, "double")
     cands = (
         index.withColumnRenamed("list_id", "__list")
         .join(F.broadcast(qb), "__list")
         .filter(F.col(id_col) != F.col("__qid"))
         .select("__qid", id_col, vec_col, "__qvec")
     )
-    scored = cands.withColumn(
-        "cosine", F.round(cos_udf(F.col("__qvec"), F.col(vec_col)), round_dp)
-    )
-    w = Window.partitionBy("__qid").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(F.col("__qid").alias(query_id_col), id_col, "cosine", "rnk")
-    )
+    return _score_topk(cands, id_col, query_id_col, vec_col, k, round_dp)

@@ -48,7 +48,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +58,79 @@ STATS_SUFFIX = ".stats"
 
 def _stats_path(path: str) -> str:
     return path.rstrip("/") + STATS_SUFFIX
+
+
+def _to_path(uri: str) -> str:
+    """Decode a ``file:`` URI (input_file_name form, percent-encoded)
+    to a plain filesystem path; anything that is not a file URI —
+    already-plain paths, object-store URIs — passes through untouched
+    (a plain path containing '%' must NOT be unquoted again)."""
+    from urllib.parse import unquote, urlparse
+
+    if uri.startswith("file:"):
+        return unquote(urlparse(uri).path)
+    return uri
+
+
+def _data_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
+def _file_stats(spark: SparkSession, files: list[str], stats_cols) -> DataFrame:
+    """Per-file min/max stats over exactly ``files`` — INCLUDING
+    zero-row files, which produce no input_file_name group and would
+    otherwise be missing from the sidecar forever (a footer-only part
+    file from an empty micro-batch), permanently tripping the reader's
+    completeness check. Such files get a NULL-stats / n_rows=0 row
+    (NULL stats are unprunable-into, i.e. always skippable for a range
+    predicate — exactly right for an empty file)."""
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"min__{c}"))
+        aggs.append(F.max(c).alias(f"max__{c}"))
+    stats = (
+        spark.read.parquet(*files)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
+    )
+    described = {
+        os.path.realpath(_to_path(r["file"]))
+        for r in stats.select("file").collect()
+    }
+    missing = [f for f in files if os.path.realpath(f) not in described]
+    if missing:
+        empty_rows = [
+            tuple([f] + [None] * (2 * len(stats_cols)) + [0])
+            for f in missing
+        ]
+        stats = stats.unionByName(
+            spark.createDataFrame(empty_rows, stats.schema)
+        )
+    return stats
+
+
+def _swap_sidecar(merged: DataFrame, final: str) -> None:
+    """Commit a sidecar with the sinks' recoverable fixed-name swap:
+    recovery first (a prior crash between the two renames left the
+    only copy under .__old), deterministic tmp/old names so orphans
+    from crashed runs are cleaned, then write + two renames."""
+    tmp, old = final + ".__tmp", final + ".__old"
+    if not os.path.exists(final) and os.path.exists(old):
+        os.rename(old, final)
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    # single stats file: the sidecar is one row per data file
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(tmp, final)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def write_clustered(
@@ -77,22 +149,8 @@ def write_clustered(
         .parquet(path)
     )
     spark = df.sparkSession
-    written = spark.read.parquet(path)
-    aggs = []
-    for c in stats_cols:
-        aggs.append(F.min(c).alias(f"min__{c}"))
-        aggs.append(F.max(c).alias(f"max__{c}"))
-    stats = (
-        written.groupBy(F.input_file_name().alias("file"))
-        .agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
-    )
-    tmp = _stats_path(path) + f".__tmp-{uuid.uuid4().hex[:8]}"
-    # single stats file: the sidecar is one row per data file
-    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
-    final = _stats_path(path)
-    if os.path.exists(final):
-        shutil.rmtree(final)
-    os.rename(tmp, final)
+    stats = _file_stats(spark, _data_files(path), stats_cols)
+    _swap_sidecar(stats, _stats_path(path))
 
 
 def pruned_file_plan(
@@ -107,41 +165,41 @@ def pruned_file_plan(
     sp = _stats_path(path)
     if not os.path.exists(sp):
         return None
-    stats = spark.read.parquet(sp)
-    if f"min__{col}" not in stats.columns:
+    # a writer may swap the sidecar between our exists() check, the
+    # scan's file listing, and the collect — the contract is fallback,
+    # not failure, so any read error here means "no usable sidecar"
+    try:
+        stats = spark.read.parquet(sp)
+        if f"min__{col}" not in stats.columns:
+            return None
+        rows = stats.select(
+            "file",
+            (
+                (F.col(f"max__{col}") >= F.lit(lo))
+                & (F.col(f"min__{col}") <= F.lit(hi))
+            ).alias("keep"),
+        ).collect()
+    except Exception:
         return None
-    rows = stats.select(
-        "file",
-        (
-            (F.col(f"max__{col}") >= F.lit(lo))
-            & (F.col(f"min__{col}") <= F.lit(hi))
-        ).alias("keep"),
-    ).collect()
     total = len(rows)
     # input_file_name() yields percent-ENCODED file URIs; Hadoop Path
     # does not decode them on the way back in, so a table directory
     # containing a space (or '%', '#', ...) would make every pruned
-    # read PATH_NOT_FOUND while the unpruned fallback works. Decode to
-    # plain paths before handing them to the reader.
-    from urllib.parse import unquote, urlparse
-
-    def _to_path(uri: str) -> str:
-        p = urlparse(uri)
-        return unquote(p.path) if p.scheme == "file" else unquote(uri)
-
-    files = [_to_path(r["file"]) for r in rows if r["keep"]]
+    # read PATH_NOT_FOUND while the unpruned fallback works (_to_path
+    # decodes; synthetic zero-row-file rows already store plain paths).
+    files = [
+        os.path.realpath(_to_path(r["file"])) for r in rows if r["keep"]
+    ]
     # completeness check: a sidecar that does not describe EXACTLY the
     # table's current data files would silently mis-prune (a data file
     # absent from the sidecar is never selected). Any mismatch — a
     # crash between a data append and its sidecar extension, an
     # out-of-band writer — falls back to the full scan, which is
-    # always correct. One directory listing; no data touched.
-    actual = sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    )
-    described = sorted(_to_path(r["file"]) for r in rows)
+    # always correct. One directory listing; no data touched. Both
+    # sides go through realpath so relative table paths and symlinks
+    # compare canonically against the absolute URIs stats carry.
+    actual = sorted(os.path.realpath(f) for f in _data_files(path))
+    described = sorted(os.path.realpath(_to_path(r["file"])) for r in rows)
     if actual != described:
         return None
     return files, total
@@ -178,53 +236,37 @@ def append_clustered(
     write_clustered re-establish the global clustering periodically).
 
     Stats are computed only over the files this append created (one
-    scan of the new files, never the table), then unioned with the
-    existing sidecar tmp-then-rename. Crash ordering is safe BY THE
-    READER'S COMPLETENESS CHECK: data lands first, sidecar second, and
-    a reader that sees data files the sidecar does not describe falls
-    back to the full scan (pruned_file_plan returns None) instead of
-    mis-pruning.
+    scan of the new files, never the table — zero-row part files from
+    an empty batch included, via _file_stats' synthetic rows), then
+    unioned with the existing sidecar under the recoverable fixed-name
+    swap (_swap_sidecar: a crash between its renames is restored on
+    the next call, so prior files' stats are never lost). Crash
+    between the data append and the sidecar extension is safe BY THE
+    READER'S COMPLETENESS CHECK: a reader that sees data files the
+    sidecar does not describe falls back to the full scan
+    (pruned_file_plan returns None) instead of mis-pruning.
     """
     stats_cols = list(stats_cols or cluster_cols)
     spark = df.sparkSession
-
-    def _listing() -> set:
-        if not os.path.exists(path):
-            return set()
-        return {
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        }
-
-    before = _listing()
+    before = set(_data_files(path)) if os.path.exists(path) else set()
     (
         df.repartitionByRange(max(1, n_files), *[F.col(c) for c in cluster_cols])
         .write.mode("append")
         .parquet(path)
     )
-    new_files = sorted(_listing() - before)
+    new_files = sorted(set(_data_files(path)) - before)
     if not new_files:
         return
-    aggs = []
-    for c in stats_cols:
-        aggs.append(F.min(c).alias(f"min__{c}"))
-        aggs.append(F.max(c).alias(f"max__{c}"))
-    new_stats = (
-        spark.read.parquet(*new_files)
-        .groupBy(F.input_file_name().alias("file"))
-        .agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
-    )
+    new_stats = _file_stats(spark, new_files, stats_cols)
     final = _stats_path(path)
+    # recover a crashed previous swap BEFORE deciding whether a
+    # sidecar exists — otherwise this append would seed a fresh
+    # sidecar describing only its own files and orphan the old stats
+    old = final + ".__old"
+    if not os.path.exists(final) and os.path.exists(old):
+        os.rename(old, final)
     if os.path.exists(final):
         merged = spark.read.parquet(final).unionByName(new_stats)
     else:
         merged = new_stats
-    tmp = final + f".__tmp-{uuid.uuid4().hex[:8]}"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    old = final + f".__old-{uuid.uuid4().hex[:8]}"
-    if os.path.exists(final):
-        os.rename(final, old)
-    os.rename(tmp, final)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _swap_sidecar(merged, final)

@@ -861,7 +861,6 @@ class TestIvfIndex:
         want = ivf_topk(
             emb, queries, k=5, n_lists=16, nprobe=4, centroids=cent
         )
-        key = lambda r: (r["query_id"], r["rnk"])
         assert sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3])) \
             == sorted(map(tuple, want.collect()), key=lambda t: (t[0], t[3]))
         # partition pruning: the index scan must carry a PARTITION

@@ -335,3 +335,47 @@ def test_clustered_log_sink_streams_into_skippable_table(spark, tmp_path):
     assert total >= 4 and 0 < len(files) < total
     assert read_pruned(spark, out, "k", 100, 150).count() == 51
     assert read_pruned(spark, out, "k", -1, 10**9).count() == 800
+
+
+def test_empty_batch_file_does_not_kill_pruning(spark, tmp_path):
+    """An empty micro-batch writes a footer-only part file with no
+    data rows; the sidecar must still describe it (synthetic
+    NULL-stats row) or the completeness check would permanently
+    disable pruning for the table."""
+    from tastytrade_sdk_spark.sources.skipping import append_clustered
+
+    path = str(tmp_path / "t3")
+    write_clustered(
+        spark.range(0, 400).withColumnRenamed("id", "k"),
+        path,
+        ["k"],
+        n_files=4,
+    )
+    empty = spark.range(0).withColumnRenamed("id", "k").coalesce(1)
+    append_clustered(empty, path, ["k"], n_files=1)
+    plan = pruned_file_plan(spark, path, "k", 100, 200)
+    assert plan is not None  # completeness holds despite 0-row file
+    files, total = plan
+    assert 0 < len(files) < total
+    assert read_pruned(spark, path, "k", 100, 200).count() == 101
+
+
+def test_symlinked_table_path_still_prunes(spark, tmp_path):
+    """realpath normalization: reading through a symlink to the table
+    directory must compare equal to the absolute URIs the stats carry
+    (which resolve the real path)."""
+    real = str(tmp_path / "real_table")
+    write_clustered(
+        spark.range(0, 500).withColumnRenamed("id", "k"),
+        real,
+        ["k"],
+        n_files=4,
+    )
+    link = str(tmp_path / "link_table")
+    os.symlink(real, link)
+    os.symlink(real + STATS_SUFFIX, link + STATS_SUFFIX)
+    plan = pruned_file_plan(spark, link, "k", 10, 50)
+    assert plan is not None
+    files, total = plan
+    assert 0 < len(files) < total
+    assert read_pruned(spark, link, "k", 10, 50).count() == 41

@@ -229,9 +229,14 @@ def skipping_demo(spark, sf_dir: str) -> None:
         t0 = time.perf_counter()
         write_clustered(li, f"{tmp}/li", ["l_shipdate"], n_files=64)
         build = round(time.perf_counter() - t0, 3)
-        files, total = pruned_file_plan(
+        plan = pruned_file_plan(
             spark, f"{tmp}/li", "l_shipdate", lo, hi
         )
+        if plan is None:
+            print(json.dumps({"demo": "skipping",
+                              "error": "no usable sidecar"}), flush=True)
+            return
+        files, total = plan
 
         def agg(df):
             return df.filter(
