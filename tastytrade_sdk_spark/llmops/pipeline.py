@@ -762,3 +762,230 @@ def length_bucketed_batches(
         F.max("n_tokens").over(wb).alias("batch_max_tokens"),
         F.count(F.lit(1)).over(wb).cast("long").alias("batch_rows"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "prio-v1",
+) -> DataFrame:
+    """Deterministic weighted k-sample per group — priority sampling
+    (Duffield, Lund, Thorup: JACM 2007): each row draws a uniform
+    60-bit integer u from its salted id hash and gets priority
+    q = u DIV max(weight, 1); the k smallest priorities per group are
+    the sample. P(selected) is ~proportional to weight (heavier rows
+    divide their uniform draw by more), the estimator properties are
+    the published ones, and — unlike the float u^(1/w) exponential
+    form (Efraimidis-Spirakis) — the priority is ALL-INTEGER, so the
+    selection is bit-reproducible across engines and runs (no libm
+    pow/log at the selection boundary).
+
+    Distributed shape: one narrow projection computes (group, id,
+    weight, priority); one shuffle on the group key; per-group top-k
+    via window rank over tiny rows — the same AQE-safe shape as
+    stratified_hash_sample. Weights <= 0 clamp to 1 rather than
+    raising: a sampling pass over 100 TB must not abort on one
+    degenerate row (the clamp is visible in the output weight_used).
+
+    Output: group_cols..., id, weight_used, priority, sample_rank.
+    """
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
+    keyed = df.select(
+        *group_cols,
+        F.col(id_col),
+        w.alias("weight_used"),
+        u.alias("__u"),
+    ).withColumn("priority", F.expr("__u DIV weight_used"))
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.col("priority").asc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__u")
+    )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    total_budget: int,
+    epoch_cap: int = 4,
+) -> DataFrame:
+    """UniMax mixture budgeting (Chung et al. 2023): allocate a total
+    token budget across languages as uniformly as possible, capping
+    each language at ``epoch_cap`` epochs of its corpus so low-resource
+    languages are never oversampled past the cap.
+
+    Closed form instead of the paper's sequential loop: the allocation
+    is waterfilling — there is a threshold t such that every language
+    gets min(capacity, t). Sort languages by capacity ascending; with
+    prefix sums P and n_after languages remaining, language i is
+    CAPPED iff capacity_i <= (B - P_{i-1}) DIV n_after (once this
+    fails it fails for every later language — capacities grow while
+    the candidate threshold shrinks, so the capped set is a prefix).
+    The final threshold divides the leftover among uncapped languages,
+    with the integer remainder spread one token to each of the first
+    ``remainder`` uncapped languages in order — allocations SUM TO
+    EXACTLY min(total_budget, total_capacity), all in integer
+    arithmetic.
+
+    Distributed shape: the corpus scan reduces to ONE tiny per-language
+    aggregate (n_langs rows); the waterfilling windows run on that
+    aggregate — the single-partition window is bounded by the language
+    count, never by data volume, exactly like training_shuffle's
+    offset table.
+
+    Output: group_col, capacity, allocated, capped (boolean).
+    """
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    caps = df.groupBy(group_col).agg(
+        (F.sum(F.col(weight_col).cast("long")) * F.lit(epoch_cap)).alias(
+            "capacity"
+        )
+    )
+    order = [F.col("capacity").asc(), F.col(group_col).asc()]
+    w_row = Window.orderBy(*order)
+    w_prev = w_row.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_pref = w_row.rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        caps.withColumn("__i", F.row_number().over(w_row))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "__p_prev", F.coalesce(F.sum("capacity").over(w_prev), F.lit(0))
+        )
+        .withColumn(
+            "__t_i",
+            F.expr(
+                f"greatest({total_budget} - __p_prev, 0) DIV (__n - __i + 1)"
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.min((F.col("capacity") <= F.col("__t_i")).cast("int"))
+            .over(w_pref)
+            .cast("boolean"),
+        )
+    )
+    totals = staged.agg(
+        F.sum(F.when(F.col("capped"), F.col("capacity")).otherwise(0)).alias(
+            "__p_k"
+        ),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("__k"),
+        F.first("__n").alias("__n_tot"),
+    )
+    out = staged.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "capacity",
+        "capped",
+        "__i",
+        "__k",
+        F.expr(
+            f"CASE WHEN __n_tot = __k THEN capacity "
+            f"ELSE greatest({total_budget} - __p_k, 0) DIV (__n_tot - __k) "
+            f"END"
+        ).alias("__t"),
+        F.expr(
+            f"CASE WHEN __n_tot = __k THEN 0 "
+            f"ELSE greatest({total_budget} - __p_k, 0) % (__n_tot - __k) "
+            f"END"
+        ).alias("__rem"),
+    )
+    alloc = F.when(F.col("capped"), F.col("capacity")).otherwise(
+        F.col("__t")
+        + F.when(F.col("__i") - F.col("__k") <= F.col("__rem"), 1).otherwise(0)
+    )
+    return out.select(
+        group_col,
+        "capacity",
+        alloc.cast("long").alias("allocated"),
+        "capped",
+    )
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    density_permille: int = 150,
+    mean_span: int = 3,
+    salt: str = "spanc-v1",
+) -> DataFrame:
+    """T5-style span-corruption mask plan (Raffel et al. 2020): for
+    each document pick ~density (15% default) of tokens as
+    non-overlapping corruption spans of ~mean_span tokens, each to be
+    replaced by one sentinel id at training time. This emits the PLAN
+    (doc, span_idx, start_tok, len_tok) — the expensive corpus-wide
+    decision — leaving the cheap token splice to the trainer.
+
+    Deterministic non-overlap by construction instead of the paper's
+    sequential random draw: the doc's n tokens split into n_spans
+    integer segments (boundaries (i*n) DIV n_spans); each span lands
+    inside its own segment at a salted-hash offset, so spans can never
+    overlap, every engine reproduces the same plan, and the per-doc
+    work is a pure expression over the token count — no Python, no
+    state. Docs too short for one full span (n*density < 1000 *
+    mean_span) produce no rows, explicitly.
+
+    Distributed shape: narrow scan -> explode of n_spans-per-doc
+    (density/mean_span ~ 5% of token count) -> done; zero shuffles.
+
+    Output: id_col, span_idx, start_tok, len_tok, n_tokens.
+    """
+    n = F.size(tokens_expr(F.col(text_col)))
+    planned = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+    ).withColumn(
+        "n_spans",
+        F.expr(f"(n_tokens * {density_permille}) DIV {1000 * mean_span}"),
+    )
+    spans = planned.filter(F.col("n_spans") >= 1).select(
+        id_col,
+        "n_tokens",
+        "n_spans",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_spans") - 1)
+        ).alias("span_idx"),
+    )
+    seg_start = F.expr("(span_idx * n_tokens) DIV n_spans")
+    seg_end = F.expr("((span_idx + 1) * n_tokens) DIV n_spans")
+    spans = spans.withColumn("__ss", seg_start).withColumn(
+        "__se", seg_end
+    )
+    seg_len = F.col("__se") - F.col("__ss")
+    span_len = F.least(F.lit(mean_span), seg_len)
+    offset = h32(
+        F.concat_ws(
+            ":",
+            F.lit(salt),
+            F.col(id_col).cast("string"),
+            F.col("span_idx").cast("string"),
+        )
+    ) % (seg_len - span_len + F.lit(1))
+    return spans.select(
+        id_col,
+        "span_idx",
+        (F.col("__ss") + offset).cast("long").alias("start_tok"),
+        span_len.cast("long").alias("len_tok"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )

@@ -38,6 +38,9 @@ __all__ = [
     "histogram_quantiles",
     "mg_candidates",
     "heavy_hitters_exact",
+    "hll_sketch",
+    "hll_merge",
+    "hll_estimate",
 ]
 
 _H60_DEN = float(1 << 60)
@@ -403,4 +406,103 @@ def heavy_hitters_exact(
             "cnt",
             F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
         )
+    )
+
+
+def _hll_reg_rho(value: Column, p: int) -> tuple[Column, Column]:
+    """(register, rho) for one value: low ``p`` hash bits pick the
+    register, rho = leading-zero count of the remaining 60-p bits + 1
+    (the textbook HLL decomposition, Flajolet et al.).
+
+    bit_length is length(bin(x)) — ``bin`` exists with identical
+    semantics in Spark and DuckDB, so rho is engine-portable without
+    any float log2 (whose ulp behavior differs across libms).
+    """
+    m = 1 << p
+    h = _h60(value)
+    reg = h.bitwiseAND(F.lit(m - 1))
+    rest = F.shiftright(h, p)
+    width = 60 - p
+    rho = F.when(rest == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(rest))
+    )
+    return reg.cast("int"), rho.cast("int")
+
+
+def hll_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 6
+) -> DataFrame:
+    """Per-group MERGEABLE HyperLogLog sketch: a dense array of
+    m = 2**p register values (group_cols..., hll_regs).
+
+    Unlike Spark's approx_count_distinct (engine-private HLL++ layout),
+    the registers come from the explicit md5 construction shared by the
+    whole repo, so the SAME sketch is computable in DuckDB and two
+    sketches built anywhere merge by element-wise max — the property
+    that makes per-day partials roll up into month/year cardinalities
+    at 100 TB without rescanning raw data.
+
+    Distributed shape: ONE partial-aggregating shuffle on
+    (group, register) — at most m rows per group survive the map-side
+    combine regardless of input volume — then a tiny per-group dense
+    assembly. The raw value column never shuffles.
+    """
+    m = 1 << p
+    reg, rho = _hll_reg_rho(F.col(value_col), p)
+    per_reg = (
+        df.select(*group_cols, reg.alias("__reg"), rho.alias("__rho"))
+        .groupBy(*group_cols, "__reg")
+        .agg(F.max("__rho").alias("__mr"))
+    )
+    regs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_entries(F.collect_list(F.struct("__reg", "__mr"))), i
+            ),
+            F.lit(0),
+        ),
+    )
+    return per_reg.groupBy(*group_cols).agg(regs.alias("hll_regs"))
+
+
+def hll_merge(regs_a: Column, regs_b: Column) -> Column:
+    """Element-wise max of two register arrays — the HLL union."""
+    return F.zip_with(regs_a, regs_b, lambda a, b: F.greatest(a, b))
+
+
+def hll_estimate(sketches: DataFrame, p: int = 6) -> DataFrame:
+    """Cardinality estimate from an hll_regs column, appended as
+    (hll_zero_regs, hll_raw, hll_estimate).
+
+    The harmonic sum is computed in EXACT integer arithmetic:
+    sum(2^-rho) scaled by 2^(61-p) is a sum of integers (rho is at
+    most 61-p), so the raw estimate is a single exact division —
+    no float pow accumulation. Linear counting (m*ln(m/V)) replaces
+    the raw estimate in the small range per the standard correction;
+    ln is the one libm call, rounded at 4dp like every sketch output.
+    alpha_64 = 0.709 (the published bias constant for m >= 64).
+    """
+    m = 1 << p
+    if m < 64:
+        raise ValueError("hll_estimate: p < 6 needs per-m alpha, use p >= 6")
+    scale = 61 - p  # max rho, so 2^(scale - rho) is integral
+    # 2^(scale - r) via shiftright of the fixed 2^scale: pure integer
+    # arithmetic (the Python F.shiftright wrapper rejects column shift
+    # amounts; the SQL function accepts them)
+    sum_int = F.expr(
+        f"aggregate(hll_regs, CAST(0 AS BIGINT), "
+        f"(acc, r) -> acc + shiftright(CAST({1 << scale} AS BIGINT), r))"
+    )
+    v = F.size(F.filter(F.col("hll_regs"), lambda r: r == 0))
+    raw = F.lit(0.709 * m * m * float(1 << scale)) / sum_int.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return sketches.select(
+        "*",
+        v.alias("hll_zero_regs"),
+        F.round(raw, 4).alias("hll_raw"),
+        F.round(est, 4).alias("hll_estimate"),
     )

@@ -1871,3 +1871,62 @@ def interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hour_value"),
         "is_synthetic",
     )
+
+
+# 0.709 * m^2 * 2^scale for m=64/p=6 — computed ONCE in Python and
+# spliced as the identical double literal into both engines, so the
+# raw-estimate division is the only float op and is bit-identical.
+_HLL_NUM = 0.709 * 64 * 64 * float(1 << 55)
+
+
+@_q(
+    "hll_distinct_users",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ), rr AS (
+      SELECT event_type, h & 63 AS reg,
+             CASE WHEN h >> 6 = 0 THEN 55
+                  ELSE 55 - length(bin(h >> 6)) END AS rho
+      FROM h
+    ), mr AS (
+      SELECT event_type, reg, max(rho) AS mr FROM rr GROUP BY 1, 2
+    ), agg AS (
+      SELECT event_type,
+             CAST(64 - count(*) AS INTEGER) AS hll_zero_regs,
+             CAST(sum(CAST(1 AS BIGINT) << (55 - mr)) AS BIGINT)
+               + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS sum_int
+      FROM mr GROUP BY event_type
+    )
+    SELECT event_type, hll_zero_regs,
+           round({_HLL_NUM!r} / CAST(sum_int AS DOUBLE), 4) AS hll_raw,
+           round(CASE WHEN {_HLL_NUM!r} / CAST(sum_int AS DOUBLE) <= 160.0
+                       AND hll_zero_regs > 0
+                      THEN 64.0 * ln(64.0 / CAST(hll_zero_regs AS DOUBLE))
+                      ELSE {_HLL_NUM!r} / CAST(sum_int AS DOUBLE)
+                 END, 4) AS hll_estimate
+    FROM agg
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type (the mergeable twin
+    of kmv_distinct_users): explicit md5 register construction — NOT
+    approx_count_distinct's engine-private HLL++ — so the identical
+    sketch is rebuilt and hash-verified in DuckDB, and per-partition
+    sketches merge by register max (tested in test_sketches).
+
+    Plan shape: one (event_type, register) partial-agg shuffle — at
+    most 64 rows per group survive the map-side combine — then the
+    per-group estimate; the user_id column itself never shuffles."""
+    from tastytrade_sdk_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    sk = hll_sketch(ev, ["event_type"], "user_id", p=6)
+    return hll_estimate(sk, p=6).select(
+        "event_type", "hll_zero_regs", "hll_raw", "hll_estimate"
+    )

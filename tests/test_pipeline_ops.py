@@ -624,3 +624,157 @@ def test_prototypes_prune_tiny_clusters_drop_nothing(spark):
     out = prototypes_prune(df, m, drop_num=1, drop_den=5).collect()
     assert len(out) == 3
     assert not any(r["is_dropped"] for r in out)
+
+
+class TestPrioritySample:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "fr", 10 + 37 * (i % 13))
+             for i in range(200)],
+            "doc_id long, lang string, n_chars long",
+        )
+
+    def test_k_per_group_and_determinism(self, spark):
+        from tastytrade_sdk_spark.llmops.pipeline import priority_sample
+
+        out = priority_sample(
+            self._docs(spark), ["lang"], "doc_id", "n_chars", k=5
+        )
+        rows = out.collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r)
+        assert set(by_lang) == {"en", "fr"}
+        for lang, rs in by_lang.items():
+            assert sorted(r["sample_rank"] for r in rs) == [1, 2, 3, 4, 5]
+        again = priority_sample(
+            self._docs(spark), ["lang"], "doc_id", "n_chars", k=5
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_matches_bruteforce_formula(self, spark):
+        import hashlib
+
+        from tastytrade_sdk_spark.llmops.pipeline import priority_sample
+
+        docs = self._docs(spark)
+        out = priority_sample(docs, ["lang"], "doc_id", "n_chars", k=5)
+        got = {(r["lang"], r["doc_id"]) for r in out.collect()}
+        prios = []
+        for r in docs.collect():
+            u = int(
+                hashlib.md5(f"prio-v1:{r['doc_id']}".encode()).hexdigest()[:15],
+                16,
+            )
+            prios.append((r["lang"], u // max(r["n_chars"], 1), r["doc_id"]))
+        want = set()
+        for lang in ("en", "fr"):
+            top = sorted(p for p in prios if p[0] == lang)[:5]
+            want |= {(lang, p[2]) for p in top}
+        assert got == want
+
+    def test_zero_weight_clamps(self, spark):
+        from tastytrade_sdk_spark.llmops.pipeline import priority_sample
+
+        docs = spark.createDataFrame(
+            [(1, 0), (2, -3), (3, 5)], "doc_id long, w long"
+        )
+        rows = priority_sample(docs, [], "doc_id", "w", k=3).collect()
+        used = {r["doc_id"]: r["weight_used"] for r in rows}
+        assert used == {1: 1, 2: 1, 3: 5}
+
+    def test_heavier_rows_oversampled(self, spark):
+        from tastytrade_sdk_spark.llmops.pipeline import priority_sample
+
+        # 500 light (w=1) vs 500 heavy (w=100) rows: the 100-row sample
+        # should be overwhelmingly heavy rows
+        docs = spark.createDataFrame(
+            [(i, 1 if i < 500 else 100) for i in range(1000)],
+            "doc_id long, w long",
+        )
+        rows = priority_sample(docs, [], "doc_id", "w", k=100).collect()
+        heavy = sum(1 for r in rows if r["doc_id"] >= 500)
+        assert heavy > 85
+
+
+class TestUnimaxAllocation:
+    def test_known_waterfill(self, spark):
+        from tastytrade_sdk_spark.llmops.pipeline import unimax_allocation
+
+        # capacities (epoch_cap=1): a=10, b=40, c=100; budget 60 ->
+        # a capped at 10, remaining 50 split 25/25
+        docs = spark.createDataFrame(
+            [("a", 10), ("b", 40), ("c", 100)], "lang string, w long"
+        )
+        rows = {
+            r["lang"]: r
+            for r in unimax_allocation(
+                docs, "lang", "w", total_budget=60, epoch_cap=1
+            ).collect()
+        }
+        assert rows["a"]["allocated"] == 10 and rows["a"]["capped"]
+        assert rows["b"]["allocated"] == 25 and not rows["b"]["capped"]
+        assert rows["c"]["allocated"] == 25 and not rows["c"]["capped"]
+
+    def test_remainder_distributed_exactly(self, spark):
+        from tastytrade_sdk_spark.llmops.pipeline import unimax_allocation
+
+        docs = spark.createDataFrame(
+            [("a", 100), ("b", 100), ("c", 100)], "lang string, w long"
+        )
+        rows = unimax_allocation(
+            docs, "lang", "w", total_budget=50, epoch_cap=1
+        ).collect()
+        allocs = sorted(r["allocated"] for r in rows)
+        assert sum(allocs) == 50
+        assert allocs == [16, 17, 17]
+
+    def test_budget_exceeds_capacity(self, spark):
+        from tastytrade_sdk_spark.llmops.pipeline import unimax_allocation
+
+        docs = spark.createDataFrame(
+            [("a", 5), ("b", 7)], "lang string, w long"
+        )
+        rows = {
+            r["lang"]: r
+            for r in unimax_allocation(
+                docs, "lang", "w", total_budget=1000, epoch_cap=2
+            ).collect()
+        }
+        assert rows["a"]["allocated"] == 10 and rows["a"]["capped"]
+        assert rows["b"]["allocated"] == 14 and rows["b"]["capped"]
+
+
+class TestSpanCorruptionPlan:
+    def _plan(self, spark, texts):
+        from tastytrade_sdk_spark.llmops.pipeline import span_corruption_plan
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return span_corruption_plan(docs).collect()
+
+    def test_spans_nonoverlapping_and_in_bounds(self, spark):
+        words = " ".join(f"w{i}" for i in range(200))
+        rows = sorted(
+            self._plan(spark, [words]), key=lambda r: r["span_idx"]
+        )
+        # 200 tokens * 15% / 3 = 10 spans
+        assert len(rows) == 10
+        prev_end = 0
+        for r in rows:
+            assert r["start_tok"] >= prev_end
+            assert r["len_tok"] == 3
+            assert r["start_tok"] + r["len_tok"] <= 200
+            prev_end = r["start_tok"] + r["len_tok"]
+
+    def test_short_doc_no_rows(self, spark):
+        # 19 tokens * 150 // 3000 = 0 spans
+        rows = self._plan(spark, [" ".join(f"w{i}" for i in range(19))])
+        assert rows == []
+
+    def test_density_tracks_target(self, spark):
+        words = " ".join(f"w{i}" for i in range(1000))
+        rows = self._plan(spark, [words])
+        covered = sum(r["len_tok"] for r in rows)
+        assert covered == 150  # 1000 * 15% exactly, spans of 3

@@ -634,3 +634,77 @@ class TestBloom:
             F.pmod(F.xxhash64("k", F.lit(0x9E3779B9)), F.lit(n_bits)) == 0
         ).count()
         assert raw_zero > 0
+
+
+class TestHLL:
+    def _ev(self, spark, n, offset=0):
+        return spark.createDataFrame(
+            [(("g%d" % (i % 2)), "u%d" % (i + offset)) for i in range(n)],
+            "grp string, uid string",
+        )
+
+    def test_estimate_within_sketch_error(self, spark):
+        from tastytrade_sdk_spark.operators.sketches import (
+            hll_estimate,
+            hll_sketch,
+        )
+
+        # 2000 distinct uids split over 2 groups (1000 each); m=64 ->
+        # relative error ~1.04/8 = 13%; assert a generous 3-sigma 40%
+        sk = hll_sketch(self._ev(spark, 2000), ["grp"], "uid", p=6)
+        rows = hll_estimate(sk, p=6).collect()
+        assert len(rows) == 2
+        for r in rows:
+            assert 600 < r["hll_estimate"] < 1400
+
+    def test_merge_equals_union_sketch(self, spark):
+        from tastytrade_sdk_spark.operators.sketches import (
+            hll_merge,
+            hll_sketch,
+        )
+
+        a = self._ev(spark, 500)
+        b = self._ev(spark, 500, offset=300)  # overlapping halves
+        both = a.union(b)
+        sk_union = {
+            r["grp"]: r["hll_regs"]
+            for r in hll_sketch(both, ["grp"], "uid", p=6).collect()
+        }
+        sk_a = hll_sketch(a, ["grp"], "uid", p=6)
+        sk_b = hll_sketch(b, ["grp"], "uid", p=6).withColumnRenamed(
+            "hll_regs", "regs_b"
+        )
+        merged = {
+            r["grp"]: r["m"]
+            for r in sk_a.join(sk_b, "grp")
+            .select("grp", hll_merge(F.col("hll_regs"), F.col("regs_b")).alias("m"))
+            .collect()
+        }
+        assert merged == sk_union
+
+    def test_small_group_linear_counting_near_exact(self, spark):
+        from tastytrade_sdk_spark.operators.sketches import (
+            hll_estimate,
+            hll_sketch,
+        )
+
+        ev = spark.createDataFrame(
+            [("g", "u%d" % i) for i in range(10)], "grp string, uid string"
+        )
+        sk = hll_sketch(ev, ["grp"], "uid", p=6)
+        r = hll_estimate(sk, p=6).collect()[0]
+        # linear counting at n=10, m=64: worst case all distinct regs
+        assert r["hll_zero_regs"] >= 54
+        assert 8 <= r["hll_estimate"] <= 13
+
+    def test_duplicates_do_not_change_sketch(self, spark):
+        from tastytrade_sdk_spark.operators.sketches import hll_sketch
+
+        ev = self._ev(spark, 300)
+        once = hll_sketch(ev, ["grp"], "uid", p=6).collect()
+        tripled = hll_sketch(
+            ev.union(ev).union(ev), ["grp"], "uid", p=6
+        ).collect()
+        assert sorted((r["grp"], tuple(r["hll_regs"])) for r in once) == sorted(
+            (r["grp"], tuple(r["hll_regs"])) for r in tripled
+        )
