@@ -989,3 +989,74 @@ def span_corruption_plan(
         span_len.cast("long").alias("len_tok"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+def hashed_linear_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "qw-v1",
+) -> DataFrame:
+    """FastText-style linear text-classifier INFERENCE over a corpus
+    (Joulin et al. 2017 / the FineWeb-Edu "model-based quality filter"
+    stage): token unigram and bigram features hash into ``n_buckets``
+    buckets (the hashing trick), the document score is the dot product
+    of its feature occurrences with a bucket weight vector, and
+    keep = score > 0.
+
+    The WEIGHTS here are deterministic placeholders derived from the
+    bucket index hash (a nibble mapped to [-8, 7]) — this container has
+    no trained model artifact, and shipping one is out of scope; a real
+    deployment broadcasts its quantized weight table and swaps it in at
+    the single marked site. Everything else — feature hashing, bigram
+    construction, exact integer scoring, the keep gate — is the real
+    inference machinery, exercised end to end.
+
+    100 TB shape: ZERO shuffles. The entire score is higher-order array
+    expressions fused into the scan (tokens -> bigrams via zip_with,
+    per-feature weight via md5, one aggregate fold); no explode, no
+    per-token rows, no Python. Scoring is strictly scan-bound, like
+    pii_scrub.
+    """
+    toks = tokens_expr(F.col(text_col))
+
+    def bucket_weight(feat: Column) -> Column:
+        # placeholder weight table: swap THIS expression for a
+        # broadcast lookup of trained quantized weights
+        bucket = h32(F.concat_ws(":", F.lit(salt), feat)) % n_buckets
+        return (
+            h32(F.concat_ws(":", F.lit(salt), F.lit("w"), bucket.cast("string")))
+            % 16
+            - 8
+        )
+
+    scored = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+    ).select(
+        id_col,
+        F.concat(
+            F.col("__t"),
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice(
+                    F.col("__t"),
+                    2,
+                    F.greatest(F.size("__t") - 1, F.lit(0)),
+                ),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).alias("__feats"),
+    )
+    score = F.aggregate(
+        F.col("__feats"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + bucket_weight(t),
+    )
+    return scored.select(
+        id_col,
+        F.size("__feats").cast("long").alias("n_feats"),
+        score.alias("clf_score"),
+        (score > 0).alias("keep"),
+    )
