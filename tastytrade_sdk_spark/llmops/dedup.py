@@ -757,3 +757,60 @@ def snapshot_diff(
     )
     return j.select(F.col(id_col), status.alias("status"),
                     "old_hash", "new_hash")
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SoftDedup (He et al. 2024): DOWNWEIGHT duplicated content for
+    training-time resampling instead of dropping it — hard dedup
+    discards the informative first copy along with the redundancy;
+    soft dedup keeps every doc but makes its sampling weight inversely
+    proportional to its "commonness" (how widely its n-grams are
+    duplicated across the corpus).
+
+    Commonness here = mean docs-per-shingle over the doc's distinct
+    shingles, kept as an exact integer pair (sum, count); the sampling
+    weight is weight_ppm = (n_shingles * 1e6) DIV sum(docs-per-
+    shingle) — 1,000,000 for an all-unique doc, ~1e6/k for a doc whose
+    shingles live in ~k documents. ALL-INTEGER, so the weights are
+    bit-stable across engines and feed pipeline.priority_sample's
+    integer priorities directly (weight_col="weight_ppm").
+
+    Plan shape: identical to dup_shingle_fraction — ONE h32-keyed
+    shuffle for corpus shingle frequencies, one hash re-join, one
+    per-doc agg; linear in total shingles, the shingle text never
+    shuffles.
+    """
+    from tastytrade_sdk_spark.llmops.textops import h32
+
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n, "__sh").select(
+        F.col(id_col), h32(F.col("__sh")).alias("__h")
+    )
+    freq = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__n_docs"))
+    per_doc = (
+        sh.join(freq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("__n_docs").alias("commonness_sum"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("commonness_sum", F.lit(0)).alias("commonness_sum"),
+            # a doc too short to shingle has no duplication evidence:
+            # full weight, not zero (it would otherwise never sample)
+            F.expr(
+                "CASE WHEN coalesce(n_shingles, 0) = 0 THEN CAST(1000000 AS BIGINT) "
+                "ELSE CAST(n_shingles * 1000000 AS BIGINT) DIV commonness_sum END"
+            ).alias("weight_ppm"),
+        )
+    )

@@ -872,3 +872,42 @@ class TestIvfIndex:
         plan = got._jdf.queryExecution().executedPlan().toString()
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and "list_id" in m.group(1), plan[:2000]
+
+
+class TestSoftDedupWeights:
+    def test_weights_inverse_to_duplication(self, spark):
+        from tastytrade_sdk_spark.llmops.dedup import soft_dedup_weights
+
+        dup = "alpha beta gamma delta epsilon zeta"
+        docs = spark.createDataFrame(
+            [
+                (1, dup),
+                (2, dup),
+                (3, dup),
+                (4, "unique words only here nothing shared anywhere"),
+                (5, "ab"),  # too short to shingle
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in soft_dedup_weights(docs).collect()}
+        # triplicated doc: every shingle lives in 3 docs -> ~1e6/3
+        assert rows[1]["weight_ppm"] == 333333
+        assert rows[1]["weight_ppm"] == rows[2]["weight_ppm"]
+        # all-unique doc: full weight
+        assert rows[4]["weight_ppm"] == 1000000
+        # shingle-less doc: full weight, not zero
+        assert rows[5]["n_shingles"] == 0
+        assert rows[5]["weight_ppm"] == 1000000
+
+    def test_composes_with_priority_sample(self, spark):
+        from tastytrade_sdk_spark.llmops.dedup import soft_dedup_weights
+        from tastytrade_sdk_spark.llmops.pipeline import priority_sample
+
+        docs = spark.createDataFrame(
+            [(i, f"common text block shared by every doc {i % 3}")
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        weighted = soft_dedup_weights(docs)
+        out = priority_sample(weighted, [], "doc_id", "weight_ppm", k=10)
+        assert out.count() == 10
