@@ -268,13 +268,9 @@ def stratified_hash_sample(
     the 100 TB fast path when exact per-stratum counts don't matter;
     this exact-k form is the one an eval pipeline wants.
     """
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    from tastytrade_sdk_spark.llmops.textops import h60
+
+    h = h60(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
@@ -792,17 +788,9 @@ def priority_sample(
 
     Output: group_cols..., id, weight_used, priority, sample_rank.
     """
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    from tastytrade_sdk_spark.llmops.textops import h60
+
+    u = h60(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
     w = F.greatest(F.col(weight_col).cast("long"), F.lit(1))
     keyed = df.select(
         *group_cols,

@@ -89,6 +89,15 @@ def h32(s: Column) -> Column:
     return hex32(F.md5(s))
 
 
+def h60(s: Column) -> Column:
+    """First 15 md5 hex digits as an unsigned 60-bit integer — the
+    repo's single wide cross-engine hash (DuckDB twin:
+    ``('0x' || substring(md5(x), 1, 15))::BIGINT``). Every sketch and
+    sampler derives from THIS helper so the width/idiom contract lives
+    in one place."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature(
     shingles: Column, coeffs: list[tuple[int, int]]
 ) -> list[Column]:

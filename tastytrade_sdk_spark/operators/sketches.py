@@ -48,7 +48,9 @@ _H60_DEN = float(1 << 60)
 
 def _h60(c: Column) -> Column:
     """Uniform 60-bit integer hash of a column's string form."""
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    from tastytrade_sdk_spark.llmops.textops import h60
+
+    return h60(c.cast("string"))
 
 
 def kmv_distinct(
@@ -450,20 +452,27 @@ def hll_sketch(
     m = 1 << p
     reg, rho = _hll_reg_rho(F.col(value_col), p)
     per_reg = (
-        df.select(*group_cols, reg.alias("__reg"), rho.alias("__rho"))
+        # NULL values carry no identity and would become a NULL map
+        # key (a hard error) in the dense assembly below — drop them,
+        # matching kmv_distinct's effective semantics
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, reg.alias("__reg"), rho.alias("__rho"))
         .groupBy(*group_cols, "__reg")
         .agg(F.max("__rho").alias("__mr"))
     )
+    # build the (reg -> max rho) map ONCE per group, then index it m
+    # times — map_from_entries inside the transform lambda would be
+    # rebuilt per element (O(m^2) per group)
+    as_map = per_reg.groupBy(*group_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("__reg", "__mr"))).alias(
+            "__map"
+        )
+    )
     regs = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda i: F.coalesce(
-            F.element_at(
-                F.map_from_entries(F.collect_list(F.struct("__reg", "__mr"))), i
-            ),
-            F.lit(0),
-        ),
+        lambda i: F.coalesce(F.element_at("__map", i), F.lit(0)),
     )
-    return per_reg.groupBy(*group_cols).agg(regs.alias("hll_regs"))
+    return as_map.select(*group_cols, regs.alias("hll_regs"))
 
 
 def hll_merge(regs_a: Column, regs_b: Column) -> Column:
@@ -486,16 +495,34 @@ def hll_estimate(sketches: DataFrame, p: int = 6) -> DataFrame:
     m = 1 << p
     if m < 64:
         raise ValueError("hll_estimate: p < 6 needs per-m alpha, use p >= 6")
+    # a register array whose length disagrees with p (store written at
+    # a different p, or the wrong p passed here) would silently score
+    # with the wrong m — raise instead. assert_true is woven INTO the
+    # harmonic-sum expression so column pruning cannot drop the check.
+    length_ok = F.assert_true(
+        F.size("hll_regs") == F.lit(m),
+        F.concat(
+            F.lit(f"hll_estimate: register array length != m={m} (got "),
+            F.size("hll_regs").cast("string"),
+            F.lit(") — sketch built with a different p"),
+        ),
+    )
     scale = 61 - p  # max rho, so 2^(scale - rho) is integral
     # 2^(scale - r) via shiftright of the fixed 2^scale: pure integer
     # arithmetic (the Python F.shiftright wrapper rejects column shift
     # amounts; the SQL function accepts them)
-    sum_int = F.expr(
-        f"aggregate(hll_regs, CAST(0 AS BIGINT), "
-        f"(acc, r) -> acc + shiftright(CAST({1 << scale} AS BIGINT), r))"
+    sum_int = F.when(
+        length_ok.isNull(),
+        F.expr(
+            f"aggregate(hll_regs, CAST(0 AS BIGINT), "
+            f"(acc, r) -> acc + shiftright(CAST({1 << scale} AS BIGINT), r))"
+        ),
     )
     v = F.size(F.filter(F.col("hll_regs"), lambda r: r == 0))
-    raw = F.lit(0.709 * m * m * float(1 << scale)) / sum_int.cast("double")
+    # published bias constants (Flajolet et al. §4): alpha_64 = 0.709
+    # exactly; for larger m the closed form 0.7213/(1 + 1.079/m)
+    alpha = 0.709 if m == 64 else 0.7213 / (1.0 + 1.079 / m)
+    raw = F.lit(alpha * m * m * float(1 << scale)) / sum_int.cast("double")
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (v > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),

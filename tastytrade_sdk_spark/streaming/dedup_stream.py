@@ -110,11 +110,14 @@ def read_band_store(
     instead of a path-not-found AnalysisException. ``owner_type`` is
     the id column's Spark type (the writer stores the caller's id
     values as ``owner``)."""
-    if not os.path.exists(store_path):
+    from tastytrade_sdk_spark.streaming.sinks import readable_store_path
+
+    readable = readable_store_path(store_path)
+    if readable is None:
         return spark.createDataFrame(
             [], f"band_id int, band_hash string, owner {owner_type}"
         )
-    return spark.read.parquet(store_path)
+    return spark.read.parquet(readable)
 
 
 def streaming_near_dup_sink(

@@ -34,7 +34,11 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tastytrade_sdk_spark.streaming.sinks import _commit_swap, _epoch_admits
+from tastytrade_sdk_spark.streaming.sinks import (
+    _commit_swap,
+    _epoch_admits,
+    readable_store_path,
+)
 
 _TOTAL_KEY = "\x00__mg_total__"
 
@@ -122,10 +126,11 @@ def read_mg_store(spark, store_path: str, key_col: str) -> tuple[DataFrame, int]
     epoch-rejected, so mg_store_batch never wrote) reads as an empty
     candidate set with 0 rows seen — the state a zero-event stream is
     actually in — instead of a path-not-found AnalysisException."""
-    if not os.path.exists(store_path):
+    readable = readable_store_path(store_path)
+    if readable is None:
         df = spark.createDataFrame([], f"`{key_col}` string, mg_lb long")
         return df, 0
-    df = spark.read.parquet(store_path)
+    df = spark.read.parquet(readable)
     total = (
         df.filter(F.col(key_col) == F.lit(_TOTAL_KEY))
         .agg(F.coalesce(F.sum("mg_lb"), F.lit(0)))

@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tastytrade_sdk_spark.operators.sketches import hll_merge, hll_sketch
-from tastytrade_sdk_spark.streaming.sinks import _commit_swap, _epoch_admits
+from tastytrade_sdk_spark.streaming.sinks import (
+    _commit_swap,
+    _epoch_admits,
+    readable_store_path,
+)
 
 
 def hll_store_batch(
@@ -72,11 +76,26 @@ def hll_store_batch(
             "hll_regs", "__store_regs"
         )
         zeros = F.array_repeat(F.lit(0), m)
+        # a store written at a different p would zip_with into a
+        # silently corrupt mixed-length merge — raise instead; the
+        # assert is woven into the merge expression so pruning cannot
+        # drop it (NULL store side = group absent from store, fine)
+        stored_ok = F.assert_true(
+            F.col("__store_regs").isNull()
+            | (F.size("__store_regs") == F.lit(m)),
+            F.lit(
+                f"hll_store_batch: store register length != m={m} — "
+                "store was written with a different p"
+            ),
+        )
         merged = batch_sk.join(store, group_col, "full_outer").select(
             group_col,
-            hll_merge(
-                F.coalesce(F.col("hll_regs"), zeros),
-                F.coalesce(F.col("__store_regs"), zeros),
+            F.when(
+                stored_ok.isNull(),
+                hll_merge(
+                    F.coalesce(F.col("hll_regs"), zeros),
+                    F.coalesce(F.col("__store_regs"), zeros),
+                ),
             ).alias("hll_regs"),
         )
     else:
@@ -88,11 +107,12 @@ def read_hll_store(spark, store_path: str, group_col: str) -> DataFrame:
     """The store as a DataFrame; a never-created store (every batch so
     far empty or epoch-rejected) reads as an empty frame rather than a
     path-not-found AnalysisException."""
-    if not os.path.exists(store_path):
+    readable = readable_store_path(store_path)
+    if readable is None:
         return spark.createDataFrame(
             [], f"`{group_col}` string, hll_regs array<int>"
         )
-    return spark.read.parquet(store_path)
+    return spark.read.parquet(readable)
 
 
 def hll_store_sink(

@@ -344,3 +344,20 @@ def compact_parquet_table(
         "files_after": n_out,
         "bytes": total,
     }
+
+
+def readable_store_path(path: str) -> "str | None":
+    """Directory a READ-ONLY consumer should scan: the store itself,
+    or the pre-swap ``.__old`` snapshot if a writer crashed between
+    _commit_swap's two renames (store absent, old present) — without
+    it a reader in that window would mistake a populated store for a
+    never-created one and report empty results. Readers never mutate
+    (the next write's _epoch_admits performs the actual restore), so a
+    reader racing that recovery sees one complete snapshot either way.
+    Returns None when neither exists (genuinely never created)."""
+    if os.path.exists(path):
+        return path
+    old = path + ".__old"
+    if os.path.exists(old):
+        return old
+    return None

@@ -87,32 +87,42 @@ class TestHLLStore:
         rows = read_hll_store(spark, tmpdir_store, "grp").collect()
         assert [r["grp"] for r in rows] == ["g"]
 
-
-class TestHashedLinearScores:
-    def test_score_matches_python_replication(self, spark):
-        import hashlib
-
-        from tastytrade_sdk_spark.llmops.pipeline import hashed_linear_scores
-
-        texts = ["the quick brown fox", "one", ""]
-        docs = spark.createDataFrame(
-            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    def test_null_values_ignored_not_crashing(self, spark, tmpdir_store):
+        df = spark.createDataFrame(
+            [("g", "u1"), ("g", None), ("h", None)],
+            "grp string, uid string",
         )
-        got = {
-            r["doc_id"]: (r["n_feats"], r["clf_score"], r["keep"])
-            for r in hashed_linear_scores(docs).collect()
-        }
+        hll_store_batch(df, tmpdir_store, "grp", "uid", 0)
+        rows = {r["grp"] for r in
+                read_hll_store(spark, tmpdir_store, "grp").collect()}
+        # "h" had only NULL values -> no sketch row; "g" sketched u1
+        assert rows == {"g"}
 
-        def h32(s):
-            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-
-        for i, t in enumerate(texts):
-            toks = [w for w in t.lower().split() if w]
-            feats = toks + [
-                f"{a} {b}" for a, b in zip(toks, toks[1:])
-            ]
-            score = sum(
-                h32(f"qw-v1:w:{h32('qw-v1:' + x) % 1024}") % 16 - 8
-                for x in feats
+    def test_wrong_p_store_raises_not_corrupts(self, spark, tmpdir_store):
+        hll_store_batch(_ev(spark, 0, 100), tmpdir_store, "grp", "uid", 0, p=7)
+        with pytest.raises(Exception, match="different p"):
+            hll_store_batch(
+                _ev(spark, 100, 200), tmpdir_store, "grp", "uid", 1, p=6
             )
-            assert got[i] == (len(feats), score, score > 0)
+
+    def test_wrong_p_estimate_raises(self, spark):
+        sk = hll_sketch(_ev(spark, 0, 100), ["grp"], "uid", p=7)
+        with pytest.raises(Exception, match="different p"):
+            hll_estimate(sk, p=6).collect()
+
+    def test_reader_sees_old_snapshot_mid_swap(self, spark, tmpdir_store):
+        import os
+
+        hll_store_batch(_ev(spark, 0, 300), tmpdir_store, "grp", "uid", 0)
+        expect = {
+            r["grp"]: tuple(r["hll_regs"])
+            for r in read_hll_store(spark, tmpdir_store, "grp").collect()
+        }
+        # simulate a writer crash between _commit_swap's two renames:
+        # store renamed away to .__old, replacement never landed
+        os.rename(tmpdir_store, tmpdir_store + ".__old")
+        rows = {
+            r["grp"]: tuple(r["hll_regs"])
+            for r in read_hll_store(spark, tmpdir_store, "grp").collect()
+        }
+        assert rows == expect

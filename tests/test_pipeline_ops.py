@@ -778,3 +778,33 @@ class TestSpanCorruptionPlan:
         rows = self._plan(spark, [words])
         covered = sum(r["len_tok"] for r in rows)
         assert covered == 150  # 1000 * 15% exactly, spans of 3
+
+
+class TestHashedLinearScores:
+    def test_score_matches_python_replication(self, spark):
+        import hashlib
+
+        from tastytrade_sdk_spark.llmops.pipeline import hashed_linear_scores
+
+        texts = ["the quick brown fox", "one", ""]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_feats"], r["clf_score"], r["keep"])
+            for r in hashed_linear_scores(docs).collect()
+        }
+
+        def h32(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        for i, t in enumerate(texts):
+            toks = [w for w in t.lower().split() if w]
+            feats = toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+            score = sum(
+                h32(f"qw-v1:w:{h32('qw-v1:' + x) % 1024}") % 16 - 8
+                for x in feats
+            )
+            assert got[i] == (len(feats), score, score > 0)
