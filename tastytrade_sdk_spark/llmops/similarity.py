@@ -728,6 +728,35 @@ def ivf_index_write(
     )
 
 
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new vector batch into a persisted IVF index WITHOUT
+    rebuilding — the daily-ingest path of the index-as-table
+    lifecycle: assign the batch with the SAME pinned centroids and
+    parquet-append into the list partitions (dynamic partition append
+    touches only the lists the batch lands in). Because assignment
+    depends only on (vector, centroids), an index produced by ANY
+    sequence of appends is row-equivalent to a one-shot
+    ivf_index_write of the union — pinned by the equivalence test and
+    by ivf_index_append_search sharing ann_ivf_cosine's exact oracle.
+    Ongoing maintenance: per-partition small-file compaction
+    (sinks.compact_parquet_table) when a list accumulates batch
+    files."""
+    assign_udf = _ivf_assign_udf(centroids)
+    (
+        _spread(new_vectors.select(id_col, vec_col))
+        .withColumn("list_id", assign_udf(F.col(vec_col)))
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
 def ivf_index_topk(
     spark,
     path: str,

@@ -874,6 +874,43 @@ class TestIvfIndex:
         assert m and "list_id" in m.group(1), plan[:2000]
 
 
+class TestIvfIndexAppend:
+    def test_append_equals_oneshot_build(self, spark, tmp_path):
+        """An index built by write(half) + append(half) must hold
+        exactly the rows (incl. list assignment) of a one-shot build,
+        and answer searches identically."""
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            ivf_index_append,
+            ivf_index_topk,
+            ivf_index_write,
+        )
+        from tastytrade_sdk_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        cent = axis_centroids(16, 64)
+        inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+        ivf_index_write(emb.filter(F.col("vec_id") % 2 == 0), inc, cent)
+        ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), inc, cent)
+        ivf_index_write(emb, full, cent)
+
+        def rows(path):
+            df = spark.read.parquet(path)
+            return sorted(
+                (r["vec_id"], r["list_id"]) for r in df.collect()
+            )
+
+        assert rows(inc) == rows(full)
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = ivf_index_topk(spark, inc, queries, cent, k=5, nprobe=4)
+        want = ivf_index_topk(spark, full, queries, cent, k=5, nprobe=4)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
 class TestSoftDedupWeights:
     def test_weights_inverse_to_duplication(self, spark):
         from tastytrade_sdk_spark.llmops.dedup import soft_dedup_weights
