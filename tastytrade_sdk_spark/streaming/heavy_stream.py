@@ -156,3 +156,103 @@ def mg_store_sink(
             )
         )
     )
+
+
+def _committed_epoch(store_path: str) -> int:
+    ef = os.path.join(store_path, "_epoch")
+    if os.path.exists(ef):
+        with open(ef) as fh:
+            return int(fh.read().strip())
+    return -1
+
+
+def decayed_topk_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    key_col: str,
+    capacity: int,
+    epoch_id: int,
+) -> None:
+    """Bounded exponentially-decayed top-k ("TRENDING keys") store:
+    carried scores are halved once per elapsed epoch (integer
+    score DIV 2^gap — gaps from empty/skipped epochs decay too), the
+    batch's counts are added, and only the top ``capacity`` rows by
+    (score DESC, key ASC) survive. The all-time MG store answers
+    "most frequent ever"; this answers "most frequent lately" in the
+    same fixed state.
+
+    Honest guarantee statement: truncation-after-decay is the standard
+    space-bounded trending heuristic (decayed SpaceSaving shape) — it
+    has NO deterministic undercount bound the way strict MG does. What
+    IS exact: the arithmetic (all-integer halvings, zero float decay
+    drift), determinism (same batch sequence -> same store, replayed
+    row-for-row by decayed_topk_replay's unrolled oracle), and replay
+    safety (the decay+add merge is NOT idempotent, so the shared epoch
+    guard skips redelivered epochs wholesale).
+
+    Scale shape per batch: one groupBy over the batch's keys with
+    map-side partials, a union with the <= capacity-row store, one
+    global row_number over (batch-distinct + capacity) rows — bounded
+    by the micro-batch, never by stream history.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    spark = batch_df.sparkSession
+    if not _epoch_admits(store_path, epoch_id, "decayed_topk_batch"):
+        return
+    # read the carried epoch AFTER the guard: a crashed swap's
+    # restore (.__old -> store) happens inside _epoch_admits, and the
+    # _epoch sidecar lives in the restored directory
+    committed = _committed_epoch(store_path)
+    if batch_df.isEmpty():
+        return
+    batch_counts = (
+        batch_df.select(F.col(key_col).cast("string").alias(key_col))
+        .filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    combined = batch_counts
+    if os.path.exists(store_path):
+        gap = max(epoch_id - committed, 0) if committed >= 0 else 0
+        decayed = spark.read.parquet(store_path).select(
+            key_col,
+            F.expr(f"score DIV {1 << min(gap, 62)}").alias("score"),
+        ).filter(F.col("score") > 0)
+        combined = combined.unionByName(decayed)
+    merged = combined.groupBy(key_col).agg(F.sum("score").alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col(key_col).asc())
+    survivors = (
+        merged.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= capacity)
+        .select(key_col, "score")
+    )
+    _commit_swap(survivors, store_path, epoch_id)
+
+
+def read_decayed_topk(spark, store_path: str, key_col: str) -> DataFrame:
+    """Store contents (key, score); empty frame for a never-created
+    store, pre-swap snapshot during a crashed writer's swap window."""
+    readable = readable_store_path(store_path)
+    if readable is None:
+        return spark.createDataFrame([], f"`{key_col}` string, score long")
+    return spark.read.parquet(readable)
+
+
+def decayed_topk_sink(
+    stream: DataFrame,
+    store_path: str,
+    key_col: str,
+    capacity: int,
+    checkpoint: str,
+):
+    """writeStream wiring for the trending-keys store."""
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda df, epoch: decayed_topk_batch(
+                df, store_path, key_col, capacity, epoch
+            )
+        )
+    )

@@ -181,3 +181,73 @@ def test_never_written_store_reads_empty(spark, tmp_path):
     assert total == 0
     assert cands.collect() == []
     assert [f.name for f in cands.schema.fields] == ["k", "mg_lb"]
+
+
+class TestDecayedTopK:
+    def _batch(self, spark, pairs):
+        rows = [(k,) for k, n in pairs for _ in range(n)]
+        return spark.createDataFrame(rows, "k string")
+
+    def test_decay_and_truncation(self, spark, tmp_path):
+        from tastytrade_sdk_spark.streaming.heavy_stream import (
+            decayed_topk_batch,
+            read_decayed_topk,
+        )
+
+        store = str(tmp_path / "store")
+        decayed_topk_batch(
+            self._batch(spark, [("a", 8), ("b", 4)]), store, "k", 3, 0
+        )
+        # epoch 1: a,b halve (4, 2); c arrives with 5
+        decayed_topk_batch(
+            self._batch(spark, [("c", 5)]), store, "k", 3, 1
+        )
+        got = {r["k"]: r["score"] for r in
+               read_decayed_topk(spark, store, "k").collect()}
+        assert got == {"a": 4, "b": 2, "c": 5}
+
+    def test_epoch_gap_decays_multiple_halvings(self, spark, tmp_path):
+        from tastytrade_sdk_spark.streaming.heavy_stream import (
+            decayed_topk_batch,
+            read_decayed_topk,
+        )
+
+        store = str(tmp_path / "store")
+        decayed_topk_batch(
+            self._batch(spark, [("a", 16)]), store, "k", 4, 0
+        )
+        # epoch jumps 0 -> 3: three halvings (16 -> 2)
+        decayed_topk_batch(
+            self._batch(spark, [("b", 1)]), store, "k", 4, 3
+        )
+        got = {r["k"]: r["score"] for r in
+               read_decayed_topk(spark, store, "k").collect()}
+        assert got == {"a": 2, "b": 1}
+
+    def test_capacity_truncates_lowest(self, spark, tmp_path):
+        from tastytrade_sdk_spark.streaming.heavy_stream import (
+            decayed_topk_batch,
+            read_decayed_topk,
+        )
+
+        store = str(tmp_path / "store")
+        decayed_topk_batch(
+            self._batch(spark, [("a", 5), ("b", 4), ("c", 3), ("d", 2)]),
+            store, "k", 2, 0,
+        )
+        got = {r["k"]: r["score"] for r in
+               read_decayed_topk(spark, store, "k").collect()}
+        assert got == {"a": 5, "b": 4}
+
+    def test_replayed_epoch_absorbed(self, spark, tmp_path):
+        from tastytrade_sdk_spark.streaming.heavy_stream import (
+            decayed_topk_batch,
+            read_decayed_topk,
+        )
+
+        store = str(tmp_path / "store")
+        decayed_topk_batch(self._batch(spark, [("a", 4)]), store, "k", 4, 0)
+        decayed_topk_batch(self._batch(spark, [("a", 4)]), store, "k", 4, 0)
+        got = {r["k"]: r["score"] for r in
+               read_decayed_topk(spark, store, "k").collect()}
+        assert got == {"a": 4}  # redelivery skipped, no decay+re-add
