@@ -703,6 +703,45 @@ def sq8_rescore_topk(
     )
 
 
+def _centroid_digest(centroids: "np.ndarray") -> str:
+    """Content digest of a centroid matrix (shape + float64 bytes) —
+    the identity an IVF index's routing is defined by."""
+    import hashlib
+
+    arr = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    return hashlib.md5(
+        repr(arr.shape).encode() + arr.tobytes()
+    ).hexdigest()
+
+
+def _check_centroid_sidecar(path: str, centroids: "np.ndarray", who: str) -> None:
+    """Refuse to touch an index whose persisted centroid digest does
+    not match the caller's centroids: appending or searching with
+    DIFFERENT centroids silently mis-routes (vectors land in / probes
+    visit lists the other side never uses) with no error — the digest
+    sidecar turns that silent corruption into a loud one."""
+    import os
+
+    sidecar = os.path.join(path, "_centroids_md5")
+    if not os.path.exists(sidecar):
+        raise ValueError(
+            f"{who}: {path} has no _centroids_md5 sidecar — not an "
+            "ivf_index_write-built index (or a pre-sidecar one); "
+            "rebuild with ivf_index_write to stamp the routing identity"
+        )
+    with open(sidecar) as fh:
+        stored = fh.read().strip()
+    got = _centroid_digest(centroids)
+    if stored != got:
+        raise ValueError(
+            f"{who}: centroid digest mismatch at {path} (index built "
+            f"with {stored[:12]}…, caller passed {got[:12]}…) — "
+            "appending/searching with different centroids would "
+            "silently mis-route; rebuild the index or pass the "
+            "original centroids"
+        )
+
+
 def ivf_index_write(
     corpus: DataFrame,
     path: str,
@@ -718,6 +757,8 @@ def ivf_index_write(
     visible as PartitionFilters in the scan). At lake scale the index
     is maintained like any other table: append new vectors to their
     list directories, compact per partition."""
+    import os
+
     assign_udf = _ivf_assign_udf(centroids)
     (
         _spread(corpus.select(id_col, vec_col))
@@ -726,6 +767,11 @@ def ivf_index_write(
         .partitionBy("list_id")
         .parquet(path)
     )
+    # stamp the routing identity (underscore-prefixed: invisible to
+    # the parquet reader); append/search verify it before touching
+    # the index
+    with open(os.path.join(path, "_centroids_md5"), "w") as fh:
+        fh.write(_centroid_digest(centroids))
 
 
 def ivf_index_append(
@@ -747,6 +793,7 @@ def ivf_index_append(
     Ongoing maintenance: per-partition small-file compaction
     (sinks.compact_parquet_table) when a list accumulates batch
     files."""
+    _check_centroid_sidecar(path, centroids, "ivf_index_append")
     assign_udf = _ivf_assign_udf(centroids)
     (
         _spread(new_vectors.select(id_col, vec_col))
@@ -776,6 +823,7 @@ def ivf_index_topk(
     column so only those directories are read. Scoring/top-k is the
     same exact path as ivf_topk, so results are identical to the
     in-memory form (equivalence-tested)."""
+    _check_centroid_sidecar(path, centroids, "ivf_index_topk")
     probe_udf = _ivf_probe_udf(centroids, nprobe)
     qb = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")

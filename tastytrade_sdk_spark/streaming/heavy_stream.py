@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from tastytrade_sdk_spark.streaming.sinks import (
     _commit_swap,
     _epoch_admits,
+    committed_epoch,
     readable_store_path,
 )
 
@@ -158,14 +159,6 @@ def mg_store_sink(
     )
 
 
-def _committed_epoch(store_path: str) -> int:
-    ef = os.path.join(store_path, "_epoch")
-    if os.path.exists(ef):
-        with open(ef) as fh:
-            return int(fh.read().strip())
-    return -1
-
-
 def decayed_topk_batch(
     batch_df: DataFrame,
     store_path: str,
@@ -203,8 +196,25 @@ def decayed_topk_batch(
     # read the carried epoch AFTER the guard: a crashed swap's
     # restore (.__old -> store) happens inside _epoch_admits, and the
     # _epoch sidecar lives in the restored directory
-    committed = _committed_epoch(store_path)
+    committed = committed_epoch(store_path)
     if batch_df.isEmpty():
+        # time still ADVANCES on an empty epoch: decay the carried
+        # scores and commit, so "lately" doesn't freeze during quiet
+        # periods — and so a trailing empty batch matches the replay
+        # oracle's halve-every-batch unrolling (the MG store skips
+        # empty batches because its counts are time-free; decayed
+        # scores are not)
+        if os.path.exists(store_path) and committed >= 0:
+            gap = max(epoch_id - committed, 0)
+            decayed = (
+                spark.read.parquet(store_path)
+                .select(
+                    key_col,
+                    F.expr(f"score DIV {1 << min(gap, 62)}").alias("score"),
+                )
+                .filter(F.col("score") > 0)
+            )
+            _commit_swap(decayed, store_path, epoch_id)
         return
     batch_counts = (
         batch_df.select(F.col(key_col).cast("string").alias(key_col))

@@ -140,6 +140,17 @@ def clustered_log_sink(
     )
 
 
+def committed_epoch(path: str) -> int:
+    """Last committed epoch from a store's ``_epoch`` sidecar, -1 if
+    the store (or sidecar) does not exist — the ONE parser for the
+    sidecar format (used by the guard below and by gap-decay sinks)."""
+    epoch_file = os.path.join(path, "_epoch")
+    if os.path.exists(epoch_file):
+        with open(epoch_file) as fh:
+            return int(fh.read().strip())
+    return -1
+
+
 def _epoch_admits(path: str, epoch_id: int, who: str) -> bool:
     """Shared epoch guard for NON-idempotent (additive/decrementing)
     foreachBatch merges. Recovers a crashed swap (``.__old`` left
@@ -151,11 +162,7 @@ def _epoch_admits(path: str, epoch_id: int, who: str) -> bool:
     tmp, old = path + ".__tmp", path + ".__old"
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
-    committed = -1
-    epoch_file = os.path.join(path, "_epoch")
-    if os.path.exists(epoch_file):
-        with open(epoch_file) as fh:
-            committed = int(fh.read().strip())
+    committed = committed_epoch(path)
     if epoch_id <= committed:
         if epoch_id < committed:
             raise ValueError(

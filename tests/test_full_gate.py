@@ -17,3 +17,24 @@ def test_all_queries_oracle_green(spark):
     assert not failing, "\n".join(
         f"{name}: {'; '.join(issues)}" for name, issues in failing.items()
     )
+
+
+def test_coverage_headline_count_matches_registry():
+    """COVERAGE.md's '<N> declared queries' headline must equal the
+    live registry size — the doc claims machine-checking, so machine-
+    check it (two r5 review rounds caught the count drifting)."""
+    import re
+
+    import __spark_entry__ as entry
+
+    n = len(entry.queries())
+    assert len(entry.oracle_sql()) == n, "every query needs an oracle"
+    head = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read(400)
+    m = re.search(r"\*\*(\d+) declared queries, (\d+) with exact", head)
+    assert m, "COVERAGE.md headline count line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n, n), (
+        f"COVERAGE.md claims {m.group(1)}/{m.group(2)} but the registry "
+        f"holds {n} — update the headline"
+    )

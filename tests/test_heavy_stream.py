@@ -251,3 +251,24 @@ class TestDecayedTopK:
         got = {r["k"]: r["score"] for r in
                read_decayed_topk(spark, store, "k").collect()}
         assert got == {"a": 4}  # redelivery skipped, no decay+re-add
+
+    def test_trailing_empty_batch_still_decays(self, spark, tmp_path):
+        from tastytrade_sdk_spark.streaming.heavy_stream import (
+            decayed_topk_batch,
+            read_decayed_topk,
+        )
+
+        store = str(tmp_path / "store")
+        decayed_topk_batch(self._batch(spark, [("a", 8), ("b", 1)]),
+                           store, "k", 4, 0)
+        empty = spark.createDataFrame([], "k string")
+        decayed_topk_batch(empty, store, "k", 4, 1)
+        got = {r["k"]: r["score"] for r in
+               read_decayed_topk(spark, store, "k").collect()}
+        # a halves to 4; b floors to 0 and drops — time advanced
+        assert got == {"a": 4}
+        # and the epoch committed: replaying epoch 1 must be a no-op
+        decayed_topk_batch(self._batch(spark, [("c", 9)]), store, "k", 4, 1)
+        got = {r["k"]: r["score"] for r in
+               read_decayed_topk(spark, store, "k").collect()}
+        assert got == {"a": 4}

@@ -948,3 +948,32 @@ class TestSoftDedupWeights:
         weighted = soft_dedup_weights(docs)
         out = priority_sample(weighted, [], "doc_id", "weight_ppm", k=10)
         assert out.count() == 10
+
+
+class TestIvfCentroidSidecar:
+    def test_append_and_search_reject_wrong_centroids(self, spark, tmp_path):
+        import numpy as np
+        import pytest as _pytest
+
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            ivf_index_append,
+            ivf_index_topk,
+            ivf_index_write,
+        )
+        from tastytrade_sdk_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        cent = axis_centroids(16, 64)
+        path = str(tmp_path / "index")
+        ivf_index_write(emb.filter(F.col("vec_id") < 100), path, cent)
+        other = np.asarray(cent) * 2.0  # different routing identity
+        with _pytest.raises(ValueError, match="digest mismatch"):
+            ivf_index_append(
+                emb.filter(F.col("vec_id") >= 100), path, other
+            )
+        with _pytest.raises(ValueError, match="digest mismatch"):
+            queries = emb.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            ivf_index_topk(spark, path, queries, other, k=3, nprobe=2)
