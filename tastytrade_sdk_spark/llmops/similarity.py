@@ -763,6 +763,11 @@ def ivf_index_write(
     (
         _spread(corpus.select(id_col, vec_col))
         .withColumn("list_id", assign_udf(F.col(vec_col)))
+        # cluster the write by list: without this every upstream task
+        # writes a sliver into every list directory (tasks x lists
+        # tiny files — the small-file problem the compaction tool
+        # exists to fix); with it each output task holds whole lists
+        .repartition(F.col("list_id"))
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(path)
@@ -798,6 +803,7 @@ def ivf_index_append(
     (
         _spread(new_vectors.select(id_col, vec_col))
         .withColumn("list_id", assign_udf(F.col(vec_col)))
+        .repartition(F.col("list_id"))  # same write clustering as build
         .write.mode("append")
         .partitionBy("list_id")
         .parquet(path)
