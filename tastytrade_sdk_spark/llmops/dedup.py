@@ -814,3 +814,47 @@ def soft_dedup_weights(
             ).alias("weight_ppm"),
         )
     )
+
+
+def best_copy_canonical(
+    df: DataFrame,
+    score_col,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: within each exact-duplicate
+    group keep the HIGHEST-scoring copy (tiebreak min id) instead of
+    the min-id copy — the RefinedWeb/CCNet-style policy when duplicate
+    copies differ in surrounding metadata quality (source, extraction
+    cleanliness) and dropping the "first" one would discard the best
+    extraction.
+
+    ALL-in-one-aggregate: the winner is a max() over a (score,
+    negated-id, id) struct — one content-hash-keyed shuffle with
+    map-side partials, no window, no join; identical cost to
+    exact_duplicates. ``score_col`` may be any numeric column or
+    expression (quality score, recency, source rank).
+
+    Output: content_hash, canonical_id, best_score, n_docs.
+    """
+    score = (
+        F.col(score_col) if isinstance(score_col, str) else score_col
+    ).cast("double")
+    pick = F.struct(
+        score.alias("s"),
+        (-F.col(id_col)).alias("neg_id"),
+        F.col(id_col).alias("id"),
+    )
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("content_hash"),
+            F.col(id_col),
+            pick.alias("__pick"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.max("__pick").getField("id").alias("canonical_id"),
+            F.max("__pick").getField("s").alias("best_score"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

@@ -1056,3 +1056,50 @@ def hashed_linear_scores(
         score.alias("clf_score"),
         (score > 0).alias("keep"),
     )
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "rdv-v1",
+    out_col: str = "shard",
+) -> Column | DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1996): each row's shard is the argmax over shards of
+    h32(salt:shard:id). Unlike ``id % n`` or hash-mod bucketing, a
+    shard-count change moves ONLY ~1/(n+1) of the rows (those whose
+    new shard wins their pairwise draw) — the property that lets a
+    100 TB corpus re-shard from n to n+1 workers by moving one
+    shard's worth of data instead of reshuffling everything
+    (split_assignment has the same stability for GROWING data; this
+    gives it for a CHANGING worker set).
+
+    Pure narrow expression — a transform over the n_shards sequence,
+    one argmax, zero shuffles; md5 draws are distinct with
+    probability 1 - ~n^2/2^32 per row, and the deterministic
+    max-hash-then-min-shard tiebreak keeps even a collision
+    engine-stable.
+
+    Output: input columns + ``out_col`` (int).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    draws = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.struct(
+            h32(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    s.cast("string"),
+                    F.col(id_col).cast("string"),
+                )
+            ).alias("h"),
+            (-s).alias("neg_s"),
+        ),
+    )
+    best = F.array_max(draws)
+    return df.withColumn(
+        out_col, (-best.getField("neg_s")).cast("int")
+    )

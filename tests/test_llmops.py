@@ -977,3 +977,25 @@ class TestIvfCentroidSidecar:
                 F.col("vec_id").alias("query_id"), "embedding"
             )
             ivf_index_topk(spark, path, queries, other, k=3, nprobe=2)
+
+
+class TestBestCopyCanonical:
+    def test_highest_score_wins_with_min_id_tiebreak(self, spark):
+        from tastytrade_sdk_spark.llmops.dedup import best_copy_canonical
+
+        docs = spark.createDataFrame(
+            [
+                (1, "same text", 3.0),
+                (2, "same text", 9.0),   # best score -> canonical
+                (3, "same text", 9.0),   # tie: loses to min id 2
+                (9, "other", 1.0),
+            ],
+            "doc_id long, text string, q double",
+        )
+        rows = {
+            r["canonical_id"]: r
+            for r in best_copy_canonical(docs, "q").collect()
+        }
+        assert set(rows) == {2, 9}
+        assert rows[2]["n_docs"] == 3 and rows[2]["best_score"] == 9.0
+        assert rows[9]["n_docs"] == 1

@@ -808,3 +808,35 @@ class TestHashedLinearScores:
                 for x in feats
             )
             assert got[i] == (len(feats), score, score > 0)
+
+
+class TestRendezvousShard:
+    def test_minimal_movement_and_balance(self, spark):
+        from tastytrade_sdk_spark.llmops.pipeline import rendezvous_shard
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(2000)], "doc_id long"
+        )
+        out = rendezvous_shard(docs, n_shards=8, out_col="s8")
+        out = rendezvous_shard(out, n_shards=9, out_col="s9").collect()
+        moved = sum(1 for r in out if r["s8"] != r["s9"])
+        # HRW: expected 1/9 (~222 of 2000); hash-mod would move ~8/9
+        assert moved < 2000 * 0.2
+        # rows that move, move TO the new shard only
+        for r in out:
+            if r["s8"] != r["s9"]:
+                assert r["s9"] == 8
+        # rough balance at n=8: each shard within 2x of fair share
+        from collections import Counter
+
+        c = Counter(r["s8"] for r in out)
+        assert set(c) == set(range(8))
+        assert max(c.values()) < 2 * 2000 / 8
+
+    def test_deterministic(self, spark):
+        from tastytrade_sdk_spark.llmops.pipeline import rendezvous_shard
+
+        docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        a = rendezvous_shard(docs, n_shards=5).collect()
+        b = rendezvous_shard(docs, n_shards=5).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
