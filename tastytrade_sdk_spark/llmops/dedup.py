@@ -829,11 +829,14 @@ def best_copy_canonical(
     cleanliness) and dropping the "first" one would discard the best
     extraction.
 
-    ALL-in-one-aggregate: the winner is a max() over a (score,
-    negated-id, id) struct — one content-hash-keyed shuffle with
+    ALL-in-one-aggregate: the winner is a min() over a
+    (negated-score, id) struct — one content-hash-keyed shuffle with
     map-side partials, no window, no join; identical cost to
     exact_duplicates. ``score_col`` may be any numeric column or
-    expression (quality score, recency, source rank).
+    expression (quality score, recency, source rank); ``id_col`` stays
+    fully type-generic (string/UUID ids compare fine under min —
+    negating the id for a max-struct would crash or silently invert
+    the tiebreak on non-numeric ids).
 
     Output: content_hash, canonical_id, best_score, n_docs.
     """
@@ -841,8 +844,7 @@ def best_copy_canonical(
         F.col(score_col) if isinstance(score_col, str) else score_col
     ).cast("double")
     pick = F.struct(
-        score.alias("s"),
-        (-F.col(id_col)).alias("neg_id"),
+        (-score).alias("neg_s"),
         F.col(id_col).alias("id"),
     )
     return (
@@ -853,8 +855,8 @@ def best_copy_canonical(
         )
         .groupBy("content_hash")
         .agg(
-            F.max("__pick").getField("id").alias("canonical_id"),
-            F.max("__pick").getField("s").alias("best_score"),
+            F.min("__pick").getField("id").alias("canonical_id"),
+            (-F.min("__pick").getField("neg_s")).alias("best_score"),
             F.count(F.lit(1)).alias("n_docs"),
         )
     )

@@ -1064,7 +1064,7 @@ def rendezvous_shard(
     n_shards: int = 8,
     salt: str = "rdv-v1",
     out_col: str = "shard",
-) -> Column | DataFrame:
+) -> DataFrame:
     """Rendezvous (highest-random-weight) shard assignment (Thaler &
     Ravishankar 1996): each row's shard is the argmax over shards of
     h32(salt:shard:id). Unlike ``id % n`` or hash-mod bucketing, a
@@ -1100,6 +1100,13 @@ def rendezvous_shard(
         ),
     )
     best = F.array_max(draws)
+    # NULL ids get a NULL shard (concat_ws would silently drop the id
+    # from the hash input and pile every NULL-id row onto one spurious
+    # shard — and diverge from the SQL twin, which NULLs the draws)
     return df.withColumn(
-        out_col, (-best.getField("neg_s")).cast("int")
+        out_col,
+        F.when(
+            F.col(id_col).isNotNull(),
+            (-best.getField("neg_s")).cast("int"),
+        ),
     )

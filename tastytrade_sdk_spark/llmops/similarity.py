@@ -703,6 +703,12 @@ def sq8_rescore_topk(
     )
 
 
+# files-per-list bound for the clustered index writes: each inverted
+# list spreads over at most this many write tasks (skew headroom)
+# while total files stay <= lists x this (small-file bound)
+_IVF_FILES_PER_LIST = 8
+
+
 def _centroid_digest(centroids: "np.ndarray") -> str:
     """Content digest of a centroid matrix (shape + float64 bytes) —
     the identity an IVF index's routing is defined by."""
@@ -763,11 +769,18 @@ def ivf_index_write(
     (
         _spread(corpus.select(id_col, vec_col))
         .withColumn("list_id", assign_udf(F.col(vec_col)))
-        # cluster the write by list: without this every upstream task
-        # writes a sliver into every list directory (tasks x lists
-        # tiny files — the small-file problem the compaction tool
-        # exists to fix); with it each output task holds whole lists
-        .repartition(F.col("list_id"))
+        # cluster the write by (list, bounded salt): without it every
+        # upstream task writes a sliver into every list directory
+        # (tasks x lists tiny files — the small-file problem the
+        # compaction tool exists to fix); clustering by list_id ALONE
+        # would serialize each list into one task (IVF lists are
+        # naturally skewed — a hot centroid becomes a straggler/OOM at
+        # lake scale), so the salt bounds files-per-list at
+        # _IVF_FILES_PER_LIST while keeping hot lists parallel
+        .repartition(
+            F.col("list_id"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(_IVF_FILES_PER_LIST)),
+        )
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(path)
@@ -803,7 +816,11 @@ def ivf_index_append(
     (
         _spread(new_vectors.select(id_col, vec_col))
         .withColumn("list_id", assign_udf(F.col(vec_col)))
-        .repartition(F.col("list_id"))  # same write clustering as build
+        # same (list, bounded salt) write clustering as the build
+        .repartition(
+            F.col("list_id"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(_IVF_FILES_PER_LIST)),
+        )
         .write.mode("append")
         .partitionBy("list_id")
         .parquet(path)

@@ -999,3 +999,14 @@ class TestBestCopyCanonical:
         assert set(rows) == {2, 9}
         assert rows[2]["n_docs"] == 3 and rows[2]["best_score"] == 9.0
         assert rows[9]["n_docs"] == 1
+
+    def test_string_ids_supported_with_min_tiebreak(self, spark):
+        from tastytrade_sdk_spark.llmops.dedup import best_copy_canonical
+
+        docs = spark.createDataFrame(
+            [("b", "same", 5.0), ("a", "same", 5.0), ("c", "same", 1.0)],
+            "doc_id string, text string, q double",
+        )
+        r = best_copy_canonical(docs, "q").collect()[0]
+        assert r["canonical_id"] == "a"  # equal best score -> min id
+        assert r["best_score"] == 5.0 and r["n_docs"] == 3

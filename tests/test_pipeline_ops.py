@@ -840,3 +840,14 @@ class TestRendezvousShard:
         a = rendezvous_shard(docs, n_shards=5).collect()
         b = rendezvous_shard(docs, n_shards=5).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_null_ids_get_null_shard(self, spark):
+        from tastytrade_sdk_spark.llmops.pipeline import rendezvous_shard
+
+        docs = spark.createDataFrame(
+            [(1,), (None,), (2,)], "doc_id long"
+        )
+        rows = {r["doc_id"]: r["shard"] for r in
+                rendezvous_shard(docs, n_shards=4).collect()}
+        assert rows[None] is None
+        assert rows[1] is not None and rows[2] is not None
