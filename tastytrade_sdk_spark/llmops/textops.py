@@ -264,6 +264,64 @@ GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
 GOPHER_MIN_STOPWORD_HITS = 2
 
 
+# C4 cleaning rules (Raffel et al., "Exploring the Limits of Transfer
+# Learning with a Unified Text-to-Text Transformer", §2.2): retain only
+# lines that end in a terminal punctuation mark and contain at least
+# C4_MIN_LINE_WORDS words; drop lines containing the word "javascript";
+# drop whole pages containing a curly brace or the phrase "lorem
+# ipsum"; drop pages with fewer than C4_MIN_LINES retained lines (the
+# paper's 3-sentence floor, applied at line granularity).
+C4_MIN_LINE_WORDS = 5
+C4_MIN_LINES = 3
+# explicit inner-whitespace class (not \s): Java \s matches \x0B,
+# RE2's does not — same cross-engine pitfall as BPE_ISH_PATTERN.
+_LWS = r" \t\r"
+
+
+def _c4_trim(line: Column) -> Column:
+    return F.regexp_replace(line, rf"^[{_LWS}]+|[{_LWS}]+$", "")
+
+
+def _c4_line_keep(trimmed: Column) -> Column:
+    n_words = F.size(
+        F.filter(F.split(trimmed, rf"[{_LWS}]+"), lambda x: x != "")
+    )
+    return (
+        (n_words >= C4_MIN_LINE_WORDS)
+        & trimmed.rlike(r'[.!?"]$')
+        & ~F.lower(trimmed).contains("javascript")
+    )
+
+
+def c4_line_flags(text: Column | str) -> dict[str, Column]:
+    """C4-style line-level cleaning (Raffel et al. §2.2) as pure JVM
+    array/regexp expressions — one narrow projection fused into the
+    corpus scan, no shuffle, no UDF; at 100 TB this is scan-bound
+    exactly like gopher_flags.
+
+    Returns per-doc columns: line counts before/after the line rules,
+    the two page-level drop flags (curly brace, "lorem ipsum"), the
+    conjunction ``keep``, and ``cleaned_text`` (retained lines re-
+    joined with newlines; NULL when the page is dropped). Lines are
+    whitespace-trimmed before the rules and in the rebuilt text."""
+    t = _c(text)
+    lines = F.transform(F.split(t, "\n"), _c4_trim)
+    kept = F.filter(lines, _c4_line_keep)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    drop_brace = t.contains("{") | t.contains("}")
+    drop_lorem = F.lower(t).contains("lorem ipsum")
+    keep = ~drop_brace & ~drop_lorem & (n_kept >= C4_MIN_LINES)
+    return {
+        "n_lines": n_lines.cast("long"),
+        "n_kept_lines": n_kept.cast("long"),
+        "drop_brace": drop_brace,
+        "drop_lorem": drop_lorem,
+        "keep": keep,
+        "cleaned_text": F.when(keep, F.array_join(kept, "\n")),
+    }
+
+
 def gopher_flags(tokens: Column, text: Column | str) -> dict[str, Column]:
     """Per-rule Gopher quality flags (True = rule PASSED) plus the
     underlying measurements. Pure JVM expressions — one narrow

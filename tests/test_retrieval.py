@@ -1,0 +1,167 @@
+"""Lexical retrieval (BM25 inverted index) + C4 line filters."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.llmops.retrieval import (
+    bm25_topk,
+    build_postings,
+    doc_lengths,
+)
+from tastytrade_sdk_spark.llmops.textops import c4_line_flags
+
+CORPUS = [
+    (0, "spark query engine with fast joins"),
+    (1, "spark query engine with fast scans and fast joins"),
+    (2, "slow table scans and window functions"),
+    (3, "the lazy dog sleeps"),
+    (4, "query planning for spark joins"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+class TestPostings:
+    def test_postings_tf(self, corpus):
+        rows = {
+            (r.term, r.doc_id): r.tf
+            for r in build_postings(corpus).collect()
+        }
+        assert rows[("fast", 1)] == 2
+        assert rows[("spark", 0)] == 1
+        assert ("dog", 3) in rows
+
+    def test_doc_lengths(self, corpus):
+        dl = {r.doc_id: r.dl for r in doc_lengths(corpus).collect()}
+        assert dl[0] == 6 and dl[3] == 4
+
+
+def _bm25_brute(query_terms, corpus, k1=1.2, b=0.75):
+    """Plain-Python BM25 replay (same rounding discipline)."""
+    toks = {d: t.lower().split() for d, t in corpus}
+    n = len(toks)
+    avgdl = round(sum(len(v) for v in toks.values()) / n, 6)
+    scores = {}
+    for term in set(query_terms):
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = round(math.log((n - df + 0.5) / (df + 0.5) + 1.0), 6)
+        for d, t in toks.items():
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            tfn = round(
+                tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * len(t) / avgdl)),
+                6,
+            )
+            scores[d] = scores.get(d, 0.0) + round(idf * tfn, 6)
+    return scores
+
+
+class TestBM25:
+    def test_matches_brute_force(self, corpus):
+        out = bm25_topk(
+            corpus, corpus.filter(F.col("doc_id") == 0), k=10
+        ).collect()
+        expected = _bm25_brute(CORPUS[0][1].split(), CORPUS)
+        expected.pop(0, None)  # self excluded
+        got = {r.doc_id: r.bm25 for r in out}
+        assert set(got) == set(expected)
+        for d, s in expected.items():
+            assert got[d] == pytest.approx(s, abs=1e-9)
+
+    def test_ranks_are_dense_and_ordered(self, corpus):
+        out = bm25_topk(corpus, corpus.filter(F.col("doc_id") < 2), k=3)
+        rows = sorted(
+            out.collect(), key=lambda r: (r.query_id, r.rank)
+        )
+        for q in {r.query_id for r in rows}:
+            qr = [r for r in rows if r.query_id == q]
+            assert [r.rank for r in qr] == list(range(1, len(qr) + 1))
+            scores = [r.bm25 for r in qr]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_self_match_excluded(self, corpus):
+        out = bm25_topk(corpus, corpus, k=10).collect()
+        assert all(r.query_id != r.doc_id for r in out)
+
+
+C4_DOCS = [
+    # 0: clean page — 3 good lines
+    (0, "The first line has enough words here.\n"
+        "Another line with plenty of words too!\n"
+        "A third good line ends with a question mark?"),
+    # 1: only 2 lines survive -> page dropped by the 3-line floor
+    (1, "The first line has enough words here.\n"
+        "short line.\n"
+        "no terminal punctuation on this long line\n"
+        "Another line with plenty of words too."),
+    # 2: javascript line removed, page keeps 3 others
+    (2, "Please enable JavaScript to view comments.\n"
+        "The first line has enough words here.\n"
+        "Another line with plenty of words too!\n"
+        "A third good line ends with a period."),
+    # 3: curly brace -> page dropped outright
+    (3, "The first line has enough words here.\n"
+        "function f() { return 1; }\n"
+        "Another line with plenty of words too.\n"
+        "A third good line ends with a period."),
+    # 4: lorem ipsum -> dropped
+    (4, "Lorem ipsum dolor sit amet something.\n"
+        "Another line with plenty of words too.\n"
+        "A third good line ends with a period."),
+    # 5: whitespace-padded lines are trimmed before the rules
+    (5, "   The first line has enough words here.   \n"
+        "\tAnother line with plenty of words too!\t\n"
+        "A third good line ends with a period."),
+]
+
+
+class TestC4LineFlags:
+    @pytest.fixture(scope="class")
+    def flagged(self, spark):
+        df = spark.createDataFrame(C4_DOCS, ["doc_id", "text"])
+        flags = c4_line_flags(F.col("text"))
+        return {
+            r.doc_id: r
+            for r in df.select(
+                "doc_id", *[v.alias(n) for n, v in flags.items()]
+            ).collect()
+        }
+
+    def test_clean_page_kept(self, flagged):
+        r = flagged[0]
+        assert r.keep and r.n_kept_lines == 3 and r.n_lines == 3
+        assert r.cleaned_text.count("\n") == 2
+
+    def test_three_line_floor(self, flagged):
+        r = flagged[1]
+        assert not r.keep and r.n_kept_lines == 2
+        assert r.cleaned_text is None
+
+    def test_javascript_line_removed(self, flagged):
+        r = flagged[2]
+        assert r.keep and r.n_kept_lines == 3
+        assert "javascript" not in r.cleaned_text.lower()
+
+    def test_brace_page_dropped(self, flagged):
+        r = flagged[3]
+        assert r.drop_brace and not r.keep
+        # line rules still counted even though the page is dropped
+        assert r.n_kept_lines >= 3
+
+    def test_lorem_page_dropped(self, flagged):
+        assert flagged[4].drop_lorem and not flagged[4].keep
+
+    def test_lines_trimmed(self, flagged):
+        r = flagged[5]
+        assert r.keep and r.n_kept_lines == 3
+        for line in r.cleaned_text.split("\n"):
+            assert line == line.strip()
