@@ -103,6 +103,109 @@ def prune_versions(root: str, keep: int = 2) -> list[int]:
     return to_prune
 
 
+def vacuum_store(
+    root: str, keep: int = 2, grace_s: float = 7 * 24 * 3600
+) -> dict:
+    """Delta-VACUUM analog for the manifest store: reclaim everything
+    unreachable from a committed manifest.
+
+    ``prune_versions`` drops OLD committed versions; this removes the
+    debris prune can never see —
+
+    - **orphan data dirs**: a writer that died between the parquet
+      write and the manifest write leaves ``v=N/`` with no
+      ``_manifest.N.json``; nothing references it and it would leak
+      forever (at lake scale, a full snapshot's worth of bytes per
+      crash),
+    - **uncommitted manifests**: a crash between the manifest write
+      and the pointer flip leaves ``_manifest.N.json`` with
+      ``N > _latest``; the retry reuses N (publish_version numbers off
+      the pointer) so after grace these are dead,
+    - **stale pointer temps**: ``._latest.*`` files from a crash
+      between mkstemp and the atomic replace.
+
+    Anything younger than ``grace_s`` (by mtime) is kept — exactly
+    Delta's retention-window defense against deleting an IN-FLIGHT
+    writer's files (default 7 days, same as VACUUM's). The current
+    pointer target and the newest ``keep`` committed versions are
+    never touched regardless of age. Also calls ``prune_versions``
+    so one entry point covers the whole retention story.
+
+    Driver-side listing of one directory level only (version count,
+    not file count — the data dirs are removed recursively without
+    listing them into memory). Returns a report dict.
+    """
+    import shutil
+    import time
+
+    if current_version(root) is None and not os.path.isdir(root):
+        return {"orphan_dirs": [], "stale_manifests": [], "tmp_files": 0,
+                "pruned_versions": []}
+    now = time.time()
+
+    def _expired(p: str) -> bool:
+        try:
+            return (now - os.path.getmtime(p)) > grace_s
+        except FileNotFoundError:
+            return False
+
+    latest = current_version(root)
+    manifests = {
+        int(f.split(".")[1])
+        for f in os.listdir(root)
+        if f.startswith("_manifest.") and f.endswith(".json")
+    }
+    committed = {v for v in manifests if latest is not None and v <= latest}
+    protected = set(sorted(committed)[-keep:])
+    if latest is not None:
+        protected.add(latest)
+
+    orphan_dirs: list[int] = []
+    for f in os.listdir(root):
+        if not f.startswith("v="):
+            continue
+        try:
+            v = int(f.split("=", 1)[1])
+        except ValueError:
+            continue
+        p = os.path.join(root, f)
+        if v in protected or v in manifests or not _expired(p):
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        orphan_dirs.append(v)
+
+    stale_manifests: list[int] = []
+    for v in sorted(manifests - committed):
+        if v in protected:
+            continue
+        mpath = os.path.join(root, f"_manifest.{v}.json")
+        if not _expired(mpath):
+            continue
+        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
+        try:
+            os.remove(mpath)
+        except FileNotFoundError:
+            pass
+        stale_manifests.append(v)
+
+    tmp_files = 0
+    for f in os.listdir(root):
+        p = os.path.join(root, f)
+        if f.startswith("._latest.") and _expired(p):
+            try:
+                os.remove(p)
+                tmp_files += 1
+            except FileNotFoundError:
+                pass
+
+    return {
+        "orphan_dirs": orphan_dirs,
+        "stale_manifests": stale_manifests,
+        "tmp_files": tmp_files,
+        "pruned_versions": prune_versions(root, keep=keep),
+    }
+
+
 def versioned_upsert_batch(
     batch_df: DataFrame,
     root: str,

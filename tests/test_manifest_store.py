@@ -2,6 +2,7 @@
 convergence, pruning."""
 
 from tastytrade_sdk_spark.streaming.manifest_store import (
+    vacuum_store,
     current_version,
     prune_versions,
     publish_version,
@@ -54,3 +55,79 @@ def test_prune_keeps_newest_and_pointer(spark, tmp_path):
     assert current_version(root) == 3
     assert read_version(spark, root, version=2).count() == 1
     assert read_version(spark, root).first()["px"] == 3.0
+
+
+class TestVacuumStore:
+    """Delta-VACUUM analog: orphan/uncommitted debris reclaim."""
+
+    def _seed(self, spark, root, n=3):
+        for i in range(n):
+            publish_version(_df(spark, [("A", i, float(i))]), root)
+
+    def test_orphan_data_dir_removed_after_grace(self, spark, tmp_path):
+        import os
+
+        root = str(tmp_path / "s")
+        self._seed(spark, root)
+        # crashed writer: data dir exists, no manifest
+        orphan = os.path.join(root, "v=99")
+        os.makedirs(orphan)
+        rep = vacuum_store(root, keep=2, grace_s=0)
+        assert rep["orphan_dirs"] == [99]
+        assert not os.path.exists(orphan)
+        assert read_version(spark, root).count() == 1  # store intact
+
+    def test_grace_window_protects_in_flight_writer(self, spark, tmp_path):
+        import os
+
+        root = str(tmp_path / "s")
+        self._seed(spark, root)
+        orphan = os.path.join(root, "v=99")
+        os.makedirs(orphan)
+        rep = vacuum_store(root, keep=2, grace_s=3600)
+        assert rep["orphan_dirs"] == []
+        assert os.path.exists(orphan)
+
+    def test_uncommitted_manifest_past_pointer_removed(self, spark, tmp_path):
+        import json
+        import os
+
+        root = str(tmp_path / "s")
+        self._seed(spark, root)
+        # crash between manifest write and pointer flip
+        v = current_version(root) + 1
+        os.makedirs(os.path.join(root, f"v={v}"))
+        with open(os.path.join(root, f"_manifest.{v}.json"), "w") as f:
+            json.dump({"version": v, "data_dir": os.path.join(root, f"v={v}")}, f)
+        rep = vacuum_store(root, keep=2, grace_s=0)
+        assert rep["stale_manifests"] == [v]
+        assert not os.path.exists(os.path.join(root, f"v={v}"))
+        assert current_version(root) == v - 1  # pointer untouched
+
+    def test_stale_pointer_temps_removed(self, spark, tmp_path):
+        import os
+
+        root = str(tmp_path / "s")
+        self._seed(spark, root)
+        with open(os.path.join(root, "._latest.dead"), "w") as f:
+            f.write("2")
+        rep = vacuum_store(root, keep=2, grace_s=0)
+        assert rep["tmp_files"] == 1
+
+    def test_never_touches_pointer_target_or_kept_versions(
+        self, spark, tmp_path
+    ):
+        import os
+
+        root = str(tmp_path / "s")
+        self._seed(spark, root, n=4)
+        rep = vacuum_store(root, keep=2, grace_s=0)
+        # versions 0,1 pruned by retention; 2,3 kept; latest readable
+        assert rep["pruned_versions"] == [0, 1]
+        assert current_version(root) == 3
+        assert read_version(spark, root, version=2).count() == 1
+        assert not os.path.exists(os.path.join(root, "v=0"))
+
+    def test_missing_root_is_noop(self, tmp_path):
+        rep = vacuum_store(str(tmp_path / "nope"))
+        assert rep["pruned_versions"] == []
