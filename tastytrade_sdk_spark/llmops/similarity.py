@@ -863,3 +863,199 @@ def ivf_index_topk(
         .select("__qid", id_col, vec_col, "__qvec")
     )
     return _score_topk(cands, id_col, query_id_col, vec_col, k, round_dp)
+
+
+# ---------------- product quantization (PQ / ADC) ----------------
+#
+# Jégou et al., "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011): split each vector into m subvectors, quantize each to
+# one of ksub codewords (codes = m small ints, 32x+ smaller than
+# float32), search with Asymmetric Distance Computation — per query,
+# precompute the m x ksub table of query-subvector-to-codeword squared
+# distances, then score any corpus vector with m table lookups + adds.
+# At 100 TB this is the memory-bound ANN recipe: the scan touches only
+# the tiny codes column (like sq8 it is compressed-domain scanning,
+# but sublinear in dim instead of linear), and the codes table is the
+# natural thing to store alongside an IVF list id (IVF-PQ).
+
+
+def pq_codebooks(
+    m: int = 8, ksub: int = 8, dsub: int = 8, seed: int = 7
+) -> np.ndarray:
+    """Seeded DATA-INDEPENDENT codebooks (m, ksub, dsub) for the
+    oracle-checked [Q]s: entries are rounded to 4dp so the spliced SQL
+    literals and the Python float lits parse to the identical double
+    on both engines. Production search uses pq_train_codebooks."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.normal(0.0, 0.5, size=(m, ksub, dsub)), 4)
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    sample: int = 4096,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means on a bounded driver-side sample
+    (same training recipe/cost shape as ivf_centroids: the sample is
+    small by construction, training does not grow with corpus size)."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    mat = _as_matrix([r[0] for r in rows]).astype(np.float64)
+    dim = mat.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    out = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        x = mat[:, j * dsub : (j + 1) * dsub]
+        cent = x[
+            rng.choice(len(x), size=min(ksub, len(x)), replace=False)
+        ].copy()
+        for _ in range(n_iters):
+            d = ((x[:, None, :] - cent[None]) ** 2).sum(-1)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cent)):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        out[j, : len(cent)] = cent
+    return out
+
+
+def pq_dist_sql(
+    vec: str, cb: np.ndarray, j: int, dialect: str
+) -> "list[str]":
+    """Squared L2 distance of subvector j to each of its codewords, as
+    SQL text — explicit left-associative sums of (e - c)*(e - c) terms
+    (no fold, no pow), generated for BOTH dialects from the same
+    literals so Spark and the DuckDB oracle execute bit-identical
+    IEEE arithmetic. Text (one F.expr parse) instead of Column
+    composition because building m*ksub*dsub Column objects costs
+    seconds of py4j round-trips at plan time.
+
+    Dialect notes: Spark gets a ``D`` double-literal suffix (a bare
+    decimal literal is DECIMAL(p,s)); DuckDB callers must pre-cast the
+    vector to DOUBLE[] (FLOAT op DECIMAL stays FLOAT there)."""
+    _, ksub, dsub = cb.shape
+    base = j * dsub
+    elem = (
+        (lambda i: f"element_at({vec}, {i})")
+        if dialect == "spark"
+        else (lambda i: f"{vec}[{i}]")
+    )
+    suffix = "D" if dialect == "spark" else ""
+    dists = []
+    for c in range(ksub):
+        parts = []
+        for i in range(dsub):
+            e = f"({elem(base + i + 1)} - ({float(cb[j, c, i])!r}{suffix}))"
+            parts.append(f"({e}*{e})")
+        dists.append("(" + " + ".join(parts) + ")")
+    return dists
+
+
+def pq_encode_expr(vec: str, codebooks: np.ndarray) -> Column:
+    """PQ codes as an array<int> of m entries — pure JVM expression
+    (first-minimum tie rule via array_position of array_min), bit-
+    identical to the DuckDB replay because every sum is written out
+    left-associatively over identical literals. ``vec`` is the vector
+    column NAME (the whole tree is one F.expr parse)."""
+    codes = []
+    for j in range(codebooks.shape[0]):
+        d = "array(" + ", ".join(pq_dist_sql(vec, codebooks, j, "spark")) + ")"
+        codes.append(
+            f"CAST(array_position({d}, array_min({d})) - 1 AS INT)"
+        )
+    return F.expr("array(" + ", ".join(codes) + ")")
+
+
+def pq_encode_kernel(codebooks: np.ndarray):
+    """Arrow-kernel twin of pq_encode_expr for wide configs (the
+    expression form's codegen grows with m*ksub*dsub; past a few
+    hundred codewords the vectorized kernel wins — same crossover
+    story as kmeans_assign_kernel). The subspace distance is
+    accumulated SEQUENTIALLY over dims (not numpy pairwise-sum) so
+    argmin ties resolve identically to the expression form —
+    equivalence-tested."""
+    import pandas as pd
+
+    cb = codebooks
+
+    def _enc(vecs):
+        mat = _as_matrix(list(vecs.values)).astype(np.float64)
+        m, ksub, dsub = cb.shape
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            x = mat[:, j * dsub : (j + 1) * dsub]
+            acc = np.zeros((len(mat), ksub))
+            for i in range(dsub):
+                diff = x[:, None, i] - cb[j][None, :, i]
+                acc = acc + diff * diff
+            out[:, j] = np.argmin(acc, axis=1)
+        return pd.Series(list(out))
+
+    return F.pandas_udf(_enc, "array<int>")
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    use_kernel: bool = False,
+) -> DataFrame:
+    """ADC top-k: encode the corpus to PQ codes, precompute each
+    query's m x ksub distance table ONCE (query-side projection —
+    queries are few and broadcast), then score every corpus row with m
+    array lookups + adds. The corpus never shuffles and the scan reads
+    only the codes; ranking is (distance asc, id asc) row_number,
+    self-matches excluded. Distances are exact re-plays of the table
+    arithmetic, rounded at the result boundary only."""
+    from pyspark.sql import Window
+
+    m = codebooks.shape[0]
+    enc = (
+        pq_encode_kernel(codebooks)(F.col(vec_col))
+        if use_kernel
+        else pq_encode_expr(vec_col, codebooks)
+    )
+    codes = corpus.select(F.col(id_col), enc.alias("__codes"))
+    qt = queries.select(
+        F.col(query_id_col),
+        *[
+            F.expr(
+                "array("
+                + ", ".join(pq_dist_sql(vec_col, codebooks, j, "spark"))
+                + ")"
+            ).alias(f"__t{j}")
+            for j in range(m)
+        ],
+    )
+    approx = F.expr(
+        " + ".join(
+            f"element_at(__t{j}, element_at(__codes, {j + 1}) + 1)"
+            for j in range(m)
+        )
+    )
+    pairs = (
+        codes.crossJoin(F.broadcast(qt))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, id_col, F.round(approx, round_dp).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rnk")
+    )
