@@ -57,41 +57,29 @@ def doc_lengths(
     )
 
 
-def bm25_topk(
-    corpus: DataFrame,
-    query_docs: DataFrame,
-    k: int = 5,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _query_terms(
+    query_docs: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
-    """BM25 more-like-this: for each query doc, the top-k corpus docs
-    by BM25 score over the query's distinct terms (self-matches
-    excluded). Robertson/Sparck-Jones BM25 with the standard
-    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf.
-
-    Plan: query terms are broadcast (queries are few); postings are
-    filtered to probed terms BEFORE the df aggregation, so document
-    frequency costs one agg over the probed posting lists only; the
-    per-(query, doc) sum is a map-side-combinable decimal aggregation;
-    top-k is a per-query window over candidates only.
-    """
-    postings = build_postings(corpus, text_col, id_col)
-    dl = doc_lengths(corpus, text_col, id_col)
-    glob = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.round(F.avg("dl"), 6).alias("avgdl"),
-    )
-
-    qterms = query_docs.select(
+    return query_docs.select(
         F.col(id_col).alias("query_id"),
         F.explode(tokens_expr(F.col(text_col))).alias("term"),
     ).distinct()
 
-    probed = postings.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    )
+
+def _bm25_score_tail(
+    probed: DataFrame,
+    qterms: DataFrame,
+    dl: DataFrame,
+    glob: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail (in-memory and persisted-index paths):
+    df over the probed posting lists only, per-term partial scores
+    rounded at 6dp then summed as DECIMAL (order-independent), DOUBLE
+    at the result boundary, (score desc, id asc) top-k."""
     dfreq = probed.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     # per-(query, doc, term) partial score; constants inlined so the
@@ -137,3 +125,205 @@ def bm25_topk(
             F.col("sd").cast("double").alias("bm25"),
         )
     )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    query_docs: DataFrame,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 more-like-this: for each query doc, the top-k corpus docs
+    by BM25 score over the query's distinct terms (self-matches
+    excluded). Robertson/Sparck-Jones BM25 with the standard
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf.
+
+    Plan: query terms are broadcast (queries are few); postings are
+    filtered to probed terms BEFORE the df aggregation, so document
+    frequency costs one agg over the probed posting lists only; the
+    per-(query, doc) sum is a map-side-combinable decimal aggregation;
+    top-k is a per-query window over candidates only.
+    """
+    postings = build_postings(corpus, text_col, id_col)
+    dl = doc_lengths(corpus, text_col, id_col)
+    glob = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+    qterms = _query_terms(query_docs, text_col, id_col)
+    probed = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    return _bm25_score_tail(probed, qterms, dl, glob, k, k1, b, id_col)
+
+
+# ---------------- persisted BM25 index (index-as-table) ----------------
+
+_BM25_STATS = "_stats.json"
+
+
+def _bucket_col(n_buckets: int) -> Column:
+    return F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+
+
+def bm25_index_write(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Persist the inverted index as a term-bucket-PARTITIONED parquet
+    table — the lexical twin of similarity.ivf_index_write: one
+    directory per term bucket, so a search reads only the buckets its
+    query terms hash into (directory-level elimination at planning
+    time). Layout:
+
+    - ``<path>/postings/bucket=<b>/`` — (term, doc_id, tf), bucket =
+      xxhash64(term) mod n_buckets (engine-internal routing only —
+      never part of the cross-engine contract),
+    - ``<path>/doclen/`` — (doc_id, dl),
+    - ``<path>/_stats.json`` — exact integer corpus stats (n_docs,
+      sum_dl) + n_buckets, committed atomically (tmp + rename) and
+      LAST, so readers never pair new postings with missing stats.
+
+    The repartition spreads hot buckets (stopword terms) over
+    (bucket, term) so no single task serializes a heavy bucket —
+    same skew story as the IVF clustered writes.
+    """
+    import json
+    import os
+    import tempfile
+
+    postings = build_postings(docs, text_col, id_col).withColumn(
+        "bucket", _bucket_col(n_buckets)
+    )
+    (
+        postings.repartition(n_buckets, "bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    dl = doc_lengths(docs, text_col, id_col)
+    dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    stats = {
+        "n_docs": int(row["n"]),
+        "sum_dl": int(row["s"] or 0),
+        "n_buckets": n_buckets,
+    }
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._stats.")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, os.path.join(path, _BM25_STATS))
+    return stats
+
+
+def bm25_index_append(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Incremental maintenance: append postings + doc lengths for NEW
+    documents (ids disjoint from the indexed corpus — re-appending an
+    indexed doc would double its term frequencies) without rebuilding.
+    Document frequency is always computed live from the probed
+    posting lists, so appended docs participate in idf/df exactly as
+    if indexed at build time — append-then-search equals
+    one-shot-build-then-search (equivalence-tested). Stats commit
+    LAST (atomic replace); a crash mid-append leaves the index
+    searchable but the batch half-applied — re-run after a rebuild,
+    same single-writer/quiesce contract as ivf_index_append and
+    compact_parquet_table."""
+    import json
+    import os
+    import tempfile
+
+    with open(os.path.join(path, _BM25_STATS)) as fh:
+        stats = json.load(fh)
+    n_buckets = stats["n_buckets"]
+    postings = build_postings(new_docs, text_col, id_col).withColumn(
+        "bucket", _bucket_col(n_buckets)
+    )
+    (
+        postings.repartition(n_buckets, "bucket", "term")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    dl = doc_lengths(new_docs, text_col, id_col)
+    dl.write.mode("append").parquet(os.path.join(path, "doclen"))
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    stats["n_docs"] += int(row["n"])
+    stats["sum_dl"] += int(row["s"] or 0)
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._stats.")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, os.path.join(path, _BM25_STATS))
+    return stats
+
+
+def bm25_index_topk(
+    spark,
+    path: str,
+    query_docs: DataFrame,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Search the persisted index: the query terms' bucket ids are
+    computed first (one tiny bounded job — same pattern as
+    ivf_index_topk's probed lists) and ONLY those bucket directories
+    are read; scoring is the exact shared tail, so results are
+    identical to the in-memory bm25_topk (equivalence-tested, and the
+    [Q] shares bm25_more_like_this's oracle). avgdl/n_docs come from
+    the exact integer stats sidecar — bit-identical to the in-memory
+    aggregate because both divide the same exact integers as doubles.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, _BM25_STATS)) as fh:
+        stats = json.load(fh)
+    qterms = _query_terms(query_docs, text_col, id_col)
+    qterms = qterms.localCheckpoint(eager=True)  # used three times
+    buckets = sorted(
+        r["b"]
+        for r in qterms.select(
+            _bucket_col(stats["n_buckets"]).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .drop("bucket")
+    )
+    probed = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    dl = spark.read.parquet(os.path.join(path, "doclen"))
+    # avgdl rounds ENGINE-side (F.round is HALF_UP; Python's round is
+    # half-even — a silent parity break at the 6dp boundary). The
+    # division itself is exact-int-over-exact-int in double, identical
+    # to the in-memory F.avg of longs.
+    glob = spark.range(1).select(
+        F.lit(stats["n_docs"]).cast("long").alias("n_docs"),
+        F.round(
+            F.lit(stats["sum_dl"]).cast("double")
+            / F.lit(stats["n_docs"]).cast("double"),
+            6,
+        ).alias("avgdl"),
+    )
+    return _bm25_score_tail(probed, qterms, dl, glob, k, k1, b, id_col)

@@ -165,3 +165,75 @@ class TestC4LineFlags:
         assert r.keep and r.n_kept_lines == 3
         for line in r.cleaned_text.split("\n"):
             assert line == line.strip()
+
+
+class TestPersistedIndex:
+    """Index-as-table lifecycle: write, pruned search, append."""
+
+    @pytest.fixture(scope="class")
+    def indexed(self, spark, tmp_path_factory):
+        from tastytrade_sdk_spark.llmops.retrieval import bm25_index_write
+
+        corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+        path = str(tmp_path_factory.mktemp("bm25") / "idx")
+        stats = bm25_index_write(corpus, path, n_buckets=8)
+        return corpus, path, stats
+
+    def test_stats_exact(self, indexed):
+        corpus, path, stats = indexed
+        assert stats["n_docs"] == len(CORPUS)
+        assert stats["sum_dl"] == sum(len(t.split()) for _, t in CORPUS)
+
+    def test_search_equals_in_memory(self, spark, indexed):
+        from tastytrade_sdk_spark.llmops.retrieval import (
+            bm25_index_topk,
+            bm25_topk,
+        )
+
+        corpus, path, _ = indexed
+        q = corpus.filter(F.col("doc_id") < 2)
+        a = bm25_index_topk(spark, path, q, k=4).collect()
+        b = bm25_topk(corpus, q, k=4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_search_reads_only_probed_buckets(self, spark, indexed):
+        """The postings scan must carry a PARTITION filter on bucket
+        (directory-level elimination — inputFiles() reports the
+        unpruned relation listing, so the executed plan is the right
+        witness; same idiom as the IVF index pruning test)."""
+        import re
+
+        from tastytrade_sdk_spark.llmops.retrieval import bm25_index_topk
+
+        corpus, path, stats = indexed
+        q = corpus.filter(F.col("doc_id") == 3)  # "the lazy dog sleeps"
+        out = bm25_index_topk(spark, path, q, k=4)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "bucket" in m.group(1), plan[:2000]
+
+    def test_append_equals_one_shot_build(self, spark, tmp_path):
+        from tastytrade_sdk_spark.llmops.retrieval import (
+            bm25_index_append,
+            bm25_index_topk,
+            bm25_index_write,
+        )
+
+        full = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+        q = full.filter(F.col("doc_id") < 2)
+
+        one_shot = str(tmp_path / "one")
+        bm25_index_write(full, one_shot, n_buckets=8)
+        a = bm25_index_topk(spark, one_shot, q, k=4).collect()
+
+        grown = str(tmp_path / "grown")
+        bm25_index_write(
+            full.filter(F.col("doc_id") < 3), grown, n_buckets=8
+        )
+        stats = bm25_index_append(
+            full.filter(F.col("doc_id") >= 3), grown
+        )
+        b = bm25_index_topk(spark, grown, q, k=4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert stats["n_docs"] == len(CORPUS)

@@ -83,6 +83,12 @@ PROBE = [
     "corpus_snapshot_diff",
     "kmv_set_overlap",
     "ivf_index_search",
+    # this session's operator additions: lexical retrieval, C4
+    # cleaning, product quantization
+    "bm25_more_like_this",
+    "c4_line_filters",
+    "pq_encode_codes",
+    "pq_adc_search",
 ]
 
 
