@@ -1038,18 +1038,33 @@ def pq_adc_topk(
             for j in range(m)
         ],
     )
+    return _adc_score_topk(
+        codes.crossJoin(F.broadcast(qt)), m, k, id_col, query_id_col, round_dp
+    )
+
+
+def _adc_score_topk(
+    cand: DataFrame,
+    m: int,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    round_dp: int,
+) -> DataFrame:
+    """Shared ADC scoring tail (flat-ADC and IVF-PQ paths): m table
+    lookups + left-assoc adds per candidate, (distance asc, id asc)
+    top-k, self-matches excluded. Expects ``__codes`` and ``__t{j}``
+    columns on ``cand``."""
+    from pyspark.sql import Window
+
     approx = F.expr(
         " + ".join(
             f"element_at(__t{j}, element_at(__codes, {j + 1}) + 1)"
             for j in range(m)
         )
     )
-    pairs = (
-        codes.crossJoin(F.broadcast(qt))
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .select(
-            query_id_col, id_col, F.round(approx, round_dp).alias("adc_dist")
-        )
+    pairs = cand.filter(F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col, id_col, F.round(approx, round_dp).alias("adc_dist")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
@@ -1059,3 +1074,54 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "adc_dist", "rnk")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: "np.ndarray",
+    codebooks: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    use_kernel: bool = False,
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN composition (Jégou et
+    al. §V) — coarse quantizer routes vectors into inverted lists,
+    product quantizer compresses them, and a query ADC-scores ONLY the
+    nprobe probed lists. At 100 TB both levers compound: the list_id
+    join bounds candidates (corpus never shuffles — the probed-list
+    join is broadcast on the query side) and the ADC scan reads codes,
+    not vectors. Routing is the exact ivf_topk assignment (shared
+    _ivf_assign_udf / probe udf); scoring is the exact pq_adc_topk
+    tail — the [Q] oracle composes the same two replays."""
+    m = codebooks.shape[0]
+    enc = (
+        pq_encode_kernel(codebooks)(F.col(vec_col))
+        if use_kernel
+        else pq_encode_expr(vec_col, codebooks)
+    )
+    assign = _ivf_assign_udf(centroids)
+    lists = corpus.select(
+        F.col(id_col),
+        assign(F.col(vec_col)).alias("__list"),
+        enc.alias("__codes"),
+    )
+    probe = _ivf_probe_udf(centroids, nprobe)
+    qt = queries.select(
+        F.col(query_id_col),
+        F.explode(probe(F.col(vec_col))).alias("__list"),
+        *[
+            F.expr(
+                "array("
+                + ", ".join(pq_dist_sql(vec_col, codebooks, j, "spark"))
+                + ")"
+            ).alias(f"__t{j}")
+            for j in range(m)
+        ],
+    )
+    cand = lists.join(F.broadcast(qt), "__list")
+    return _adc_score_topk(cand, m, k, id_col, query_id_col, round_dp)

@@ -98,3 +98,48 @@ def test_adc_kernel_path_identical(clustered):
     a = pq_adc_topk(df, q, cb, k=5, use_kernel=False).collect()
     b = pq_adc_topk(df, q, cb, k=5, use_kernel=True).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestIvfPq:
+    def test_full_probe_equals_flat_adc(self, spark, clustered):
+        """With nprobe = n_lists the routing excludes nothing, so
+        IVF-PQ must equal flat ADC exactly."""
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            ivf_pq_topk,
+        )
+
+        df, _ = clustered
+        cb = pq_codebooks()
+        q = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        a = ivf_pq_topk(
+            df, q, axis_centroids(8, DIM), cb, k=5, nprobe=8
+        ).collect()
+        b = pq_adc_topk(df, q, cb, k=5).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_probed_lists_bound_candidates(self, spark, clustered):
+        """Results only contain docs from the query's probed lists."""
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            ivf_pq_topk,
+        )
+
+        df, mat = clustered
+        cent = axis_centroids(8, DIM)
+        cb = pq_codebooks()
+        q = df.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ivf_pq_topk(df, q, cent, cb, k=50, nprobe=2).collect()
+        import numpy as np
+
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        assign = np.argmax(norm @ cent.T, axis=1)
+        probed = set(
+            np.argsort(-(norm[0] @ cent.T), kind="stable")[:2].tolist()
+        )
+        for r in out:
+            assert assign[r.vec_id] in probed
