@@ -293,8 +293,27 @@ def bm25_index_topk(
     import json
     import os
 
-    with open(os.path.join(path, _BM25_STATS)) as fh:
-        stats = json.load(fh)
+    stats_file = os.path.join(path, _BM25_STATS)
+    if os.path.exists(stats_file):
+        # batch layout: exact integer sidecar committed by write/append
+        with open(stats_file) as fh:
+            stats = json.load(fh)
+    else:
+        # streamed layout (bm25_index_sink): one exact stats row per
+        # epoch partition — summing them is the tiny-table aggregate
+        srow = (
+            spark.read.parquet(os.path.join(path, "stats"))
+            .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+            .collect()[0]
+        )
+        n_buckets = json.load(
+            open(os.path.join(path, "_layout.json"))
+        )["n_buckets"]
+        stats = {
+            "n_docs": int(srow["n"]),
+            "sum_dl": int(srow["s"] or 0),
+            "n_buckets": n_buckets,
+        }
     qterms = _query_terms(query_docs, text_col, id_col)
     qterms = qterms.localCheckpoint(eager=True)  # used three times
     buckets = sorted(
@@ -308,12 +327,14 @@ def bm25_index_topk(
     postings = (
         spark.read.parquet(os.path.join(path, "postings"))
         .filter(F.col("bucket").isin(buckets))
-        .drop("bucket")
+        .select("term", id_col, "tf")
     )
     probed = postings.join(
         F.broadcast(qterms.select("term").distinct()), "term"
     )
-    dl = spark.read.parquet(os.path.join(path, "doclen"))
+    dl = spark.read.parquet(os.path.join(path, "doclen")).select(
+        id_col, "dl"
+    )
     # avgdl rounds ENGINE-side (F.round is HALF_UP; Python's round is
     # half-even — a silent parity break at the 6dp boundary). The
     # division itself is exact-int-over-exact-int in double, identical
@@ -327,3 +348,92 @@ def bm25_index_topk(
         ).alias("avgdl"),
     )
     return _bm25_score_tail(probed, qterms, dl, glob, k, k1, b, id_col)
+
+
+# ---------------- streaming index maintenance ----------------
+
+
+def bm25_index_stream_batch(
+    batch_df: DataFrame,
+    path: str,
+    epoch_id: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold one micro-batch of new documents into a streamed BM25
+    index. Unlike bm25_index_append (whose crash contract is
+    quiesce-and-rebuild), every write here is an EPOCH-partitioned
+    dynamic overwrite — postings land under
+    ``postings/epoch=<N>/bucket=<b>/``, doc lengths under
+    ``doclen/epoch=<N>/``, and the batch's exact integer stats row
+    under ``stats/epoch=<N>/`` — so a REPLAYED epoch overwrites
+    exactly its own partitions and converges (foreachBatch
+    exactly-once via idempotence, the same story as the keep-last
+    sinks; no epoch sidecar needed because the epoch IS the partition
+    key). A crash between the three writes is likewise healed by the
+    replay. Search-side bucket pruning is unaffected: bucket stays a
+    partition column one level down. ``_layout.json`` (n_buckets) is
+    (re-)committed atomically every batch — constant per sink, so
+    replay-safe by construction."""
+    import json
+    import os
+    import tempfile
+
+    dyn = {"partitionOverwriteMode": "dynamic"}
+    postings = build_postings(batch_df, text_col, id_col).withColumn(
+        "bucket", _bucket_col(n_buckets)
+    )
+    (
+        postings.withColumn("epoch", F.lit(epoch_id))
+        .repartition(n_buckets, "bucket", "term")
+        .write.mode("overwrite")
+        .options(**dyn)
+        .partitionBy("epoch", "bucket")
+        .parquet(f"{path}/postings")
+    )
+    dl = doc_lengths(batch_df, text_col, id_col)
+    (
+        dl.withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .options(**dyn)
+        .partitionBy("epoch")
+        .parquet(f"{path}/doclen")
+    )
+    (
+        dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+        )
+        .withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .options(**dyn)
+        .partitionBy("epoch")
+        .parquet(f"{path}/stats")
+    )
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._layout.")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"n_buckets": n_buckets}, fh)
+    os.replace(tmp, os.path.join(path, "_layout.json"))
+
+
+def bm25_index_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """writeStream wrapper: maintain a searchable BM25 index directly
+    from a document stream (new-docs-only contract, as everywhere in
+    the index lifecycle)."""
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda df, epoch: bm25_index_stream_batch(
+                df, path, epoch, n_buckets, text_col, id_col
+            )
+        )
+    )

@@ -237,3 +237,78 @@ class TestPersistedIndex:
         b = bm25_index_topk(spark, grown, q, k=4).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         assert stats["n_docs"] == len(CORPUS)
+
+
+class TestStreamedIndex:
+    """bm25_index_sink: epoch-partitioned, replay-idempotent index
+    maintenance from a document stream."""
+
+    def _schema(self):
+        return "doc_id long, text string"
+
+    def test_streamed_index_equals_in_memory(self, spark, tmp_path):
+        from tastytrade_sdk_spark.llmops.retrieval import (
+            bm25_index_sink,
+            bm25_index_topk,
+            bm25_topk,
+        )
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "idx")
+        half = [r for r in CORPUS if r[0] % 2 == 0]
+        rest = [r for r in CORPUS if r[0] % 2 == 1]
+        spark.createDataFrame(half, self._schema()).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(self._schema()).parquet(src)
+        q = bm25_index_sink(
+            stream, idx, str(tmp_path / "ckpt"), n_buckets=8
+        ).trigger(availableNow=True).start()
+        q.awaitTermination()
+        spark.createDataFrame(rest, self._schema()).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = bm25_index_sink(
+            spark.readStream.schema(self._schema()).parquet(src),
+            idx,
+            str(tmp_path / "ckpt"),
+            n_buckets=8,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination()
+
+        full = spark.createDataFrame(CORPUS, self._schema())
+        queries = full.filter(F.col("doc_id") < 2)
+        a = bm25_index_topk(spark, idx, queries, k=4).collect()
+        b = bm25_topk(full, queries, k=4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_replayed_epoch_converges(self, spark, tmp_path):
+        from tastytrade_sdk_spark.llmops.retrieval import (
+            bm25_index_stream_batch,
+            bm25_index_topk,
+        )
+
+        idx = str(tmp_path / "idx")
+        full = spark.createDataFrame(CORPUS, self._schema())
+        bm25_index_stream_batch(full, idx, epoch_id=0, n_buckets=8)
+        queries = full.filter(F.col("doc_id") < 2)
+        once = bm25_index_topk(spark, idx, queries, k=4).collect()
+        # crash/replay: the SAME epoch folds in again
+        bm25_index_stream_batch(full, idx, epoch_id=0, n_buckets=8)
+        twice = bm25_index_topk(spark, idx, queries, k=4).collect()
+        assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+    def test_empty_batch_keeps_index_searchable(self, spark, tmp_path):
+        from tastytrade_sdk_spark.llmops.retrieval import (
+            bm25_index_stream_batch,
+            bm25_index_topk,
+        )
+
+        idx = str(tmp_path / "idx")
+        full = spark.createDataFrame(CORPUS, self._schema())
+        bm25_index_stream_batch(full, idx, epoch_id=0, n_buckets=8)
+        empty = spark.createDataFrame([], self._schema())
+        bm25_index_stream_batch(empty, idx, epoch_id=1, n_buckets=8)
+        queries = full.filter(F.col("doc_id") < 2)
+        out = bm25_index_topk(spark, idx, queries, k=4).collect()
+        assert len(out) > 0
