@@ -89,6 +89,8 @@ PROBE = [
     "c4_line_filters",
     "pq_encode_codes",
     "pq_adc_search",
+    "ivf_pq_search",
+    "bm25_index_search",
 ]
 
 
