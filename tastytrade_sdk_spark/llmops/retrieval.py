@@ -25,7 +25,7 @@ Shape at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tastytrade_sdk_spark.llmops.textops import tokens_expr
@@ -207,7 +207,10 @@ def bm25_index_write(
         .partitionBy("bucket")
         .parquet(os.path.join(path, "postings"))
     )
-    dl = doc_lengths(docs, text_col, id_col)
+    # materialize doc lengths ONCE: the parquet write and the stats
+    # aggregate both consume the checkpointed blocks instead of
+    # re-tokenizing the corpus a third time
+    dl = doc_lengths(docs, text_col, id_col).localCheckpoint(eager=True)
     dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
     row = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
@@ -257,7 +260,8 @@ def bm25_index_append(
         .partitionBy("bucket")
         .parquet(os.path.join(path, "postings"))
     )
-    dl = doc_lengths(new_docs, text_col, id_col)
+    # one materialization feeds both the append and the stats delta
+    dl = doc_lengths(new_docs, text_col, id_col).localCheckpoint(eager=True)
     dl.write.mode("append").parquet(os.path.join(path, "doclen"))
     row = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
@@ -314,6 +318,25 @@ def bm25_index_topk(
             "sum_dl": int(srow["s"] or 0),
             "n_buckets": n_buckets,
         }
+    if stats["n_docs"] == 0:
+        # streamed index whose epochs were all empty: a stats row
+        # always lands (the global agg emits one row per epoch even
+        # for an empty batch) but postings/doclen have no files —
+        # reading them would fail. Empty corpus -> empty result.
+        from pyspark.sql import types as T
+
+        idt = query_docs.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", idt),
+                    T.StructField("rank", T.LongType()),
+                    T.StructField(id_col, idt),
+                    T.StructField("bm25", T.DoubleType()),
+                ]
+            ),
+        )
     qterms = _query_terms(query_docs, text_col, id_col)
     qterms = qterms.localCheckpoint(eager=True)  # used three times
     buckets = sorted(
@@ -381,6 +404,22 @@ def bm25_index_stream_batch(
     import tempfile
 
     dyn = {"partitionOverwriteMode": "dynamic"}
+    # layout guard FIRST — before any data lands: a sink restarted
+    # with a different n_buckets would route new epochs under a
+    # different modulus than the old ones while search prunes with
+    # only one — silently wrong results (the same bug class the IVF
+    # index's _centroids_md5 sidecar catches). Refuse on mismatch.
+    layout_path = os.path.join(path, "_layout.json")
+    if os.path.exists(layout_path):
+        with open(layout_path) as fh:
+            committed = json.load(fh)["n_buckets"]
+        if committed != n_buckets:
+            raise ValueError(
+                f"bm25_index_stream_batch: index at {path} was built "
+                f"with n_buckets={committed} but this sink was started "
+                f"with n_buckets={n_buckets} — restart the sink with "
+                f"the committed value or rebuild the index"
+            )
     postings = build_postings(batch_df, text_col, id_col).withColumn(
         "bucket", _bucket_col(n_buckets)
     )
@@ -392,7 +431,9 @@ def bm25_index_stream_batch(
         .partitionBy("epoch", "bucket")
         .parquet(f"{path}/postings")
     )
-    dl = doc_lengths(batch_df, text_col, id_col)
+    dl = doc_lengths(batch_df, text_col, id_col).localCheckpoint(
+        eager=True
+    )  # one materialization feeds the doclen write AND the stats row
     (
         dl.withColumn("epoch", F.lit(epoch_id))
         .write.mode("overwrite")
@@ -411,10 +452,11 @@ def bm25_index_stream_batch(
         .partitionBy("epoch")
         .parquet(f"{path}/stats")
     )
-    fd, tmp = tempfile.mkstemp(dir=path, prefix="._layout.")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"n_buckets": n_buckets}, fh)
-    os.replace(tmp, os.path.join(path, "_layout.json"))
+    if not os.path.exists(layout_path):
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="._layout.")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"n_buckets": n_buckets}, fh)
+        os.replace(tmp, layout_path)
 
 
 def bm25_index_sink(

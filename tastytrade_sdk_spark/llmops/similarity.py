@@ -922,6 +922,12 @@ def pq_train_codebooks(
                 if len(members):
                     cent[c] = members.mean(axis=0)
         out[j, : len(cent)] = cent
+        # fewer sample rows than ksub: FILL the untrained slots by
+        # cycling trained centroids instead of leaving them at the
+        # origin — an all-zero codeword would otherwise win encoding
+        # argmin for near-origin subvectors and silently wreck ADC
+        for c in range(len(cent), ksub):
+            out[j, c] = cent[c % len(cent)]
     return out
 
 

@@ -88,10 +88,18 @@ def prune_versions(root: str, keep: int = 2) -> list[int]:
     latest = current_version(root)
     if latest is None:
         return []
+    # COMMITTED versions only (v <= pointer): an uncommitted leftover
+    # manifest (crash between manifest write and pointer flip, v >
+    # latest) must not count toward the newest-keep window, or the
+    # retention contract silently keeps one fewer committed snapshot
     versions = sorted(
-        int(f.split(".")[1])
-        for f in os.listdir(root)
-        if f.startswith("_manifest.") and f.endswith(".json")
+        v
+        for v in (
+            int(f.split(".")[1])
+            for f in os.listdir(root)
+            if f.startswith("_manifest.") and f.endswith(".json")
+        )
+        if v <= latest
     )
     to_prune = [v for v in versions[:-keep] if v != latest]
     for v in to_prune:
@@ -155,6 +163,17 @@ def vacuum_store(
         for f in os.listdir(root)
         if f.startswith("_manifest.") and f.endswith(".json")
     }
+    if latest is None and manifests:
+        # committed manifests exist but the pointer is missing or
+        # unreadable (torn write, manual damage): with latest unknown,
+        # EVERY manifest would classify as uncommitted-stale and the
+        # whole store would be reclaimed. Refuse — a recoverable
+        # one-byte pointer corruption must never become data loss.
+        raise ValueError(
+            f"vacuum_store: {root} has manifests but no readable "
+            f"{_LATEST} pointer — repair the pointer (write the "
+            "highest committed version number) before vacuuming"
+        )
     committed = {v for v in manifests if latest is not None and v <= latest}
     protected = set(sorted(committed)[-keep:])
     if latest is not None:
@@ -179,9 +198,17 @@ def vacuum_store(
         if v in protected:
             continue
         mpath = os.path.join(root, f"_manifest.{v}.json")
-        if not _expired(mpath):
+        dpath = os.path.join(root, f"v={v}")
+        # BOTH the manifest and the data dir must be past grace: a
+        # retry writer REUSES the crashed version number (numbers come
+        # off the pointer), so an old leftover manifest can coexist
+        # with a fresh in-flight rewrite of v=N — judging by the
+        # manifest's mtime alone would delete the new files mid-write
+        if not _expired(mpath) or (
+            os.path.exists(dpath) and not _expired(dpath)
+        ):
             continue
-        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
+        shutil.rmtree(dpath, ignore_errors=True)
         try:
             os.remove(mpath)
         except FileNotFoundError:

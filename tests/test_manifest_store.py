@@ -131,3 +131,69 @@ class TestVacuumStore:
     def test_missing_root_is_noop(self, tmp_path):
         rep = vacuum_store(str(tmp_path / "nope"))
         assert rep["pruned_versions"] == []
+
+
+class TestVacuumReviewRegressions:
+    """Round-5 review findings: pointer corruption, retry-writer
+    race, uncommitted manifests in the keep window."""
+
+    def _seed(self, spark, root, n=4):
+        for i in range(n):
+            publish_version(_df(spark, [("A", i, float(i))]), root)
+
+    def test_corrupt_pointer_refuses_instead_of_reclaiming_all(
+        self, spark, tmp_path
+    ):
+        import os
+
+        import pytest as _pt
+
+        root = str(tmp_path / "s")
+        self._seed(spark, root)
+        with open(os.path.join(root, "_latest"), "w") as f:
+            f.write("")  # torn write
+        with _pt.raises(ValueError, match="no readable"):
+            vacuum_store(root, keep=2, grace_s=0)
+        # every version dir survived
+        assert all(
+            os.path.exists(os.path.join(root, f"v={v}")) for v in range(4)
+        )
+
+    def test_stale_manifest_with_fresh_data_dir_is_protected(
+        self, spark, tmp_path
+    ):
+        """Retry writers REUSE the crashed version number; an old
+        leftover manifest must not condemn a freshly rewritten data
+        dir."""
+        import json
+        import os
+
+        root = str(tmp_path / "s")
+        self._seed(spark, root)
+        v = current_version(root) + 1
+        d = os.path.join(root, f"v={v}")
+        os.makedirs(d)  # fresh in-flight rewrite (mtime = now)
+        m = os.path.join(root, f"_manifest.{v}.json")
+        with open(m, "w") as f:
+            json.dump({"version": v, "data_dir": d}, f)
+        os.utime(m, (0, 0))  # manifest is ancient
+        rep = vacuum_store(root, keep=2, grace_s=3600)
+        assert rep["stale_manifests"] == []
+        assert os.path.exists(d)
+
+    def test_uncommitted_manifest_does_not_consume_keep_slot(
+        self, spark, tmp_path
+    ):
+        import json
+        import os
+
+        root = str(tmp_path / "s")
+        self._seed(spark, root)  # committed 0..3
+        v = 4  # crash between manifest write and pointer flip
+        os.makedirs(os.path.join(root, f"v={v}"))
+        with open(os.path.join(root, f"_manifest.{v}.json"), "w") as f:
+            json.dump({"version": v, "data_dir": f"{root}/v={v}"}, f)
+        pruned = prune_versions(root, keep=2)
+        # keep=2 COMMITTED snapshots: 2 and 3 stay, 0 and 1 go
+        assert pruned == [0, 1]
+        assert read_version(spark, root, version=2).count() == 1

@@ -143,3 +143,16 @@ class TestIvfPq:
         )
         for r in out:
             assert assign[r.vec_id] in probed
+
+
+def test_train_small_sample_has_no_origin_codewords(spark, clustered):
+    """Sample smaller than ksub: untrained slots are filled by cycling
+    trained centroids, never left at the origin (an all-zero codeword
+    would win encoding argmin for near-origin subvectors)."""
+    df, _ = clustered
+    cb = pq_train_codebooks(
+        df.filter(F.col("vec_id") < 6), m=8, ksub=16, sample=6
+    )
+    assert cb.shape == (8, 16, 8)
+    norms = np.linalg.norm(cb, axis=2)  # (m, ksub)
+    assert (norms > 0).all()

@@ -312,3 +312,35 @@ class TestStreamedIndex:
         queries = full.filter(F.col("doc_id") < 2)
         out = bm25_index_topk(spark, idx, queries, k=4).collect()
         assert len(out) > 0
+
+    def test_n_buckets_mismatch_refused_before_any_write(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from tastytrade_sdk_spark.llmops.retrieval import (
+            bm25_index_stream_batch,
+        )
+
+        idx = str(tmp_path / "idx")
+        full = spark.createDataFrame(CORPUS, self._schema())
+        bm25_index_stream_batch(full, idx, epoch_id=0, n_buckets=8)
+        before = sorted(os.listdir(os.path.join(idx, "postings")))
+        with pytest.raises(ValueError, match="n_buckets=8"):
+            bm25_index_stream_batch(full, idx, epoch_id=1, n_buckets=16)
+        # nothing landed under the wrong modulus
+        assert sorted(os.listdir(os.path.join(idx, "postings"))) == before
+
+    def test_all_empty_index_returns_empty_result(self, spark, tmp_path):
+        from tastytrade_sdk_spark.llmops.retrieval import (
+            bm25_index_stream_batch,
+            bm25_index_topk,
+        )
+
+        idx = str(tmp_path / "idx")
+        empty = spark.createDataFrame([], self._schema())
+        bm25_index_stream_batch(empty, idx, epoch_id=0, n_buckets=8)
+        queries = spark.createDataFrame(CORPUS[:2], self._schema())
+        out = bm25_index_topk(spark, idx, queries, k=4)
+        assert out.collect() == []
+        assert out.columns == ["query_id", "rank", "doc_id", "bm25"]
