@@ -632,3 +632,78 @@ def prototypes_prune(
         F.col("proto_rank")
         <= F.expr(f"(n_members * {drop_num}) div {drop_den}"),
     )
+
+
+PAGERANK_SCALE = 10**12
+
+
+def pagerank_scaled(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    n_iters: int = 3,
+    scale: int = PAGERANK_SCALE,
+    damping: "tuple[int, int]" = (17, 20),
+) -> DataFrame:
+    """Fixed-iteration PageRank in SCALED-INTEGER arithmetic — the
+    classic link-graph quality weight for web-corpus curation (rank a
+    crawl's pages before sampling), computed so both engines produce
+    BIT-IDENTICAL results: ranks are bigints scaled by ``scale``,
+    every division is integer floor division (``div`` / ``//``), and
+    per-node in-flows are exact bigint sums — no float summation
+    order anywhere. damping = (17, 20) is 0.85 as an integer ratio.
+
+    Per iteration: r'(v) = (scale*(den-num)) div (den*N)
+    + (num * Σ_{u→v} (r(u) div outdeg(u))) div den.
+
+    Documented deviations from textbook PageRank (deterministic,
+    engine-identical): floor division drops up to 1 scaled unit per
+    edge, and DANGLING mass (nodes with no out-links) is dropped, not
+    redistributed — total mass decays slightly instead of being
+    conserved. Rankings are unaffected for curation use.
+
+    Plan shape: the iteration count is FIXED and unrolled into one
+    declarative plan (no driver loop, no collect): each iteration is
+    one edges-keyed join + one dst-keyed sum + one nodes left-join —
+    3 shuffles per iteration, all key-partitioned, linear in |E|.
+    Bigint headroom: Σ in-flows ≤ N*scale; keep N*scale < 2^63
+    (N < ~9M at the default scale; lower ``scale`` for larger graphs).
+    """
+    num, den = damping
+    glob = nodes.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    base = F.expr(f"({scale} * {den - num}) div ({den} * __n)")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    edges_deg = edges.join(deg, "src")
+    nodes_n = nodes.select(id_col).crossJoin(F.broadcast(glob))
+    ranks = nodes_n.select(
+        id_col, F.expr(f"{scale} div __n").alias("__r")
+    )
+    for _ in range(n_iters):
+        contrib = (
+            ranks.withColumnRenamed(id_col, "src")
+            .join(edges_deg, "src")
+            .select(
+                F.col("dst").alias(id_col),
+                F.expr("__r div __outdeg").alias("__c"),
+            )
+        )
+        sums = contrib.groupBy(id_col).agg(F.sum("__c").alias("__s"))
+        ranks = (
+            nodes_n.join(sums, id_col, "left")
+            .select(
+                id_col,
+                "__n",
+                F.coalesce(F.col("__s"), F.lit(0)).alias("__s"),
+            )
+            .select(
+                id_col,
+                (base + F.expr(f"({num} * __s) div {den}"))
+                .cast("long")
+                .alias("__r"),
+            )
+        )
+    return ranks.select(
+        id_col,
+        F.col("__r").alias("rank_scaled"),
+        F.round(F.col("__r") / F.lit(float(scale)), 6).alias("pagerank"),
+    )

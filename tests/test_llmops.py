@@ -1010,3 +1010,46 @@ class TestBestCopyCanonical:
         r = best_copy_canonical(docs, "q").collect()[0]
         assert r["canonical_id"] == "a"  # equal best score -> min id
         assert r["best_score"] == 5.0 and r["n_docs"] == 3
+
+
+class TestPagerankScaled:
+    def _pr(self, spark, nodes, edges, n_iters=3):
+        from tastytrade_sdk_spark.llmops.cluster import pagerank_scaled
+
+        ndf = spark.createDataFrame([(i,) for i in nodes], ["id"])
+        edf = spark.createDataFrame(edges, ["src", "dst"])
+        return {
+            r.id: r.rank_scaled
+            for r in pagerank_scaled(ndf, edf, n_iters=n_iters).collect()
+        }
+
+    def test_cycle_is_uniform(self, spark):
+        """A directed 3-cycle is symmetric: equal ranks forever."""
+        r = self._pr(spark, [0, 1, 2], [(0, 1), (1, 2), (2, 0)])
+        assert len(set(r.values())) == 1
+
+    def test_hub_outranks_spokes(self, spark):
+        """Everyone links to node 0; node 0 links back to 1 only."""
+        edges = [(1, 0), (2, 0), (3, 0), (0, 1)]
+        r = self._pr(spark, [0, 1, 2, 3], edges)
+        assert r[0] > r[1] > r[2] == r[3]
+
+    def test_matches_integer_reference(self, spark):
+        """Exact replay of the scaled-integer recurrence in Python."""
+        from tastytrade_sdk_spark.llmops.cluster import PAGERANK_SCALE
+
+        nodes = [0, 1, 2, 3]
+        edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+        got = self._pr(spark, nodes, edges, n_iters=3)
+        n = len(nodes)
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        r = {v: PAGERANK_SCALE // n for v in nodes}
+        base = (PAGERANK_SCALE * 3) // (20 * n)
+        for _ in range(3):
+            flows = {v: 0 for v in nodes}
+            for s, d in edges:
+                flows[d] += r[s] // outdeg[s]
+            r = {v: base + (17 * flows[v]) // 20 for v in nodes}
+        assert got == r
