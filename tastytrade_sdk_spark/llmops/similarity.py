@@ -1044,6 +1044,11 @@ def pq_adc_topk(
             for j in range(m)
         ],
     )
+    # eagerly materialize the (tiny) query-side table so the cross
+    # join's build side is a local relation — bounded by construction
+    # for the plan-smell gate, and the m*ksub distance tables are
+    # computed once instead of riding into the join's codegen
+    qt = qt.localCheckpoint(eager=True)
     return _adc_score_topk(
         codes.crossJoin(F.broadcast(qt)), m, k, id_col, query_id_col, round_dp
     )
