@@ -1110,3 +1110,160 @@ def rendezvous_shard(
             (-best.getField("neg_s")).cast("int"),
         ),
     )
+
+
+# ---------------- BPE encode (apply trained merges) ----------------
+
+BPE_SENTINEL = 999999
+
+#: data-independent merge table for the oracle-checked [Q] (rank =
+#: 1-based list position; lower = higher priority). Spelled "left
+#: right" with a space — pieces themselves are space-free ([a-z0-9]).
+BPE_DEFAULT_MERGES = (
+    "t a", "l e", "a n", "q u", "e r", "s c", "c h", "b a", "v a",
+    "w i", "n d", "o w", "r o", "k e", "m e", "g r", "s t", "o r",
+    "ta b", "tab le", "qu e", "que r", "quer y", "sc an", "ba t",
+    "bat ch", "va l", "val u", "valu e", "wi n", "win d", "wind o",
+    "windo w", "ro w", "an d", "er y", "k ey",
+)
+BPE_MAX_ROUNDS = 12
+
+
+def bpe_encode_kernel(merges=BPE_DEFAULT_MERGES, max_rounds: int = BPE_MAX_ROUNDS):
+    """Sanctioned Arrow kernel applying BPE merges to a word column:
+    start from characters; each round finds the LOWEST-rank adjacent
+    pair present and merges all its non-overlapping occurrences
+    left-to-right (pair ranks are read once per round, so a merge at
+    position i never revalidates i+2 — the classic GPT-2-style
+    greedy); stops when no merge applies or after ``max_rounds``
+    (words longer than max_rounds+1 chars come back partially merged,
+    deterministically). The declarative twin (bpe_round_sql, chained
+    one round per projection) is equivalence-tested against this
+    kernel; the DuckDB oracle replays the same rounds as MATERIALIZED
+    CTEs. Vocab-sized input (encode the distinct words once, join
+    back to the corpus) — the kernel is a narrow per-row map, no
+    shuffle."""
+    import pandas as pd
+
+    rank_of = {}
+    for i, m in enumerate(merges):
+        left, right = m.split(" ")
+        rank_of[(left, right)] = i + 1
+
+    def _enc(words):
+        out = []
+        for w in words:
+            toks = list(w)
+            for _ in range(max_rounds):
+                if len(toks) < 2:
+                    break
+                ranks = [
+                    rank_of.get((toks[i], toks[i + 1]), BPE_SENTINEL)
+                    for i in range(len(toks) - 1)
+                ]
+                best = min(ranks)
+                if best == BPE_SENTINEL:
+                    break
+                new, i = [], 0
+                while i < len(toks):
+                    if i < len(ranks) and ranks[i] == best:
+                        new.append(toks[i] + toks[i + 1])
+                        i += 2
+                    else:
+                        new.append(toks[i])
+                        i += 1
+                toks = new
+            out.append(toks)
+        return pd.Series(out, index=words.index)
+
+    return F.pandas_udf(_enc, "array<string>")
+
+
+def bpe_round_sql(merges, dialect: str) -> str:
+    """ONE BPE merge round as SQL text over a token-array column
+    ``t``, generated for both dialects from the same literals (the
+    pq_dist_sql pattern). The sequential "merge all non-overlapping
+    occurrences left-to-right" is expressed declaratively by chain
+    parity: within each maximal run of consecutive best-rank pairs,
+    the 1st/3rd/5th... positions merge — identical to the kernel's
+    greedy scan because ranks are computed before any merge of the
+    round. Chain the expression one round per PROJECTION (with a
+    barrier between rounds on the Spark side): inlining R rounds into
+    one tree multiplies the expression ~15x per round."""
+    s = BPE_SENTINEL
+    if dialect == "spark":
+        arr = "array(" + ", ".join(f"'{m}'" for m in merges) + ")"
+        rk = (
+            f"transform(sequence(1, size(t) - 1), i -> "
+            f"coalesce(nullif(array_position({arr}, "
+            f"concat(element_at(t, i), ' ', element_at(t, i + 1))), 0), {s}))"
+        )
+        best = f"array_min({rk})"
+
+        def active(x):
+            return (
+                f"(element_at({rk}, {x}) = {best} AND (({x}) - "
+                f"coalesce(array_max(filter(sequence(1, size(t) - 1), "
+                f"k -> k < ({x}) AND element_at({rk}, k) != {best})), 0)"
+                f") % 2 = 1)"
+            )
+
+        return (
+            f"CASE WHEN size(t) >= 2 AND {best} < {s} THEN "
+            f"flatten(transform(sequence(1, size(t)), p -> "
+            f"CASE WHEN p <= size(t) - 1 AND {active('p')} "
+            f"THEN array(concat(element_at(t, p), element_at(t, p + 1))) "
+            f"WHEN p >= 2 AND {active('p - 1')} "
+            f"THEN cast(array() as array<string>) "
+            f"ELSE array(element_at(t, p)) END)) "
+            f"ELSE t END"
+        )
+    arr = "[" + ", ".join(f"'{m}'" for m in merges) + "]"
+    rk = (
+        f"list_transform(range(1, len(t)), i -> "
+        f"coalesce(nullif(list_position({arr}, "
+        f"t[i] || ' ' || t[i + 1]), 0), {s}))"
+    )
+    best = f"list_min({rk})"
+
+    def active(x):
+        return (
+            f"({rk}[{x}] = {best} AND (({x}) - "
+            f"coalesce(list_max(list_filter(range(1, len(t)), "
+            f"k -> k < ({x}) AND {rk}[k] != {best})), 0)) % 2 = 1)"
+        )
+
+    return (
+        f"CASE WHEN len(t) >= 2 AND {best} < {s} THEN "
+        f"flatten(list_transform(range(1, len(t) + 1), p -> "
+        f"CASE WHEN p <= len(t) - 1 AND {active('p')} "
+        f"THEN [t[p] || t[p + 1]] "
+        f"WHEN p >= 2 AND {active('p - 1')} "
+        f"THEN []::VARCHAR[] "
+        f"ELSE [t[p]] END)) "
+        f"ELSE t END"
+    )
+
+
+def bpe_encode_expr_rounds(
+    words: DataFrame,
+    word_col: str = "word",
+    merges=BPE_DEFAULT_MERGES,
+    rounds: int = BPE_MAX_ROUNDS,
+) -> DataFrame:
+    """Declarative twin of bpe_encode_kernel: one round per projection
+    with a localCheckpoint barrier between rounds (CollapseProject
+    would otherwise inline each round's ~15 references to the previous
+    round's tree — exponential analysis blowup). Vocab-sized input
+    only; the kernel is the corpus path."""
+    df = words.select(
+        word_col, F.expr(f"filter(split({word_col}, ''), x -> x != '')").alias("t")
+    )
+    round_expr = bpe_round_sql(merges, "spark")
+    for _ in range(rounds):
+        df = df.select(word_col, F.expr(round_expr).alias("t"))
+        df = df.localCheckpoint(eager=True)
+    return df.select(
+        word_col,
+        F.col("t").alias("pieces_arr"),
+    )
