@@ -1148,11 +1148,19 @@ def bpe_encode_kernel(merges=BPE_DEFAULT_MERGES, max_rounds: int = BPE_MAX_ROUND
     rank_of = {}
     for i, m in enumerate(merges):
         left, right = m.split(" ")
-        rank_of[(left, right)] = i + 1
+        # FIRST occurrence wins on a duplicated pair — matching
+        # array_position/list_position in the declarative twin and
+        # the oracle (dict overwrite would silently be last-wins)
+        rank_of.setdefault((left, right), i + 1)
 
     def _enc(words):
         out = []
         for w in words:
+            if w is None:
+                # match the declarative twin: NULL word -> NULL pieces
+                # (the SQL CASE over a NULL array yields NULL)
+                out.append(None)
+                continue
             toks = list(w)
             for _ in range(max_rounds):
                 if len(toks) < 2:

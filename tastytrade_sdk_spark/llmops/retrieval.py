@@ -397,8 +397,9 @@ def bm25_index_stream_batch(
     key). A crash between the three writes is likewise healed by the
     replay. Search-side bucket pruning is unaffected: bucket stays a
     partition column one level down. ``_layout.json`` (n_buckets) is
-    (re-)committed atomically every batch — constant per sink, so
-    replay-safe by construction."""
+    committed atomically by the FIRST batch and verified (refuse on
+    mismatch) before any write thereafter — a sink restarted with a
+    different n_buckets must not split the index across two moduli."""
     import json
     import os
     import tempfile

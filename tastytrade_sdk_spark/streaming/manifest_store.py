@@ -163,14 +163,18 @@ def vacuum_store(
         for f in os.listdir(root)
         if f.startswith("_manifest.") and f.endswith(".json")
     }
-    if latest is None and manifests:
-        # committed manifests exist but the pointer is missing or
-        # unreadable (torn write, manual damage): with latest unknown,
-        # EVERY manifest would classify as uncommitted-stale and the
-        # whole store would be reclaimed. Refuse — a recoverable
-        # one-byte pointer corruption must never become data loss.
+    if latest is None and manifests and os.path.exists(_pointer_path(root)):
+        # the pointer FILE exists but is unreadable (torn write,
+        # manual damage): versions WERE committed and with latest
+        # unknown every manifest would classify as uncommitted-stale
+        # and the whole store would be reclaimed. Refuse — a
+        # recoverable one-byte pointer corruption must never become
+        # data loss. (A store whose pointer file never existed is the
+        # different, harmless state: a first-ever publish crashed
+        # before its pointer flip — nothing was committed, and its
+        # debris ages out through the stale-manifest path below.)
         raise ValueError(
-            f"vacuum_store: {root} has manifests but no readable "
+            f"vacuum_store: {root} has manifests but an unreadable "
             f"{_LATEST} pointer — repair the pointer (write the "
             "highest committed version number) before vacuuming"
         )

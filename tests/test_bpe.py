@@ -60,3 +60,34 @@ class TestDeclarativeTwin:
         }
         kern_out = _kernel_encode(spark, words, merges)
         assert expr_out == kern_out
+
+
+class TestReviewRegressions:
+    def test_duplicate_merge_pair_first_wins(self, spark):
+        """A repeated pair must take its FIRST rank on every path
+        (array_position semantics), not dict-overwrite last-wins."""
+        merges = ("a b", "ab c", "b c", "a b")
+        words = ["abc"]
+        df = spark.createDataFrame([(w,) for w in words], ["word"])
+        kern = _kernel_encode(spark, words, merges)
+        expr = {
+            r.word: r.pieces_arr
+            for r in bpe_encode_expr_rounds(df, merges=merges).collect()
+        }
+        assert kern == expr == {"abc": ["abc"]}
+
+    def test_null_word_passes_through(self, spark):
+        from pyspark.sql import types as T
+
+        df = spark.createDataFrame(
+            [("ab",), (None,)],
+            T.StructType([T.StructField("word", T.StringType())]),
+        )
+        out = {
+            r.word: r.t
+            for r in df.select(
+                "word",
+                bpe_encode_kernel(TEST_MERGES)(F.col("word")).alias("t"),
+            ).collect()
+        }
+        assert out[None] is None and out["ab"] == ["a", "b"]

@@ -152,7 +152,7 @@ class TestVacuumReviewRegressions:
         self._seed(spark, root)
         with open(os.path.join(root, "_latest"), "w") as f:
             f.write("")  # torn write
-        with _pt.raises(ValueError, match="no readable"):
+        with _pt.raises(ValueError, match="unreadable"):
             vacuum_store(root, keep=2, grace_s=0)
         # every version dir survived
         assert all(
@@ -197,3 +197,23 @@ class TestVacuumReviewRegressions:
         # keep=2 COMMITTED snapshots: 2 and 3 stay, 0 and 1 go
         assert pruned == [0, 1]
         assert read_version(spark, root, version=2).count() == 1
+
+    def test_never_committed_store_reclaims_after_grace(
+        self, spark, tmp_path
+    ):
+        """First-ever publish crashed before the pointer flip (no
+        _latest file at all): nothing was committed, so vacuum must
+        age the debris out — not raise (that path is reserved for an
+        EXISTING-but-unreadable pointer)."""
+        import json
+        import os
+
+        root = str(tmp_path / "s")
+        os.makedirs(os.path.join(root, "v=0"))
+        with open(os.path.join(root, "_manifest.0.json"), "w") as f:
+            json.dump({"version": 0, "data_dir": f"{root}/v=0"}, f)
+        os.utime(os.path.join(root, "_manifest.0.json"), (0, 0))
+        os.utime(os.path.join(root, "v=0"), (0, 0))
+        rep = vacuum_store(root, keep=2, grace_s=3600)
+        assert rep["stale_manifests"] == [0]
+        assert not os.path.exists(os.path.join(root, "v=0"))

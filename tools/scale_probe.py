@@ -91,6 +91,8 @@ PROBE = [
     "pq_adc_search",
     "ivf_pq_search",
     "bm25_index_search",
+    "pagerank_fixed",
+    "bpe_encode_vocab",
 ]
 
 
