@@ -1136,3 +1136,69 @@ def ivf_pq_topk(
     )
     cand = lists.join(F.broadcast(qt), "__list")
     return _adc_score_topk(cand, m, k, id_col, query_id_col, round_dp)
+
+
+def ivf_index_stream_batch(
+    batch_df: DataFrame,
+    path: str,
+    epoch_id: int,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold one micro-batch of new vectors into a STREAMED IVF index
+    (the dense twin of retrieval.bm25_index_stream_batch): the batch
+    lands as an (epoch, list_id)-partitioned dynamic overwrite, so a
+    REPLAYED epoch overwrites exactly its own partitions and converges
+    — foreachBatch exactly-once via idempotence, unlike
+    ivf_index_append whose crash contract is quiesce-and-rebuild.
+    Search-side partition pruning is unaffected (list_id stays a
+    partition column one level down, and ivf_index_topk's list filter
+    prunes it). The centroid digest is stamped by the first batch and
+    VERIFIED before any later write — a sink restarted with different
+    centroids must not silently mis-route (same guard as append)."""
+    import os
+
+    sidecar = os.path.join(path, "_centroids_md5")
+    if os.path.exists(sidecar):
+        _check_centroid_sidecar(path, centroids, "ivf_index_stream_batch")
+    assign_udf = _ivf_assign_udf(centroids)
+    (
+        _spread(batch_df.select(id_col, vec_col))
+        .withColumn("epoch", F.lit(epoch_id))
+        .withColumn("list_id", assign_udf(F.col(vec_col)))
+        # same (list, bounded salt) write clustering as the build
+        .repartition(
+            F.col("list_id"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(_IVF_FILES_PER_LIST)),
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "list_id")
+        .parquet(path)
+    )
+    if not os.path.exists(sidecar):
+        with open(sidecar, "w") as fh:
+            fh.write(_centroid_digest(centroids))
+
+
+def ivf_index_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """writeStream wrapper: maintain a searchable IVF index directly
+    from an embedding stream (new-vectors-only contract, as everywhere
+    in the index lifecycle)."""
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda df, epoch: ivf_index_stream_batch(
+                df, path, epoch, centroids, id_col, vec_col
+            )
+        )
+    )

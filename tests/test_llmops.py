@@ -1053,3 +1053,68 @@ class TestPagerankScaled:
                 flows[d] += r[s] // outdeg[s]
             r = {v: base + (17 * flows[v]) // 20 for v in nodes}
         assert got == r
+
+
+class TestIvfIndexStream:
+    """Streamed IVF maintenance: epoch-partitioned idempotent writes."""
+
+    def _emb(self, spark, lo, hi):
+        from tastytrade_sdk_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        return emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select("vec_id", "embedding")
+
+    def _search(self, spark, path):
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            ivf_index_topk,
+        )
+
+        q = self._emb(spark, 0, 5).withColumnRenamed("vec_id", "query_id")
+        return sorted(
+            map(
+                tuple,
+                ivf_index_topk(
+                    spark, path, q, axis_centroids(16, 64), k=3, nprobe=4
+                ).collect(),
+            )
+        )
+
+    def test_streamed_equals_one_shot_and_replay_converges(
+        self, spark, tmp_path
+    ):
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            ivf_index_stream_batch,
+            ivf_index_write,
+        )
+
+        cent = axis_centroids(16, 64)
+        one = str(tmp_path / "one")
+        ivf_index_write(self._emb(spark, 0, 100), one, cent)
+        expected = self._search(spark, one)
+
+        streamed = str(tmp_path / "streamed")
+        ivf_index_stream_batch(self._emb(spark, 0, 50), streamed, 0, cent)
+        ivf_index_stream_batch(self._emb(spark, 50, 100), streamed, 1, cent)
+        assert self._search(spark, streamed) == expected
+        # crash/replay of epoch 1: same partitions overwritten, same answer
+        ivf_index_stream_batch(self._emb(spark, 50, 100), streamed, 1, cent)
+        assert self._search(spark, streamed) == expected
+
+    def test_centroid_mismatch_refused(self, spark, tmp_path):
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            ivf_index_stream_batch,
+        )
+
+        path = str(tmp_path / "idx")
+        ivf_index_stream_batch(
+            self._emb(spark, 0, 20), path, 0, axis_centroids(16, 64)
+        )
+        with pytest.raises(ValueError, match="digest mismatch"):
+            ivf_index_stream_batch(
+                self._emb(spark, 20, 40), path, 1, axis_centroids(8, 64)
+            )
