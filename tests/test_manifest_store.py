@@ -1,8 +1,11 @@
 """Manifest commit protocol: snapshot isolation, time travel, replay
 convergence, pruning."""
 
+import pytest
+
 from tastytrade_sdk_spark.streaming.manifest_store import (
     vacuum_store,
+    version_changes,
     current_version,
     prune_versions,
     publish_version,
@@ -217,3 +220,55 @@ class TestVacuumReviewRegressions:
         rep = vacuum_store(root, keep=2, grace_s=3600)
         assert rep["stale_manifests"] == [0]
         assert not os.path.exists(os.path.join(root, "v=0"))
+
+
+class TestVersionChanges:
+    """Change feed (Delta-CDF analog): classification + reconstruction."""
+
+    @pytest.fixture(scope="class")
+    def store(self, spark, tmp_path_factory):
+        import pyspark.sql.functions as F  # noqa: F401
+
+        root = str(tmp_path_factory.mktemp("cdf") / "s")
+        publish_version(
+            _df(spark, [("A", 1, 10.0), ("B", 1, 5.0), ("C", 1, 7.0)]), root
+        )
+        # v1: A updated, B unchanged, C deleted, D inserted
+        publish_version(
+            _df(spark, [("A", 2, 11.0), ("B", 1, 5.0), ("D", 1, 9.0)]), root
+        )
+        return root
+
+    def test_classification(self, spark, store):
+        feed = {
+            r.sym: (r.op, r.seq, r.px)
+            for r in version_changes(spark, store, 0, 1, ["sym"]).collect()
+        }
+        assert feed == {
+            "A": ("update", 2, 11.0),   # post-image
+            "C": ("delete", 1, 7.0),    # pre-image
+            "D": ("insert", 1, 9.0),
+        }  # B unchanged -> excluded
+
+    def test_apply_feed_reconstructs_new_snapshot(self, spark, store):
+        from pyspark.sql import functions as F
+
+        feed = version_changes(spark, store, 0, 1, ["sym"])
+        old = read_version(spark, store, version=0)
+        dels = feed.filter(F.col("op") == "delete").select("sym")
+        ups = feed.filter(F.col("op") != "delete").drop("op")
+        rebuilt = (
+            old.join(feed.select("sym"), "sym", "left_anti")
+            .unionByName(ups)
+            .join(dels, "sym", "left_anti")
+        )
+        want = {tuple(r) for r in read_version(spark, store, version=1).collect()}
+        assert {tuple(r) for r in rebuilt.collect()} == want
+
+    def test_null_key_value_matches_null_safely(self, spark, tmp_path):
+        root = str(tmp_path / "s")
+        publish_version(_df(spark, [(None, 1, 1.0), ("A", 1, 2.0)]), root)
+        publish_version(_df(spark, [(None, 2, 3.0), ("A", 1, 2.0)]), root)
+        feed = version_changes(spark, root, 0, 1, ["sym"]).collect()
+        # the NULL-sym row is ONE updated key, not an insert+delete pair
+        assert [(r.sym, r.op, r.px) for r in feed] == [(None, "update", 3.0)]
