@@ -1275,3 +1275,30 @@ def bpe_encode_expr_rounds(
         word_col,
         F.col("t").alias("pieces_arr"),
     )
+
+
+def hash_embedding(tokens: Column, dim: int = 16) -> Column:
+    """Deterministic bag-of-tokens hash embedding (the stand-in for a
+    real encoder when none is on the cluster — same role as the
+    multimodal fake-feature kernel): component j is the EXACT integer
+    sum over tokens of (h32(token || '#' || j) mod 1000 - 500).
+    Integer sums are order-free, so the embedding is bit-identical
+    across engines, partitionings and cluster sizes; at scale swap in
+    a real encoder behind the same array<long> column contract."""
+    from tastytrade_sdk_spark.llmops.textops import h32
+
+    def component(j: int) -> Column:
+        # single-parameter lambda only: a two-parameter lambda is
+        # PySpark's (element, index) form, which would rebind the
+        # captured j to the array-index Column
+        suffix = f"#{j}"
+        return F.aggregate(
+            F.transform(
+                tokens,
+                lambda t: h32(F.concat(t, F.lit(suffix))) % 1000 - 500,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    return F.array(*[component(j) for j in range(dim)])

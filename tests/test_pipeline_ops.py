@@ -851,3 +851,40 @@ class TestRendezvousShard:
                 rendezvous_shard(docs, n_shards=4).collect()}
         assert rows[None] is None
         assert rows[1] is not None and rows[2] is not None
+
+
+class TestHashEmbedding:
+    def test_matches_python_reference_and_is_order_free(self, spark):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from tastytrade_sdk_spark.llmops.pipeline import hash_embedding
+
+        words = ["spark", "query", "engine", "spark"]
+        df = spark.createDataFrame([(words,), (list(reversed(words)),)], ["t"])
+        got = [
+            r.e for r in df.select(hash_embedding(F.col("t"), 4).alias("e")).collect()
+        ]
+
+        def comp(ws, j):
+            return sum(
+                int(hashlib.md5(f"{w}#{j}".encode()).hexdigest()[:8], 16)
+                % 1000
+                - 500
+                for w in ws
+            )
+
+        want = [comp(words, j) for j in range(4)]
+        assert got[0] == want
+        assert got[1] == want  # integer sums: order-free
+
+    def test_empty_tokens_is_zero_vector(self, spark):
+        from pyspark.sql import functions as F
+
+        from tastytrade_sdk_spark.llmops.pipeline import hash_embedding
+
+        df = spark.createDataFrame([([],)], "t: array<string>")
+        assert df.select(
+            hash_embedding(F.col("t"), 3).alias("e")
+        ).collect()[0].e == [0, 0, 0]
