@@ -389,6 +389,7 @@ def chunk_documents(
     tokens_col: str | None = None,
     chunk_size: int = 64,
     stride: int = 48,
+    emit_tokens: bool = False,
 ) -> DataFrame:
     """RAG/context-window chunking: split each document's token array
     into fixed-size chunks with overlap (chunk_size - stride tokens
@@ -434,28 +435,22 @@ def chunk_documents(
     )
     start = (F.col("chunk_idx").cast("long") * F.lit(stride)).cast("long")
     end = F.least(start + F.lit(chunk_size), F.col("n_tokens").cast("long"))
-    return (
-        base.select(
-            id_col, "__toks", "n_tokens", chunk_idx.alias("chunk_idx")
-        )
-        .select(
-            F.col(id_col),
-            F.col("chunk_idx").cast("int").alias("chunk_idx"),
-            start.alias("start_tok"),
-            end.alias("end_tok"),
-            (end - start).cast("int").alias("chunk_tokens"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.slice(
-                        F.col("__toks"),
-                        (start + 1).cast("int"),
-                        (end - start).cast("int"),
-                    ),
-                )
-            ).alias("chunk_hash"),
-        )
+    chunk_slice = F.slice(
+        F.col("__toks"), (start + 1).cast("int"), (end - start).cast("int")
     )
+    out_cols = [
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        (end - start).cast("int").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk_slice)).alias("chunk_hash"),
+    ]
+    if emit_tokens:
+        out_cols.append(chunk_slice.alias("chunk_toks"))
+    return base.select(
+        id_col, "__toks", "n_tokens", chunk_idx.alias("chunk_idx")
+    ).select(*out_cols)
 
 
 def ngram_topk_per_group(
@@ -1298,7 +1293,9 @@ def hash_embedding(tokens: Column, dim: int = 16) -> Column:
                 lambda t: h32(F.concat(t, F.lit(suffix))) % 1000 - 500,
             ),
             F.lit(0).cast("long"),
-            lambda a, x: a + x,
+            # NULL tokens hash to NULL — skip them like the oracle's
+            # list_sum does, instead of poisoning the whole component
+            lambda a, x: a + F.coalesce(x, F.lit(0)),
         )
 
     return F.array(*[component(j) for j in range(dim)])

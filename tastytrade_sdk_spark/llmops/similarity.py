@@ -1154,14 +1154,29 @@ def ivf_index_stream_batch(
     ivf_index_append whose crash contract is quiesce-and-rebuild.
     Search-side partition pruning is unaffected (list_id stays a
     partition column one level down, and ivf_index_topk's list filter
-    prunes it). The centroid digest is stamped by the first batch and
-    VERIFIED before any later write — a sink restarted with different
-    centroids must not silently mis-route (same guard as append)."""
+    prunes it). The centroid digest is stamped ATOMICALLY before the
+    first batch's data write and VERIFIED before every later write —
+    a sink restarted with different centroids must not silently
+    mis-route (same guard as append), with no crash window where data
+    sits on disk unguarded."""
     import os
+    import tempfile
 
     sidecar = os.path.join(path, "_centroids_md5")
     if os.path.exists(sidecar):
         _check_centroid_sidecar(path, centroids, "ivf_index_stream_batch")
+    else:
+        # stamp BEFORE the first data write, atomically (mkstemp +
+        # replace): stamping after would leave a crash window where
+        # epoch-0 data exists with no sidecar, so a restart with
+        # DIFFERENT centroids would skip the guard, re-route the
+        # replayed epoch and leave the old mis-routed list partitions
+        # behind as ghosts; a torn write would brick every later batch
+        os.makedirs(path, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="._centroids.")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(_centroid_digest(centroids))
+        os.replace(tmp, sidecar)
     assign_udf = _ivf_assign_udf(centroids)
     (
         _spread(batch_df.select(id_col, vec_col))
@@ -1177,9 +1192,6 @@ def ivf_index_stream_batch(
         .partitionBy("epoch", "list_id")
         .parquet(path)
     )
-    if not os.path.exists(sidecar):
-        with open(sidecar, "w") as fh:
-            fh.write(_centroid_digest(centroids))
 
 
 def ivf_index_sink(

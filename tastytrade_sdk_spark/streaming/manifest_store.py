@@ -140,25 +140,33 @@ def version_changes(
     old = read_version(spark, root, v_from)
     new = read_version(spark, root, v_to)
     vals = [c for c in new.columns if c not in keys]
+    if "op" in new.columns:
+        raise ValueError(
+            "version_changes: the snapshot already has an 'op' column "
+            "— it would collide with the feed's change-type column; "
+            "rename it before diffing"
+        )
     # presence MARKERS, not key-null checks: the join is NULL-safe, so
-    # a legitimately-NULL key value would otherwise read as "absent"
+    # a legitimately-NULL key value would otherwise read as "absent".
+    # Marker names deliberately do NOT match the __o_{c}/__n_{c} alias
+    # shape, so no user column can alias onto them.
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in vals],
-        F.lit(True).alias("__o_present"),
+        F.lit(True).alias("__present_old__"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in vals],
-        F.lit(True).alias("__n_present"),
+        F.lit(True).alias("__present_new__"),
     )
     cond = None
     for k in keys:
         c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
         cond = c if cond is None else cond & c
     j = o.join(n, cond, "full_outer")
-    in_old = F.col("__o_present").isNotNull()
-    in_new = F.col("__n_present").isNotNull()
+    in_old = F.col("__present_old__").isNotNull()
+    in_new = F.col("__present_new__").isNotNull()
     changed = None
     for c in vals:
         d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))

@@ -1118,3 +1118,22 @@ class TestIvfIndexStream:
             ivf_index_stream_batch(
                 self._emb(spark, 20, 40), path, 1, axis_centroids(8, 64)
             )
+
+    def test_sidecar_stamped_before_data_and_atomic(self, spark, tmp_path):
+        """The digest lands (atomically) BEFORE the first batch's data
+        write: a crash right after the data write can never leave the
+        index unguarded."""
+        import os
+
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            ivf_index_stream_batch,
+        )
+
+        path = str(tmp_path / "idx")
+        ivf_index_stream_batch(
+            self._emb(spark, 0, 10), path, 0, axis_centroids(16, 64)
+        )
+        assert os.path.exists(os.path.join(path, "_centroids_md5"))
+        # no torn temp files left behind
+        assert not [f for f in os.listdir(path) if f.startswith("._centroids.")]

@@ -272,3 +272,20 @@ class TestVersionChanges:
         feed = version_changes(spark, root, 0, 1, ["sym"]).collect()
         # the NULL-sym row is ONE updated key, not an insert+delete pair
         assert [(r.sym, r.op, r.px) for r in feed] == [(None, "update", 3.0)]
+
+    def test_value_column_named_present_is_fine(self, spark, tmp_path):
+        root = str(tmp_path / "s")
+        df0 = spark.createDataFrame([("A", True)], "sym string, present boolean")
+        df1 = spark.createDataFrame([("A", False)], "sym string, present boolean")
+        publish_version(df0, root)
+        publish_version(df1, root)
+        feed = version_changes(spark, root, 0, 1, ["sym"]).collect()
+        assert [(r.sym, r.op, r.present) for r in feed] == [("A", "update", False)]
+
+    def test_op_column_refused(self, spark, tmp_path):
+        root = str(tmp_path / "s")
+        df = spark.createDataFrame([("A", "x")], "sym string, op string")
+        publish_version(df, root)
+        publish_version(df, root)
+        with pytest.raises(ValueError, match="'op' column"):
+            version_changes(spark, root, 0, 1, ["sym"])

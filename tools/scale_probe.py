@@ -93,6 +93,8 @@ PROBE = [
     "bm25_index_search",
     "pagerank_fixed",
     "bpe_encode_vocab",
+    "store_change_feed",
+    "rag_chunk_retrieval",
 ]
 
 
