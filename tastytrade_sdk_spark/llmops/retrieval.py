@@ -480,3 +480,65 @@ def bm25_index_sink(
             )
         )
     )
+
+
+def bm25_index_compact(spark, path: str, id_col: str = "doc_id") -> dict:
+    """OPTIMIZE for a STREAMED index: rewrite the epoch-partitioned
+    layout (one directory tree per micro-batch — file count grows
+    with stream lifetime) into the compact batch layout
+    bm25_index_write produces (bucket-partitioned postings, flat
+    doclen, exact _stats.json), after which bm25_index_topk takes the
+    batch read path and bm25_index_append works again. Term
+    frequencies are re-aggregated across epochs per (term, doc) —
+    identical search results by construction (equivalence-tested).
+
+    WRITER MUST BE QUIESCED (same directory-swap contract as
+    compact_parquet_table): the rewrite lands in a sibling tmp dir
+    and swaps in with restore-before-delete crash recovery — a crash
+    between the two renames is healed on the next call, and the only
+    copy is never deleted before the replacement is complete."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    tmp, old = path + ".__tmp", path + ".__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    with open(os.path.join(path, "_layout.json")) as fh:
+        n_buckets = json.load(fh)["n_buckets"]
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .groupBy("term", id_col)
+        .agg(F.sum("tf").alias("tf"))
+        .withColumn("bucket", _bucket_col(n_buckets))
+    )
+    (
+        postings.repartition(n_buckets, "bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(tmp, "postings"))
+    )
+    dl = spark.read.parquet(os.path.join(path, "doclen")).select(
+        "doc_id", "dl"
+    ).localCheckpoint(eager=True)
+    dl.write.mode("overwrite").parquet(os.path.join(tmp, "doclen"))
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    stats = {
+        "n_docs": int(row["n"]),
+        "sum_dl": int(row["s"] or 0),
+        "n_buckets": n_buckets,
+    }
+    fd, t = tempfile.mkstemp(dir=tmp, prefix="._stats.")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(t, os.path.join(tmp, _BM25_STATS))
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return stats

@@ -344,3 +344,47 @@ class TestStreamedIndex:
         out = bm25_index_topk(spark, idx, queries, k=4)
         assert out.collect() == []
         assert out.columns == ["query_id", "rank", "doc_id", "bm25"]
+
+    def test_compact_streamed_index_to_batch_layout(self, spark, tmp_path):
+        """OPTIMIZE: epoch layout -> batch layout; identical search
+        results, append works again afterwards."""
+        import os
+
+        from tastytrade_sdk_spark.llmops.retrieval import (
+            bm25_index_append,
+            bm25_index_compact,
+            bm25_index_stream_batch,
+            bm25_index_topk,
+            bm25_topk,
+        )
+
+        idx = str(tmp_path / "idx")
+        full = spark.createDataFrame(CORPUS, self._schema())
+        bm25_index_stream_batch(
+            full.filter(F.col("doc_id") < 2), idx, 0, n_buckets=8
+        )
+        bm25_index_stream_batch(
+            full.filter((F.col("doc_id") >= 2) & (F.col("doc_id") < 4)),
+            idx,
+            1,
+            n_buckets=8,
+        )
+        q = full.filter(F.col("doc_id") < 2)
+        before = sorted(
+            map(tuple, bm25_index_topk(spark, idx, q, k=4).collect())
+        )
+        stats = bm25_index_compact(spark, idx)
+        assert stats["n_docs"] == 4
+        assert os.path.exists(os.path.join(idx, "_stats.json"))
+        assert not os.path.exists(idx + ".__old")
+        after = sorted(
+            map(tuple, bm25_index_topk(spark, idx, q, k=4).collect())
+        )
+        assert after == before
+        # batch append path works on the compacted index
+        bm25_index_append(full.filter(F.col("doc_id") == 4), idx)
+        grown = bm25_index_topk(spark, idx, q, k=5)
+        ref = bm25_topk(full, q, k=5)
+        assert sorted(map(tuple, grown.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
