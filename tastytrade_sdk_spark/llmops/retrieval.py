@@ -194,23 +194,32 @@ def bm25_index_write(
     (bucket, term) so no single task serializes a heavy bucket —
     same skew story as the IVF clustered writes.
     """
-    import json
-    import os
-    import tempfile
-
-    postings = build_postings(docs, text_col, id_col).withColumn(
-        "bucket", _bucket_col(n_buckets)
-    )
-    (
-        postings.repartition(n_buckets, "bucket", "term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(path, "postings"))
-    )
+    postings = build_postings(docs, text_col, id_col)
     # materialize doc lengths ONCE: the parquet write and the stats
     # aggregate both consume the checkpointed blocks instead of
     # re-tokenizing the corpus a third time
     dl = doc_lengths(docs, text_col, id_col).localCheckpoint(eager=True)
+    return _write_batch_layout(postings, dl, n_buckets, path)
+
+
+def _write_batch_layout(
+    postings: DataFrame, dl: DataFrame, n_buckets: int, path: str
+) -> dict:
+    """The ONE batch-layout writer (bm25_index_write and
+    bm25_index_compact share it, so the written and compacted layouts
+    cannot drift): bucket-partitioned skew-spread postings, flat
+    doclen, exact integer _stats.json committed atomically and LAST."""
+    import json
+    import os
+    import tempfile
+
+    (
+        postings.withColumn("bucket", _bucket_col(n_buckets))
+        .repartition(n_buckets, "bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
     dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
     row = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
@@ -297,6 +306,16 @@ def bm25_index_topk(
     import json
     import os
 
+    from tastytrade_sdk_spark.streaming.sinks import readable_store_path
+
+    # a compactor mid-swap leaves the index under .__old for a moment;
+    # read-only consumers fall back to that snapshot instead of
+    # crashing (the sketch-store reader precedent) — the compactor's
+    # next call performs the actual restore
+    resolved = readable_store_path(path)
+    if resolved is None:
+        raise FileNotFoundError(f"no BM25 index at {path}")
+    path = resolved
     stats_file = os.path.join(path, _BM25_STATS)
     if os.path.exists(stats_file):
         # batch layout: exact integer sidecar committed by write/append
@@ -410,6 +429,17 @@ def bm25_index_stream_batch(
     # different modulus than the old ones while search prunes with
     # only one — silently wrong results (the same bug class the IVF
     # index's _centroids_md5 sidecar catches). Refuse on mismatch.
+    if os.path.exists(os.path.join(path, _BM25_STATS)):
+        # a _stats.json marks the BATCH layout (bm25_index_write or a
+        # bm25_index_compact result): streaming epoch partitions into
+        # it would mix two partition layouts under postings/ and break
+        # every read — grow it with bm25_index_append, or point the
+        # sink at a fresh path
+        raise ValueError(
+            f"bm25_index_stream_batch: {path} holds a batch-layout "
+            "index (compacted or bm25_index_write-built) — use "
+            "bm25_index_append, or stream into a fresh path"
+        )
     layout_path = os.path.join(path, "_layout.json")
     if os.path.exists(layout_path):
         with open(layout_path) as fh:
@@ -508,36 +538,62 @@ def bm25_index_compact(spark, path: str, id_col: str = "doc_id") -> dict:
     for d in (tmp, old):
         if os.path.exists(d):
             shutil.rmtree(d)
-    with open(os.path.join(path, "_layout.json")) as fh:
-        n_buckets = json.load(fh)["n_buckets"]
+    # n_buckets: streamed layout carries _layout.json; an already-
+    # compacted index carries it in _stats.json (re-compaction is a
+    # valid no-op-shaped rewrite)
+    layout_path = os.path.join(path, "_layout.json")
+    stats_path = os.path.join(path, _BM25_STATS)
+    if os.path.exists(layout_path):
+        with open(layout_path) as fh:
+            n_buckets = json.load(fh)["n_buckets"]
+    else:
+        with open(stats_path) as fh:
+            n_buckets = json.load(fh)["n_buckets"]
+
+    def _listing() -> "list[str]":
+        files = []
+        for base, _, names in os.walk(path):
+            rel = os.path.relpath(base, path)
+            files.extend(
+                os.path.join(rel, f) for f in names if f.endswith(".parquet")
+            )
+        return sorted(files)
+
+    before = _listing()
+    # all-empty streamed index (only empty epochs ever ran): postings/
+    # doclen have no data files (the per-epoch stats rows do exist) —
+    # nothing to rewrite, and reading postings would fail (same state
+    # bm25_index_topk short-circuits)
+    if not any(f.startswith("postings") for f in before):
+        return {"n_docs": 0, "sum_dl": 0, "n_buckets": n_buckets}
     postings = (
         spark.read.parquet(os.path.join(path, "postings"))
         .groupBy("term", id_col)
         .agg(F.sum("tf").alias("tf"))
-        .withColumn("bucket", _bucket_col(n_buckets))
     )
-    (
-        postings.repartition(n_buckets, "bucket", "term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(tmp, "postings"))
+    dl = (
+        spark.read.parquet(os.path.join(path, "doclen"))
+        .select(id_col, "dl")
+        .localCheckpoint(eager=True)
     )
-    dl = spark.read.parquet(os.path.join(path, "doclen")).select(
-        "doc_id", "dl"
-    ).localCheckpoint(eager=True)
-    dl.write.mode("overwrite").parquet(os.path.join(tmp, "doclen"))
-    row = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).collect()[0]
-    stats = {
-        "n_docs": int(row["n"]),
-        "sum_dl": int(row["s"] or 0),
-        "n_buckets": n_buckets,
-    }
-    fd, t = tempfile.mkstemp(dir=tmp, prefix="._stats.")
+    stats = _write_batch_layout(postings, dl, n_buckets, tmp)
+    # keep _layout.json so a RE-compaction and the stream-batch guard
+    # both keep working on the compacted index
+    fd, t = tempfile.mkstemp(dir=tmp, prefix="._layout.")
     with os.fdopen(fd, "w") as fh:
-        json.dump(stats, fh)
-    os.replace(t, os.path.join(tmp, _BM25_STATS))
+        json.dump({"n_buckets": n_buckets}, fh)
+    os.replace(t, os.path.join(tmp, "_layout.json"))
+    # concurrent-writer detection (same contract as
+    # compact_parquet_table): a micro-batch that landed during the
+    # rewrite would ride into .__old and be deleted with it — re-check
+    # the listing immediately before the swap and ABORT untouched
+    if _listing() != before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"bm25_index_compact: {path} changed during compaction "
+            "(concurrent writer?) — aborted, index untouched; quiesce "
+            "the sink and retry"
+        )
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

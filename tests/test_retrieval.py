@@ -388,3 +388,59 @@ class TestStreamedIndex:
         assert sorted(map(tuple, grown.collect())) == sorted(
             map(tuple, ref.collect())
         )
+
+    def test_stream_into_batch_layout_refused(self, spark, tmp_path):
+        from tastytrade_sdk_spark.llmops.retrieval import (
+            bm25_index_stream_batch,
+            bm25_index_write,
+        )
+
+        idx = str(tmp_path / "idx")
+        full = spark.createDataFrame(CORPUS, self._schema())
+        bm25_index_write(full, idx, n_buckets=8)
+        with pytest.raises(ValueError, match="batch-layout"):
+            bm25_index_stream_batch(full, idx, epoch_id=0, n_buckets=8)
+
+    def test_compact_all_empty_index_is_noop(self, spark, tmp_path):
+        from tastytrade_sdk_spark.llmops.retrieval import (
+            bm25_index_compact,
+            bm25_index_stream_batch,
+        )
+
+        idx = str(tmp_path / "idx")
+        empty = spark.createDataFrame([], self._schema())
+        bm25_index_stream_batch(empty, idx, epoch_id=0, n_buckets=8)
+        assert bm25_index_compact(spark, idx)["n_docs"] == 0
+
+    def test_search_falls_back_to_old_during_swap(self, spark, tmp_path):
+        import os
+
+        from tastytrade_sdk_spark.llmops.retrieval import (
+            bm25_index_topk,
+            bm25_index_write,
+        )
+
+        idx = str(tmp_path / "idx")
+        full = spark.createDataFrame(CORPUS, self._schema())
+        bm25_index_write(full, idx, n_buckets=8)
+        q = full.filter(F.col("doc_id") < 2)
+        want = sorted(map(tuple, bm25_index_topk(spark, idx, q, k=4).collect()))
+        os.rename(idx, idx + ".__old")  # compactor crashed mid-swap
+        got = sorted(map(tuple, bm25_index_topk(spark, idx, q, k=4).collect()))
+        assert got == want
+
+    def test_recompaction_of_batch_layout_works(self, spark, tmp_path):
+        from tastytrade_sdk_spark.llmops.retrieval import (
+            bm25_index_compact,
+            bm25_index_stream_batch,
+            bm25_index_topk,
+        )
+
+        idx = str(tmp_path / "idx")
+        full = spark.createDataFrame(CORPUS, self._schema())
+        bm25_index_stream_batch(full, idx, epoch_id=0, n_buckets=8)
+        bm25_index_compact(spark, idx)
+        stats = bm25_index_compact(spark, idx)  # idempotent re-run
+        assert stats["n_docs"] == len(CORPUS)
+        q = full.filter(F.col("doc_id") < 2)
+        assert len(bm25_index_topk(spark, idx, q, k=4).collect()) > 0
