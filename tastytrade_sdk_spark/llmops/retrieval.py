@@ -416,9 +416,18 @@ def bm25_index_stream_batch(
     key). A crash between the three writes is likewise healed by the
     replay. Search-side bucket pruning is unaffected: bucket stays a
     partition column one level down. ``_layout.json`` (n_buckets) is
-    committed atomically by the FIRST batch and verified (refuse on
-    mismatch) before any write thereafter — a sink restarted with a
-    different n_buckets must not split the index across two moduli."""
+    committed atomically BEFORE the first batch's data writes and
+    verified (refuse on mismatch) on every batch thereafter — a sink
+    restarted with a different n_buckets must not split the index
+    across two moduli. Stamping before the data (not after) matters:
+    were the commit deferred, a crash mid-first-epoch followed by a
+    restart with a different n_buckets would pass the guard and
+    replay the epoch under the new modulus, while dynamic partition
+    overwrite only replaces the (epoch, bucket) partitions the replay
+    produces — old-modulus bucket dirs from the crashed attempt would
+    survive as ghosts and double-count df/scores at search time. The
+    dense twin ivf_index_stream_batch stamps its centroid sidecar
+    first for the same reason."""
     import json
     import os
     import tempfile
@@ -451,6 +460,15 @@ def bm25_index_stream_batch(
                 f"with n_buckets={n_buckets} — restart the sink with "
                 f"the committed value or rebuild the index"
             )
+    else:
+        # commit the layout BEFORE any data write (see docstring: a
+        # crash after data but before the stamp would let a restart
+        # with a different modulus leave ghost old-modulus buckets)
+        os.makedirs(path, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="._layout.")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"n_buckets": n_buckets}, fh)
+        os.replace(tmp, layout_path)
     postings = build_postings(batch_df, text_col, id_col).withColumn(
         "bucket", _bucket_col(n_buckets)
     )
@@ -483,11 +501,6 @@ def bm25_index_stream_batch(
         .partitionBy("epoch")
         .parquet(f"{path}/stats")
     )
-    if not os.path.exists(layout_path):
-        fd, tmp = tempfile.mkstemp(dir=path, prefix="._layout.")
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"n_buckets": n_buckets}, fh)
-        os.replace(tmp, layout_path)
 
 
 def bm25_index_sink(

@@ -720,6 +720,47 @@ def _centroid_digest(centroids: "np.ndarray") -> str:
     ).hexdigest()
 
 
+def _ivf_layout(path: str) -> "str | None":
+    """Which partition layout the on-disk IVF index uses: ``"batch"``
+    (``list_id=*`` dirs at the root — ivf_index_write / append) or
+    ``"stream"`` (``epoch=*`` dirs — ivf_index_stream_batch), or None
+    when no data partitions exist yet. The two layouts must never mix
+    under one root: both carry the same _centroids_md5 sidecar, so the
+    digest guard alone cannot tell them apart, and a mixed tree makes
+    every subsequent spark.read.parquet fail with
+    conflicting-directory-structures AFTER the bad data has landed.
+    Writers call this and refuse (the same batch/stream refusal
+    retrieval.bm25_index_stream_batch implements via its
+    _stats.json/_layout.json markers)."""
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    for entry in os.listdir(path):
+        if entry.startswith("epoch="):
+            return "stream"
+        if entry.startswith("list_id="):
+            return "batch"
+    return None
+
+
+def _check_ivf_layout(path: str, expected: str, who: str) -> None:
+    """Refuse when the on-disk layout doesn't match this writer."""
+    found = _ivf_layout(path)
+    if found is not None and found != expected:
+        other = (
+            "ivf_index_stream_batch/ivf_index_sink"
+            if found == "stream"
+            else "ivf_index_write/ivf_index_append"
+        )
+        raise ValueError(
+            f"{who}: index at {path} holds a {found}-layout tree "
+            f"(built by {other}) — mixing partition layouts under one "
+            "root breaks every read; grow it with its own writer or "
+            "point this one at a fresh path"
+        )
+
+
 def _check_centroid_sidecar(path: str, centroids: "np.ndarray", who: str) -> None:
     """Refuse to touch an index whose persisted centroid digest does
     not match the caller's centroids: appending or searching with
@@ -812,6 +853,7 @@ def ivf_index_append(
     (sinks.compact_parquet_table) when a list accumulates batch
     files."""
     _check_centroid_sidecar(path, centroids, "ivf_index_append")
+    _check_ivf_layout(path, "batch", "ivf_index_append")
     assign_udf = _ivf_assign_udf(centroids)
     (
         _spread(new_vectors.select(id_col, vec_col))
@@ -845,7 +887,19 @@ def ivf_index_topk(
     never data), and the index scan is filtered on the partition
     column so only those directories are read. Scoring/top-k is the
     same exact path as ivf_topk, so results are identical to the
-    in-memory form (equivalence-tested)."""
+    in-memory form (equivalence-tested).
+
+    Swap-window safe: a compactor (sinks.compact_parquet_table on a
+    list partition, or any tmp-then-rename rewrite of the root)
+    mid-swap leaves the index under ``.__old`` for a moment; reads
+    fall back to that snapshot instead of crashing — same contract as
+    bm25_index_topk (readable_store_path precedent)."""
+    from tastytrade_sdk_spark.streaming.sinks import readable_store_path
+
+    resolved = readable_store_path(path)
+    if resolved is None:
+        raise FileNotFoundError(f"no IVF index at {path}")
+    path = resolved
     _check_centroid_sidecar(path, centroids, "ivf_index_topk")
     probe_udf = _ivf_probe_udf(centroids, nprobe)
     qb = queries.select(
@@ -1162,6 +1216,7 @@ def ivf_index_stream_batch(
     import os
     import tempfile
 
+    _check_ivf_layout(path, "stream", "ivf_index_stream_batch")
     sidecar = os.path.join(path, "_centroids_md5")
     if os.path.exists(sidecar):
         _check_centroid_sidecar(path, centroids, "ivf_index_stream_batch")

@@ -911,6 +911,96 @@ class TestIvfIndexAppend:
         )
 
 
+class TestIvfIndexLayoutGuard:
+    """Batch (list_id=*) and streamed (epoch=*/list_id=*) layouts must
+    never mix under one root: both carry the same _centroids_md5, so
+    without a layout check the mix lands silently and every later
+    spark.read.parquet fails with conflicting-directory-structures —
+    AFTER the bad data is on disk (the BM25 index refuses the same mix
+    via its _stats.json/_layout.json markers)."""
+
+    def _emb(self, spark):
+        from tastytrade_sdk_spark.sources.tables import load_table
+
+        return load_table(spark, "embeddings", "/root/testdata/sf0.001")
+
+    def test_stream_into_batch_layout_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            ivf_index_stream_batch,
+            ivf_index_write,
+        )
+
+        emb = self._emb(spark)
+        cent = axis_centroids(16, 64)
+        path = str(tmp_path / "index")
+        ivf_index_write(emb.filter(F.col("vec_id") < 50), path, cent)
+        with _pytest.raises(ValueError, match="batch-layout"):
+            ivf_index_stream_batch(
+                emb.filter(F.col("vec_id") >= 50), path, 0, cent
+            )
+        # nothing landed: the index is still cleanly readable
+        assert spark.read.parquet(path).count() == 50
+
+    def test_append_into_stream_layout_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            ivf_index_append,
+            ivf_index_stream_batch,
+        )
+
+        emb = self._emb(spark)
+        cent = axis_centroids(16, 64)
+        path = str(tmp_path / "index")
+        ivf_index_stream_batch(
+            emb.filter(F.col("vec_id") < 50), path, 0, cent
+        )
+        with _pytest.raises(ValueError, match="stream-layout"):
+            ivf_index_append(
+                emb.filter(F.col("vec_id") >= 50), path, cent
+            )
+        assert spark.read.parquet(path).count() == 50
+
+
+class TestIvfIndexSwapWindow:
+    def test_search_falls_back_to_old_during_swap(self, spark, tmp_path):
+        """A compactor crashed between its two renames leaves the only
+        copy under .__old; read-only search must serve that snapshot
+        instead of crashing (same contract as bm25_index_topk)."""
+        import os
+
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            ivf_index_topk,
+            ivf_index_write,
+        )
+        from tastytrade_sdk_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        cent = axis_centroids(16, 64)
+        path = str(tmp_path / "index")
+        ivf_index_write(emb, path, cent)
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        want = sorted(
+            map(tuple, ivf_index_topk(
+                spark, path, queries, cent, k=5, nprobe=4
+            ).collect())
+        )
+        os.rename(path, path + ".__old")  # compactor crashed mid-swap
+        got = sorted(
+            map(tuple, ivf_index_topk(
+                spark, path, queries, cent, k=5, nprobe=4
+            ).collect())
+        )
+        assert got == want
+
+
 class TestSoftDedupWeights:
     def test_weights_inverse_to_duplication(self, spark):
         from tastytrade_sdk_spark.llmops.dedup import soft_dedup_weights

@@ -331,6 +331,39 @@ class TestStreamedIndex:
         # nothing landed under the wrong modulus
         assert sorted(os.listdir(os.path.join(idx, "postings"))) == before
 
+    def test_layout_committed_before_first_data_write(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A crash DURING the first epoch's data writes must still
+        leave _layout.json committed, so a sink restart with a
+        DIFFERENT n_buckets refuses instead of replaying the epoch
+        under a new modulus (which would leave ghost old-modulus
+        bucket dirs that double-count df/scores at search time)."""
+        import os
+
+        from tastytrade_sdk_spark.llmops import retrieval
+
+        idx = str(tmp_path / "idx")
+        full = spark.createDataFrame(CORPUS, self._schema())
+
+        def boom(*a, **kw):
+            raise RuntimeError("simulated crash before any data write")
+
+        monkeypatch.setattr(retrieval, "build_postings", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            retrieval.bm25_index_stream_batch(full, idx, 0, n_buckets=8)
+        # the layout stamp survived the crash...
+        assert os.path.exists(os.path.join(idx, "_layout.json"))
+        monkeypatch.undo()
+        # ...so a restart with a different modulus refuses outright
+        with pytest.raises(ValueError, match="n_buckets=8"):
+            retrieval.bm25_index_stream_batch(full, idx, 0, n_buckets=16)
+        # and the replay with the COMMITTED modulus heals the index
+        retrieval.bm25_index_stream_batch(full, idx, 0, n_buckets=8)
+        q = full.filter(F.col("doc_id") < 2)
+        out = retrieval.bm25_index_topk(spark, idx, q, k=4).collect()
+        assert len(out) > 0
+
     def test_all_empty_index_returns_empty_result(self, spark, tmp_path):
         from tastytrade_sdk_spark.llmops.retrieval import (
             bm25_index_stream_batch,
