@@ -582,6 +582,95 @@ def semdedup_prune_assigned(
     )
 
 
+def lsh_bucket_bits(
+    n: int, target_bucket: int = 64, b_min: int = 3, b_max: int = 12
+) -> int:
+    """Number of sign-LSH hyperplanes b so that 2^b buckets hold
+    ~target_bucket items each: the smallest b with target*2^b >= n,
+    clamped to [b_min, b_max]. Pure INTEGER arithmetic (count of i
+    with 2^i < ceil(n/target)) so the DuckDB oracle computes the
+    identical b from count(*) — a float log2 could flip at exact
+    power-of-two boundaries."""
+    m = max(1, -(-n // target_bucket))
+    b = sum(1 for i in range(b_max) if (1 << i) < m)
+    return min(b_max, max(b_min, b))
+
+
+def semdedup_prune_scaled(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_bucket: int = 64,
+    threshold: float = 0.4,
+    seed: int = 11,
+    round_dp: int = 6,
+    b_min: int = 3,
+    b_max: int = 12,
+) -> DataFrame:
+    """SemDeDup with the paper's k ∝ n scale lever (constant cluster
+    size), using sign-LSH buckets as the cluster assignment: b =
+    O(log n) hyperplanes split the corpus into 2^b ∝ n buckets of
+    ~target_bucket vectors, so the within-bucket pair scan is linear
+    in n overall AND the assignment itself is n*b dot products — the
+    fixed-k trained-centroid form (semdedup_prune) assigns in n*k
+    flops, which turns quadratic the moment k grows with n. At 100 TB
+    this is the recipe: hash-route to constant-size buckets (one
+    cluster_id-keyed shuffle), prune within buckets; the trained
+    kmeans_assign_kernel path stays the production choice when a
+    quantizer is available (equivalence-tested on shared k), but its
+    assignment cost is why real deployments route hierarchically or
+    by hash. Like any LSH scheme, pairs straddling a hyperplane land
+    in different buckets (recall < exhaustive) — the same bounded
+    approximation the fixed-k form makes for cross-cluster pairs.
+
+    b is derived from a count(*) of the input (parquet footer-only at
+    rest — no data scan) with pure integer arithmetic shared with the
+    oracle (lsh_bucket_bits). The prune half is the shared
+    semdedup_prune_assigned, so the two scale regimes cannot drift.
+    Returns (id_col, cluster_id, keep)."""
+    from tastytrade_sdk_spark.llmops.similarity import (
+        _vec_dim,
+        hyperplanes,
+    )
+
+    n = df.count()
+    b = lsh_bucket_bits(n, target_bucket, b_min, b_max)
+    dim = _vec_dim(df, vec_col)
+    planes = hyperplanes(b_max, dim, seed)[:b]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    unit = F.transform(v, lambda x: x / norm)
+    out = df.withColumn("__unit", unit)
+    # sign bits over ROUNDED dots (8dp, same grid as kmeans_assign):
+    # the fold order is part of the cross-engine contract, and the
+    # rounding keeps 1e-16 fold noise from flipping a sign at the
+    # hyperplane boundary
+    bits = []
+    for i, row in enumerate(planes):
+        dot = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__unit"),
+                    F.array(*[F.lit(float(c)) for c in row]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            8,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    cluster = sum(bits[1:], bits[0]).cast("int")
+    slim = out.select(
+        F.col(id_col), cluster.alias("cluster_id"), "__unit"
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return semdedup_prune_assigned(slim, id_col, threshold, round_dp)
+
+
 def prototypes_prune(
     df: DataFrame,
     centroids,

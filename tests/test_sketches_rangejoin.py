@@ -375,6 +375,67 @@ class TestSemDeDup:
         assert out.count() == 19
 
 
+class TestSemDeDupScaled:
+    def test_lsh_bucket_bits_integer_derivation(self):
+        """b = smallest bit count with target*2^b >= n, clamped —
+        pure integer math incl. exact power-of-two boundaries."""
+        from tastytrade_sdk_spark.llmops.cluster import lsh_bucket_bits
+
+        assert lsh_bucket_bits(0, 64) == 3          # clamp floor
+        assert lsh_bucket_bits(512, 64) == 3        # m=8 -> exactly 2^3
+        assert lsh_bucket_bits(513, 64) == 4        # one past the boundary
+        assert lsh_bucket_bits(2000, 64) == 5       # sf0.1 fixture
+        assert lsh_bucket_bits(10**9, 64) == 12     # clamp ceiling
+        # bucket-size invariant: target * 2^b >= n whenever unclamped
+        for n in (100, 1000, 5000, 40_000, 200_000):
+            b = lsh_bucket_bits(n, 64)
+            if b < 12:
+                assert 64 * (1 << b) >= n
+
+    def test_drops_exact_duplicates_keeps_min_id(self, spark):
+        """Colinear duplicates share every sign bit (same bucket) so
+        the scaled prune must drop all but the min id, exactly like
+        the fixed-k form."""
+        from tastytrade_sdk_spark.llmops.cluster import semdedup_prune_scaled
+
+        base = [float(x) for x in range(1, 9)]
+        rot = [float(x) for x in (8, 7, 6, 5, 4, 3, 2, 1)]
+        rows = [
+            (1, base), (2, base), (3, [2 * x for x in base]),
+            (10, rot), (11, [-x for x in base]),  # antipodal: cos=-1
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {
+            r["vec_id"]: r
+            for r in semdedup_prune_scaled(df, threshold=0.999).collect()
+        }
+        assert out[1]["keep"] is True
+        assert out[2]["keep"] is False and out[3]["keep"] is False
+        assert out[10]["keep"] is True and out[11]["keep"] is True
+        assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+        # antipodal vector flips every sign bit: complementary bucket
+        assert out[11]["cluster_id"] != out[1]["cluster_id"]
+
+    def test_bucket_count_grows_with_corpus(self, spark):
+        """The k ∝ n lever itself: a larger corpus must spread over
+        more buckets (b derived from count(*))."""
+        from tastytrade_sdk_spark.llmops.cluster import semdedup_prune_scaled
+
+        def corpus(n):
+            return spark.createDataFrame(
+                [(i, [float((i * 7 + j * 3) % 13 - 6) for j in range(8)])
+                 for i in range(n)],
+                "vec_id long, embedding array<float>",
+            )
+
+        small = semdedup_prune_scaled(corpus(100), target_bucket=16)
+        big = semdedup_prune_scaled(corpus(2000), target_bucket=16)
+        n_small = small.select("cluster_id").distinct().count()
+        n_big = big.select("cluster_id").distinct().count()
+        assert n_big > n_small
+        assert big.count() == 2000  # one row per input, always
+
+
 class TestStreamingDedupWithinWatermark:
     def test_absorbs_redelivery(self, spark, tmp_path):
         import datetime as dt
