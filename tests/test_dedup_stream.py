@@ -146,6 +146,36 @@ def test_band_store_survives_checkpoint_restart(spark, tmp_path):
     assert bands_r == bands_s
 
 
+def test_distributed_fallback_equals_fast_path(spark, tmp_path):
+    """small_graph_edges=0 forces every batch onto the distributed
+    flow; the final store and output must equal the bounded-probe
+    driver fast path exactly (the adaptive split changes stage count,
+    never semantics)."""
+    batches = [
+        [(1, LONG_A), (2, LONG_A), (3, LONG_B)],
+        [(4, LONG_A), (5, LONG_B + " extra novel suffix words")],
+        [(4, LONG_A), (5, LONG_B + " extra novel suffix words")],  # replay
+    ]
+
+    def run(tag, bound):
+        store = str(tmp_path / f"bands_{tag}")
+        out = str(tmp_path / f"kept_{tag}")
+        for rows in batches:
+            near_dup_filter_batch(
+                _docs(spark, rows), store, out, small_graph_edges=bound
+            )
+        bands = {
+            (r["band_id"], r["band_hash"], r["owner"])
+            for r in spark.read.parquet(store).collect()
+        }
+        return _out_ids(spark, out), bands
+
+    kept_fast, bands_fast = run("fast", 1_000_000)
+    kept_dist, bands_dist = run("dist", 0)
+    assert kept_fast == kept_dist == {1, 3, 5}
+    assert bands_fast == bands_dist
+
+
 def test_never_written_band_store_reads_empty(spark, tmp_path):
     """All-empty replay: a band store no batch ever wrote reads as an
     empty store, not a path error."""
