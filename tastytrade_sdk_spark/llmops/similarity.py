@@ -451,6 +451,98 @@ def ivf_topk(
     return _score_topk(cands, id_col, query_id_col, vec_col, k, round_dp)
 
 
+def ann_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_lists: int = 16,
+    seed: int = 42,
+    round_dp: int = 6,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """The recall-vs-nprobe tuning curve every ANN deployment
+    publishes: per (nprobe, query), recall@k of the IVF search against
+    the exact brute-force top-k.
+
+    ONE assignment pass and ONE scoring pass serve every nprobe point:
+    each corpus row lives in exactly one inverted list, so a candidate
+    reached under nprobe=p is reached through the SAME list at every
+    larger p — the probe RANK r (posexplode of the ordered probe list)
+    fully determines membership, and the per-p top-k is a filter
+    (r <= p) + window over the already-scored candidates, not a
+    re-scan. The probe grid join is a broadcast of len(nprobes) rows.
+    Truth side is brute_force_topk (blocked matmul, corpus never
+    shuffled); recall joins are on the (query, id) keys of two k-row-
+    per-query frames — broadcast-sized by construction.
+    """
+    from pyspark.sql import Window
+
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, vec_col, n_lists=n_lists, seed=seed)
+    )
+    max_np = max(nprobes)
+    cb = _spread(corpus.select(id_col, vec_col)).withColumn(
+        "__list", _ivf_assign_udf(cent)(F.col(vec_col))
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    ).select(
+        "__qid",
+        "__qvec",
+        F.posexplode(_ivf_probe_udf(cent, max_np)(F.col("__qvec"))).alias(
+            "__r", "__list"
+        ),
+    ).withColumn("__r", F.col("__r") + 1)
+    scored = (
+        cb.join(F.broadcast(qb), "__list")
+        .filter(F.col(id_col) != F.col("__qid"))
+        .withColumn(
+            "cosine",
+            F.round(_cos_udf()(F.col("__qvec"), F.col(vec_col)), round_dp),
+        )
+        .select("__qid", id_col, "cosine", "__r")
+    )
+    npdf = corpus.sparkSession.createDataFrame(
+        [(int(p),) for p in sorted(nprobes)], "nprobe int"
+    )
+    tagged = scored.join(
+        F.broadcast(npdf), F.col("__r") <= F.col("nprobe")
+    )
+    w = Window.partitionBy("nprobe", "__qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    approx = (
+        tagged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("nprobe", "__qid", id_col)
+    )
+    truth = brute_force_topk(
+        corpus, queries, id_col, vec_col, query_id_col, k=k,
+        round_dp=round_dp,
+    ).select(
+        F.col(query_id_col).alias("__tqid"),
+        F.col(id_col).alias("__tid"),
+        F.lit(1).alias("__hit"),
+    )
+    joined = approx.join(
+        F.broadcast(truth),
+        (F.col("__qid") == F.col("__tqid")) & (F.col(id_col) == F.col("__tid")),
+        "left",
+    )
+    return joined.groupBy("nprobe", F.col("__qid").alias(query_id_col)).agg(
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(float(k)),
+            round_dp,
+        ).alias("recall")
+    )
+
+
 def hyperplanes(n_planes: int = 16, dim: int = 64, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
@@ -564,6 +656,112 @@ def lsh_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(F.col("__qid").alias(query_id_col), id_col, "cosine", "rnk")
+    )
+
+
+def nn_descent(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    rounds: int = 2,
+    rev_cap: int | None = None,
+    round_dp: int = 6,
+    init_edges: DataFrame | None = None,
+) -> DataFrame:
+    """k-NN graph construction by NN-descent (Dong, Charikar & Li,
+    WWW'11), made DETERMINISTIC so a SQL oracle can replay it exactly:
+
+    - init: ring graph — node i's k neighbors are (i+1..i+k) mod n
+      (n = max(id)+1; one 1-row agg). Init quality only affects
+      convergence speed, never the fixed-point semantics, so the
+      cheapest deterministic init wins; at lake scale pass
+      ``init_edges`` (e.g. LSH-bucket neighbors) instead.
+    - round: each node's candidate set is its neighbors-of-neighbors
+      through the UNDIRECTED adjacency, with the reverse direction
+      capped at ``rev_cap`` per node (row_number by ascending source
+      id — the paper samples; we cap deterministically). Degree is
+      therefore <= k + rev_cap, so candidates are <= n*(k+rev_cap)^2
+      per round — LINEAR in n for fixed k, never all-pairs.
+    - score: cosine of the precomputed unit vectors (JVM fold — no
+      Python in the hot path), rounded to ``round_dp``; new neighbor
+      list = top-k per node by (cosine desc, id asc).
+
+    Plan shape per round: one node-keyed adjacency self-join + two
+    id-keyed unit-vector joins + one per-node top-k window — every
+    shuffle is keyed and degree-bounded. Edges are lineage-cut with an
+    eager localCheckpoint each round (the connected_components
+    pattern), so the plan stays O(round) and the returned frame is a
+    SNAPSHOT of the final graph (declared-query contract: build then
+    execute; blocks are ContextCleaner-collectable).
+
+    Returns (id_col, nbr_id, cosine, rnk) — each node's k approximate
+    nearest neighbors after ``rounds`` refinement rounds.
+    """
+    from pyspark.sql import Window
+
+    rev_cap = k if rev_cap is None else rev_cap
+    units = with_unit_vector(corpus, vec_col).select(
+        id_col, "__unit"
+    ).localCheckpoint(eager=True)
+
+    if init_edges is None:
+        n = units.agg(F.max(id_col).alias("m")).collect()[0]["m"] + 1
+        src = F.col(id_col)
+        edges = (
+            units.select(id_col)
+            .select(
+                src.alias("src"),
+                F.explode(
+                    F.array(*[F.lit(j) for j in range(1, k + 1)])
+                ).alias("__j"),
+            )
+            .select("src", F.pmod(F.col("src") + F.col("__j"), F.lit(n)).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+    else:
+        edges = init_edges.select("src", "dst")
+
+    u_src = units.select(F.col(id_col).alias("src"), F.col("__unit").alias("__us"))
+    u_dst = units.select(F.col(id_col).alias("dst"), F.col("__unit").alias("__ud"))
+    w_rev = Window.partitionBy("dst").orderBy(F.col("src").asc())
+    w_top = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst").asc())
+
+    for r in range(rounds):
+        fwd = edges.select(F.col("src").alias("node"), F.col("dst").alias("other"))
+        rev = (
+            edges.withColumn("__rn", F.row_number().over(w_rev))
+            .filter(F.col("__rn") <= rev_cap)
+            .select(F.col("dst").alias("node"), F.col("src").alias("other"))
+        )
+        adj = fwd.unionByName(rev)
+        a, b = adj.alias("a"), adj.alias("b")
+        cand = (
+            a.join(b, F.col("a.node") == F.col("b.node"))
+            .filter(F.col("a.other") != F.col("b.other"))
+            .select(F.col("a.other").alias("src"), F.col("b.other").alias("dst"))
+            .unionByName(edges.select("src", "dst"))
+            .distinct()
+        )
+        scored = (
+            cand.join(u_src, "src").join(u_dst, "dst")
+            .select(
+                "src", "dst",
+                F.round(_dot(F.col("__us"), F.col("__ud")), round_dp).alias("cosine"),
+            )
+        )
+        edges = (
+            scored.withColumn("rnk", F.row_number().over(w_top))
+            .filter(F.col("rnk") <= k)
+            .select("src", "dst", "cosine")
+            .localCheckpoint(eager=True)
+        )
+
+    return edges.select(
+        F.col("src").alias(id_col),
+        F.col("dst").alias("nbr_id"),
+        "cosine",
+        F.row_number().over(w_top).alias("rnk"),
     )
 
 

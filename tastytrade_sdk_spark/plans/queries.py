@@ -1622,6 +1622,77 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "rollup_delta_maintain",
+    """
+    WITH pop AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE (event_id % 7 = 0)
+         OR (event_id % 7 != 0 AND event_type != 'error')
+    )
+    SELECT user_id,
+           count(*) AS n_rows,
+           CAST(sum(cents) AS DOUBLE) / 100 AS sum_value,
+           CAST(sign(CAST(sum(cents) AS BIGINT))
+                * ((abs(CAST(sum(cents) AS BIGINT)) * 20000 + count(*))
+                   // (2 * count(*)))
+                AS DOUBLE) / 1000000 AS avg_value
+    FROM pop GROUP BY user_id
+    """,
+)
+def rollup_delta_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (counting algorithm): a stored
+    per-user rollup is maintained under a signed CDC batch — inserts
+    (the rows the snapshot missed) plus retractions (the snapshot's
+    'error' rows) — WITHOUT rescanning the base. The stored view is
+    never shuffled (delta aggregate broadcasts into one left join;
+    new groups via a key-column-pruned anti probe), and keys whose
+    maintained count reaches zero drop out. The oracle recomputes the
+    maintained population directly, so incremental == full recompute
+    is the checked contract (operators/ivm.py).
+
+    Money arithmetic per the module-header grid rule: value (2dp grid)
+    is carried as scaled cents, sums stay exact integers through BOTH
+    the stored aggregate and the delta fold, and the 6dp average
+    rounds half-away in integer space (the position_summary recipe) —
+    the 3138.54/64 = 49.0396875 midpoint is exactly the case double
+    rounding gets wrong."""
+    from tastytrade_sdk_spark.operators.ivm import delta_apply_agg
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = ev.filter(F.col("event_id") % 7 != 0)
+    stored = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("sum_cents")
+    )
+    inserts = ev.filter(F.col("event_id") % 7 == 0).select(
+        "user_id", "cents", F.lit(1).alias("sign")
+    )
+    retractions = base.filter(F.col("event_type") == "error").select(
+        "user_id", "cents", F.lit(-1).alias("sign")
+    )
+    maintained = delta_apply_agg(
+        stored, inserts.unionByName(retractions), ["user_id"], ["cents"]
+    )
+    return maintained.select(
+        "user_id",
+        "n_rows",
+        (F.col("sum_cents").cast("double") / 100).alias("sum_value"),
+        (
+            F.expr(
+                "signum(sum_cents) * ((abs(sum_cents) * 20000 + n_rows)"
+                " div (2 * n_rows))"
+            ).cast("double")
+            / 1000000
+        ).alias("avg_value"),
+    )
+
+
+@_q(
     "event_transition_counts",
     """
     WITH o AS (
