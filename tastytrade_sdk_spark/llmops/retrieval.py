@@ -160,6 +160,65 @@ def bm25_topk(
     return _bm25_score_tail(probed, qterms, dl, glob, k, k1, b, id_col)
 
 
+def rrf_fuse(
+    sides: "dict[str, DataFrame]",
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    topk: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09)
+    of N retriever rankings — the standard hybrid-search combiner
+    (BM25 ⊕ dense ANN in a RAG stack): score(d) = Σ_sides
+    1/(k_rrf + rank_side(d)), docs missing from a side contribute 0.
+
+    Each side is a top-N-per-query frame (query_col, id_col, rank) —
+    already bounded, so fusion is one union + one (query, doc)-keyed
+    aggregation over ≤ N·|sides| rows per query; the expensive work
+    stays inside the retrievers. Per-side RRF terms are rounded then
+    summed as DECIMAL(20,6) (order-independent across any number of
+    sides — the bm25 partial-score recipe), double at the boundary.
+    Output: (query, doc, rrf_score, fused_rank, <side>_rank...), ties
+    broken by ascending doc id."""
+    names = sorted(sides)
+    tagged = None
+    for n in names:
+        part = sides[n].select(
+            query_col,
+            id_col,
+            F.lit(n).alias("__side"),
+            F.col("rank").cast("long").alias("__rank"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    term = F.round(
+        F.lit(1.0) / (F.lit(k_rrf) + F.col("__rank")), round_dp
+    ).cast("decimal(20,6)")
+    fused = tagged.groupBy(query_col, id_col).agg(
+        F.sum(term).alias("__s"),
+        *[
+            F.max(
+                F.when(F.col("__side") == n, F.col("__rank"))
+            ).alias(f"{n}_rank")
+            for n in names
+        ],
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("__s").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topk)
+        .select(
+            query_col,
+            id_col,
+            F.col("__s").cast("double").alias("rrf_score"),
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+            *[f"{n}_rank" for n in names],
+        )
+    )
+
+
 # ---------------- persisted BM25 index (index-as-table) ----------------
 
 _BM25_STATS = "_stats.json"

@@ -477,3 +477,54 @@ class TestStreamedIndex:
         assert stats["n_docs"] == len(CORPUS)
         q = full.filter(F.col("doc_id") < 2)
         assert len(bm25_index_topk(spark, idx, q, k=4).collect()) > 0
+
+
+class TestRRFFusion:
+    def test_known_fusion(self, spark):
+        """Hand-computed RRF on two 3-doc rankings."""
+        from tastytrade_sdk_spark.llmops.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+            "query_id long, doc_id long, rank long",
+        )
+        dense = spark.createDataFrame(
+            [(0, 11, 1), (0, 13, 2), (0, 10, 3)],
+            "query_id long, doc_id long, rank long",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in rrf_fuse(
+                {"lex": lex, "dense": dense}, k_rrf=60, topk=4
+            ).collect()
+        }
+        # doc 11: 1/62 + 1/61; doc 10: 1/61 + 1/63; doc 12: 1/63; doc 13: 1/62
+        assert out[11]["rrf_score"] == round(
+            round(1 / 62, 6) + round(1 / 61, 6), 6
+        )
+        assert out[11]["fused_rank"] == 1
+        assert out[10]["fused_rank"] == 2
+        assert out[12]["lex_rank"] == 3 and out[12]["dense_rank"] is None
+        assert out[13]["dense_rank"] == 2 and out[13]["lex_rank"] is None
+
+    def test_single_side_passthrough_and_ties(self, spark):
+        """One retriever only: fused order == its order; equal scores
+        tie-break by ascending doc id."""
+        from tastytrade_sdk_spark.llmops.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(0, 7, 1), (0, 3, 2), (1, 9, 1), (1, 2, 1)],
+            "query_id long, doc_id long, rank long",
+        )
+        rows = rrf_fuse({"lex": lex}, topk=5).collect()
+        q0 = sorted(
+            [r for r in rows if r["query_id"] == 0],
+            key=lambda r: r["fused_rank"],
+        )
+        assert [r["doc_id"] for r in q0] == [7, 3]
+        q1 = sorted(
+            [r for r in rows if r["query_id"] == 1],
+            key=lambda r: r["fused_rank"],
+        )
+        # same rank => same score => id tiebreak
+        assert [r["doc_id"] for r in q1] == [2, 9]
