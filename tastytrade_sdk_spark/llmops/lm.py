@@ -157,11 +157,17 @@ def dsir_importance_weights(
     background = whole corpus). Resample by these weights to tilt a
     100 TB crawl toward a high-quality target domain.
 
-    Scale shape: bucket count tables are n_buckets rows (one
-    explode+groupBy each, map-side combine) and BROADCAST into the
-    scoring join — the per-doc pass is (doc, bucket) multiplicities
-    joined against a 256-row map, then one agg on the id. Nothing
-    driver-side, nothing quadratic.
+    Scale shape: the token explode runs ONCE — it aggregates straight
+    to the (doc, bucket) multiplicity table ``doc_b`` (map-side
+    combine; lineage-cut with an eager localCheckpoint because THREE
+    consumers need it: the bucket count tables, the totals, and the
+    scoring join — the r5 form re-derived the explode once per
+    consumer, 3 full token passes). Both 256-row distributions fold
+    out of doc_b (target mass = the when(__tgt) branch of the same
+    sum), totals are one more 1-row agg over those 256 rows, and the
+    ratio table BROADCASTS into the scoring join. Nothing driver-side,
+    nothing quadratic; the returned frame is a SNAPSHOT (declared-
+    query contract: build then execute).
 
     Output: (id, n_tokens, avg_log_ratio) — NULL score for empty docs.
     """
@@ -173,27 +179,27 @@ def dsir_importance_weights(
         F.explode(tokens_expr(text_col)).alias("w"),
     ).select(id_col, "__tgt", bucket(F.col("w")).alias("b"))
 
-    tgt = tok.filter("__tgt").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    bg = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
-    tot = bg.agg(F.sum("cb").alias("nb"))
-    ntgt = tgt.agg(F.sum("ct").alias("nt"))
+    doc_b = tok.groupBy(id_col, "__tgt", "b").agg(
+        F.count(F.lit(1)).alias("m")
+    ).localCheckpoint(eager=True)
+    per_b = doc_b.groupBy("b").agg(
+        F.sum("m").alias("cb"),
+        F.sum(F.when(F.col("__tgt"), F.col("m")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
+    )
+    tots = per_b.agg(F.sum("cb").alias("nb"), F.sum("ct").alias("nt"))
     # log ratio per bucket: both smoothed over the SAME bucket space,
     # so buckets unseen in the target fall back to the k-mass floor
-    ratios = (
-        bg.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(ntgt))
-        .select(
-            "b",
-            F.log(
-                ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(k))
-                 / (F.col("nt") + F.lit(k) * n_buckets))
-                / ((F.col("cb") + F.lit(k))
-                   / (F.col("nb") + F.lit(k) * n_buckets))
-            ).alias("lr"),
-        )
+    ratios = per_b.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + F.lit(k))
+             / (F.col("nt") + F.lit(k) * n_buckets))
+            / ((F.col("cb") + F.lit(k))
+               / (F.col("nb") + F.lit(k) * n_buckets))
+        ).alias("lr"),
     )
-    doc_b = tok.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("m"))
     scores = (
         doc_b.join(F.broadcast(ratios), "b")
         .groupBy(id_col)

@@ -329,18 +329,26 @@ def bloom_demo(spark, sf_dir: str) -> None:
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
 
 
-def sa_demo(spark, sf_dir: str) -> None:
+def sa_demo(spark, sf_dir: str, mult: int = 1) -> None:
     """Probe the suffix-array tier in its SCALE shape: the [Q] form
     (n_shards=1) deliberately concatenates the corpus into one kernel
     call — correct, but single-task; at scale the kernel runs
-    per-shard. Times hash-routed sharding (n_shards = default
-    parallelism) and LSH-component routing (adds the candidate-graph
-    pass that makes cross-shard pairs exact)."""
+    per-shard. Times hash-routed sharding and LSH-component routing
+    (adds the candidate-graph pass that makes cross-shard pairs
+    exact).
+
+    n_shards SCALES WITH THE CORPUS (defaultParallelism * mult): the
+    operator's deployment contract is bounded text per shard — a fixed
+    shard count at growing volume concentrates the whole corpus into
+    ever-larger kernel calls and OOMs (measured: the 100x probe with
+    32 fixed shards blew the heap on the LSH-routed pass). Each
+    routing prints as it completes so a failed pass can't lose the
+    other's reading."""
     from tastytrade_sdk_spark.llmops.substr import sa_duplicate_spans
     from tastytrade_sdk_spark.sources.tables import load_table
 
     docs = load_table(spark, "documents", sf_dir)
-    n_shards = spark.sparkContext.defaultParallelism
+    n_shards = spark.sparkContext.defaultParallelism * mult
 
     def timed(routing: str) -> float:
         t0 = time.perf_counter()
@@ -349,11 +357,10 @@ def sa_demo(spark, sf_dir: str) -> None:
         ).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 2)
 
-    hash_sec = min(timed("hash"), timed("hash"))
-    lsh_sec = min(timed("lsh"), timed("lsh"))
-    print(json.dumps({"demo": "sa_sharded", "n_shards": n_shards,
-                      "hash_routed_sec": hash_sec,
-                      "lsh_routed_sec": lsh_sec}), flush=True)
+    for routing in ("hash", "lsh"):
+        best = min(timed(routing), timed(routing))
+        print(json.dumps({"demo": "sa_sharded", "n_shards": n_shards,
+                          "routing": routing, "sec": best}), flush=True)
 
 
 def bucketing_demo(spark, sf_dir: str) -> None:
@@ -555,7 +562,7 @@ def main() -> None:
         if "--bloom" in sys.argv and mult == max(mults + [1]):
             bloom_demo(spark, sf_dir)
         if "--sa" in sys.argv:
-            sa_demo(spark, sf_dir)
+            sa_demo(spark, sf_dir, mult)
 
 
 if __name__ == "__main__":
