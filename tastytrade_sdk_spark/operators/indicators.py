@@ -294,6 +294,45 @@ def ema_expr_col(
     )
 
 
+def rsi(
+    df: DataFrame,
+    price_col: str,
+    n: int,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    out_col: str = "rsi",
+) -> DataFrame:
+    """Wilder RSI(n) (bounded-series expression path, beyond-reference
+    indicator — the reference ships only Hull/MACD).
+
+    Wilder's smoothing (alpha = 1/n) IS an EMA of length 2n-1, so the
+    gain/loss averages reuse ``ema_expr_col``'s exact fold (seed 0.0 —
+    the first row's delta is defined 0). Gains/losses materialize in a
+    first projection (a window expression can't nest inside the fold's
+    collect_list), the two folds share one window chain. Deterministic
+    edge contract: avg_gain = avg_loss = 0 → RSI 50 (neutral);
+    avg_loss = 0 → 100. The equality tests are exact because both
+    engines run the identical recurrence."""
+    w = Window.partitionBy(*_cols(partition_by)).orderBy(*_cols(order_by))
+    value = F.col(price_col)
+    prev = F.coalesce(F.lag(value).over(w), value)
+    staged = df.withColumn(
+        "__gain", F.greatest(value - prev, F.lit(0.0))
+    ).withColumn("__loss", F.greatest(prev - value, F.lit(0.0)))
+    ag = ema_expr_col(
+        F.col("__gain"), 2 * n - 1, partition_by, order_by, seed=F.lit(0.0)
+    )
+    al = ema_expr_col(
+        F.col("__loss"), 2 * n - 1, partition_by, order_by, seed=F.lit(0.0)
+    )
+    out = (
+        F.when((ag == 0) & (al == 0), F.lit(50.0))
+        .when(al == 0, F.lit(100.0))
+        .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + ag / al))
+    )
+    return staged.withColumn(out_col, out).drop("__gain", "__loss")
+
+
 def macd_expr(
     df: DataFrame,
     price_col: str = "close",

@@ -780,6 +780,191 @@ def macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "rsi_daily",
+    _DAILY_CTE
+    + """
+    , s AS (
+      SELECT user_id, day, day_value,
+             greatest(day_value - coalesce(lag(day_value) OVER win, day_value), 0.0) AS g,
+             greatest(coalesce(lag(day_value) OVER win, day_value) - day_value, 0.0) AS l
+      FROM daily
+      WINDOW win AS (PARTITION BY user_id ORDER BY day)
+    ), arrs AS (
+      SELECT user_id, day, day_value,
+             list(g) OVER w2 AS garr, list(l) OVER w2 AS larr
+      FROM s
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), e AS (
+      SELECT user_id, day, day_value,
+        list_reduce(list_prepend(0.0, garr),
+          (acc, x) -> acc*(1.0 - 2.0/28.0) + x*(2.0/28.0)) AS ag,
+        list_reduce(list_prepend(0.0, larr),
+          (acc, x) -> acc*(1.0 - 2.0/28.0) + x*(2.0/28.0)) AS al
+      FROM arrs
+    )
+    SELECT user_id, day, day_value,
+           round(CASE WHEN ag = 0 AND al = 0 THEN 50.0
+                      WHEN al = 0 THEN 100.0
+                      ELSE 100.0 - 100.0/(1.0 + ag/al) END, 6) AS rsi
+    FROM e
+    """,
+)
+def rsi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder RSI(14) over the per-user daily series — beyond-reference
+    indicator widening (the reference ships Hull/MACD only; RSI is the
+    next thing its users chart). Wilder smoothing = seeded EMA of
+    length 2n-1, so both engines run the identical prefix fold
+    (operators/indicators.rsi); first-row delta is 0 and the 0/0 and
+    /0 edges resolve to 50/100 by contract."""
+    from tastytrade_sdk_spark.operators.indicators import rsi as rsi_op
+
+    daily = _daily_series(spark, sf_dir)
+    out = rsi_op(daily, "day_value", 14, ["user_id"], ["day"])
+    return out.select(
+        "user_id", "day", "day_value", F.round("rsi", 6).alias("rsi")
+    )
+
+
+@_q(
+    "bollinger_daily",
+    _DAILY_CTE
+    + """
+    , g AS (
+      SELECT user_id, day, day_value,
+             CAST(round(day_value * 1000000) AS HUGEINT) AS dv6
+      FROM daily
+    ), b AS (
+      SELECT user_id, day, day_value,
+             sum(dv6) OVER w20 AS s1,
+             sum(dv6 * dv6) OVER w20 AS s2,
+             count(*) OVER w20 AS n_win
+      FROM g
+      WINDOW w20 AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), d AS (
+      SELECT user_id, day, day_value, n_win,
+             CAST(s1 AS DOUBLE) / n_win / 1000000 AS mid,
+             sqrt(CAST(n_win * s2 - s1 * s1 AS DOUBLE)) / n_win / 1000000 AS sd
+      FROM b
+    )
+    SELECT user_id, day, day_value,
+           floor(mid * 1000000 + 0.5) / 1000000 + 0.0 AS mid_band,
+           floor((mid + 2*sd) * 1000000 + 0.5) / 1000000 + 0.0 AS upper_band,
+           floor((mid - 2*sd) * 1000000 + 0.5) / 1000000 + 0.0 AS lower_band,
+           n_win
+    FROM d
+    """,
+)
+def bollinger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20, 2σ population) over the daily series —
+    rolling mean ± 2 stddev with the window row count surfaced so
+    consumers can gate on full windows. One window chain, single
+    shuffle.
+
+    Float discipline: the engines' stddev_pop implementations differ
+    by ~1e-9 (Welford vs segment-tree sums), which the first cut of
+    this query measured as 12/4006 boundary flips at the 6dp round.
+    day_value sits on the 6dp grid, so the window sums run EXACTLY on
+    scaled 1e-6 integers (decimal/HUGEINT — overflow-proof) and the
+    variance n·Σx² − (Σx)² is an exact integer both engines cast to
+    the IDENTICAL double before the one sqrt — bit-equal bands by
+    construction. The output round is floor(x·1e6 + 0.5)/1e6 on BOTH
+    engines (half-toward-+inf): small windows make the bands land on
+    EXACT half-micro midpoints (n=2 ⇒ sd = |x−y|/2), where Spark's
+    shortest-repr HALF_UP and DuckDB's binary-value round() disagree —
+    floor on bit-identical doubles cannot."""
+    w20 = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    daily = _daily_series(spark, sf_dir)
+    staged = daily.withColumn(
+        "__dv6", F.round(F.col("day_value") * 1e6).cast("decimal(38,0)")
+    )
+    s1 = F.sum("__dv6").over(w20)
+    s2 = F.sum(F.col("__dv6") * F.col("__dv6")).over(w20)
+    n = F.count(F.lit(1)).over(w20)
+    mid = s1.cast("double") / n / F.lit(1e6)
+    sd = F.sqrt((n * s2 - s1 * s1).cast("double")) / n / F.lit(1e6)
+    def r6(c):
+        return F.floor(c * 1e6 + 0.5) / 1e6 + 0.0
+
+    return staged.select(
+        "user_id",
+        "day",
+        "day_value",
+        r6(mid).alias("mid_band"),
+        r6(mid + 2 * sd).alias("upper_band"),
+        r6(mid - 2 * sd).alias("lower_band"),
+        n.alias("n_win"),
+    )
+
+
+@_q(
+    "stochastic_daily",
+    _DAILY_CTE
+    + """
+    , s AS (
+      SELECT user_id, day, day_value,
+             min(day_value) OVER w14 AS lo,
+             max(day_value) OVER w14 AS hi
+      FROM daily
+      WINDOW w14 AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), k AS (
+      SELECT user_id, day, day_value,
+             CASE WHEN hi = lo THEN 50.0
+                  ELSE 100.0 * (day_value - lo) / (hi - lo) END AS k_raw
+      FROM s
+    )
+    SELECT user_id, day, day_value,
+           floor(k_raw * 1000000 + 0.5) / 1000000 + 0.0 AS pct_k,
+           floor(avg(k_raw) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 * 1000000 + 0.5) / 1000000 + 0.0 AS pct_d
+    FROM k
+    """,
+)
+def stochastic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator (%K 14, %D 3) over the daily series: %K
+    positions the value inside its rolling 14-row low/high channel
+    (min/max windows are EXACT — only the final division is float),
+    %D is the 3-row SMA of %K; flat channel (hi = lo) pins %K to 50
+    by contract."""
+    daily = _daily_series(spark, sf_dir)
+    w14 = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    lo = F.min("day_value").over(w14)
+    hi = F.max("day_value").over(w14)
+    k_raw = F.when(hi == lo, F.lit(50.0)).otherwise(
+        F.lit(100.0) * (F.col("day_value") - lo) / (hi - lo)
+    )
+    staged = daily.select(
+        "user_id", "day", "day_value", k_raw.alias("__k")
+    )
+    w3 = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    def r6(c):
+        return F.floor(c * 1e6 + 0.5) / 1e6 + 0.0
+
+    return staged.select(
+        "user_id",
+        "day",
+        "day_value",
+        r6(F.col("__k")).alias("pct_k"),
+        r6(F.avg("__k").over(w3)).alias("pct_d"),
+    )
+
+
+@_q(
     "macd_prior_session_seed",
     _DAILY_CTE
     + """

@@ -145,3 +145,42 @@ def test_macd_matches_reference(price_df):
         else:
             exp.append("#FE0000" if d < diff[i - 1] else "#7E0100")
     assert got_colors == exp
+
+
+class TestRSI:
+    def test_wilder_rsi_known_series(self, spark):
+        """RSI on a hand-checkable series: monotone-up => 100 (loss
+        stays 0), flat => 50 (both averages 0), and a mixed series
+        matches a pure-Python replay of the identical recurrence."""
+        from pyspark.sql import functions as F
+
+        from tastytrade_sdk_spark.operators.indicators import rsi
+
+        vals = [100.0, 102.0, 101.0, 105.0, 104.0, 104.0, 108.0]
+        rows = (
+            [("up", i, 100.0 + i) for i in range(5)]
+            + [("flat", i, 50.0) for i in range(4)]
+            + [("mix", i, v) for i, v in enumerate(vals)]
+        )
+        df = spark.createDataFrame(rows, "k string, i int, v double")
+        out = rsi(df, "v", 14, ["k"], ["i"])
+        got = {
+            (r["k"], r["i"]): r["rsi"] for r in out.collect()
+        }
+        assert all(got[("up", i)] == 100.0 for i in range(1, 5))
+        assert all(got[("flat", i)] == 50.0 for i in range(4))
+        # python replay: wilder alpha = 1/14 == EMA(27) seeded 0.0
+        a = 2.0 / 28.0
+        ag = al = 0.0
+        prev = vals[0]
+        for i, v in enumerate(vals):
+            g, l = max(v - prev, 0.0), max(prev - v, 0.0)
+            ag = ag * (1 - a) + g * a
+            al = al * (1 - a) + l * a
+            prev = v
+            want = (
+                50.0 if ag == al == 0.0
+                else 100.0 if al == 0.0
+                else 100.0 - 100.0 / (1.0 + ag / al)
+            )
+            assert got[("mix", i)] == want
