@@ -965,6 +965,92 @@ def stochastic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cusum_alerts",
+    _DAILY_CTE
+    + """
+    , g AS (
+      SELECT user_id, day, day_value,
+             CAST(round(day_value * 1000000) AS BIGINT) AS dv6
+      FROM daily
+    ), m AS (
+      SELECT user_id, day, day_value,
+             ((2 * sum(dv6) OVER (PARTITION BY user_id)
+               + count(*) OVER (PARTITION BY user_id))
+              // (2 * count(*) OVER (PARTITION BY user_id)))
+             / 1000000.0 AS mu6,
+             list(day_value) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+      FROM g
+    ), c AS (
+      SELECT user_id, day, day_value,
+             list_reduce(list_prepend(0.0, list_transform(arr,
+               x -> x - mu6 - 0.5)),
+               (acc, x) -> greatest(0.0, acc + x)) AS s_hi,
+             list_reduce(list_prepend(0.0, list_transform(arr,
+               x -> mu6 - 0.5 - x)),
+               (acc, x) -> greatest(0.0, acc + x)) AS s_lo
+      FROM m
+    )
+    SELECT user_id, day, day_value,
+           round(s_hi, 6) AS cusum_hi, round(s_lo, 6) AS cusum_lo,
+           (s_hi > 5.0 OR s_lo > 5.0) AS alert
+    FROM c
+    """,
+)
+def cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM control chart (Page 1954) over the per-user
+    daily series — the standard drift detector a data-quality pipeline
+    runs on ingestion metrics: S⁺ = max(0, S⁺ + (x - μ - k)),
+    S⁻ = max(0, S⁻ + (μ - k - x)), alert when either exceeds h
+    (k = 0.5 slack, h = 5). The non-linear clamp recurrence replays
+    EXACTLY in both engines as the same prefix fold (the seeded-EMA
+    recipe — bounded daily series, whole-stage codegen, no Python).
+    μ is the mean of 1e-6-grid values, which lands on EXACT 6dp
+    midpoints (even denominators) where engine round() diverges
+    (measured: 322/40k flips at sf0.1) — so it rounds half-away in
+    INTEGER micro-space from exact window sums, and the folds consume
+    bit-identical doubles."""
+    w = Window.partitionBy("user_id")
+    wo = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    daily = _daily_series(spark, sf_dir).withColumn(
+        "__dv6", F.round(F.col("day_value") * 1e6).cast("long")
+    )
+    staged = daily.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.sum("__dv6").over(w).alias("__s6"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.collect_list("day_value").over(wo).alias("__arr"),
+    ).withColumn(
+        "__mu",
+        F.expr("((2 * __s6 + __n) div (2 * __n)) / 1000000.0"),
+    )
+
+    def clamped_fold(transform_fn):
+        return F.aggregate(
+            F.transform(F.col("__arr"), transform_fn),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(F.lit(0.0), acc + x),
+        )
+
+    s_hi = clamped_fold(lambda x: x - F.col("__mu") - F.lit(0.5))
+    s_lo = clamped_fold(lambda x: F.col("__mu") - F.lit(0.5) - x)
+    return staged.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.round(s_hi, 6).alias("cusum_hi"),
+        F.round(s_lo, 6).alias("cusum_lo"),
+        ((s_hi > 5.0) | (s_lo > 5.0)).alias("alert"),
+    )
+
+
+@_q(
     "macd_prior_session_seed",
     _DAILY_CTE
     + """
