@@ -45,15 +45,30 @@ def asof_join(
     allow_exact_match: bool = True,
     right_order: str | None = None,
     suffix: str = "",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, latest right row with
-    right_time <= left_time (strictly < when allow_exact_match=False).
+    """As-of join: for each left row, the latest right row with
+    right_time <= left_time (``direction="backward"``, default) or the
+    EARLIEST right row with right_time >= left_time
+    (``direction="forward"`` — next-quote/next-fill semantics);
+    strict inequality when allow_exact_match=False.
 
     value_cols are appended to left (optionally suffixed). Right rows
-    whose value_cols are ALL null never match (null-skipping walk-back).
+    whose value_cols are ALL null never match (null-skipping walk).
     ``right_order`` breaks ties among right rows at the same timestamp
-    (e.g. an arrival-sequence column) — last wins.
+    (e.g. an arrival-sequence column) — LAST wins backward (the most
+    recent arrival is the live quote), FIRST wins forward (the
+    earliest arrival is the next event).
+
+    Forward is the same union-tag + running last(ignorenulls) plan
+    traversed in DESCENDING time — the side-ordering trick (exact-
+    match rights sort before left rows at equal time, strict ones
+    after) carries over unchanged, so both directions share one
+    single-shuffle implementation.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     keys = list(on)
     if not value_cols:
         raise ValueError(
@@ -102,7 +117,14 @@ def asof_join(
     # then right tiebreak so the LAST right row at a timestamp wins.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__time").asc(), F.col(_SIDE).asc(), F.col(_TIEBREAK).asc())
+        .orderBy(
+            F.col("__time").desc() if fwd else F.col("__time").asc(),
+            F.col(_SIDE).asc(),
+            # forward: the FIRST right arrival at a timestamp must win,
+            # and the winner is whatever the running last() sees LAST —
+            # so the tiebreak flips with the traversal order
+            F.col(_TIEBREAK).desc() if fwd else F.col(_TIEBREAK).asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(
@@ -110,7 +132,11 @@ def asof_join(
     )
     out = filled.filter(F.col(_SIDE) == 2)
     if tolerance is not None:
-        in_tol = F.col(f"{_PAYLOAD}.__t") >= (F.col("__time") - tolerance)
+        in_tol = (
+            F.col(f"{_PAYLOAD}.__t") <= (F.col("__time") + tolerance)
+            if fwd
+            else F.col(f"{_PAYLOAD}.__t") >= (F.col("__time") - tolerance)
+        )
         out = out.withColumn(
             _PAYLOAD, F.when(in_tol, F.col(_PAYLOAD)).otherwise(F.lit(None))
         )

@@ -371,6 +371,52 @@ def asof_entry_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_next_quote",
+    """
+    WITH signals AS (
+      SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), pricing AS (
+      SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'view'
+    ), tie AS (
+      SELECT user_id, ts, value, event_id,
+             row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) AS rn
+      FROM pricing
+    )
+    SELECT s.user_id, s.event_id, s.ts, s.value,
+           p.value AS next_price
+    FROM signals s
+    ASOF LEFT JOIN (SELECT * FROM tie WHERE rn = 1) p
+      ON s.user_id = p.user_id AND s.ts <= p.ts
+    """,
+)
+def asof_next_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 FORWARD as-of join — the fill-simulation direction (the
+    earliest pricing row at or after each signal prices the order a
+    backtest submits at signal time). Same union-tag single-shuffle
+    plan traversed in descending time (operators/asof.py direction=
+    'forward'); tie among same-timestamp quotes goes to the FIRST
+    arrival, mirrored in the oracle's tie CTE."""
+    ev = load_table(spark, "events", sf_dir)
+    signals = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    pricing = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return asof_join(
+        signals,
+        pricing,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["value"],
+        right_order="event_id",
+        suffix="_next",
+        direction="forward",
+    ).withColumnRenamed("value_next", "next_price")
+
+
+@_q(
     "asof_entry_price_tolerance",
     """
     WITH signals AS (

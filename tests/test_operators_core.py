@@ -120,6 +120,54 @@ def test_asof_same_ts_last_right_wins(spark):
     assert out[0]["px"] == 200.0
 
 
+def test_asof_join_forward(spark):
+    signals = spark.createDataFrame(
+        [("A", ts(10), 1), ("A", ts(3), 2), ("A", ts(11), 3), ("B", ts(0), 4)],
+        "sym string, time timestamp, sid int",
+    )
+    quotes = spark.createDataFrame(
+        [("A", ts(1), 101.0, 1), ("A", ts(5), 105.0, 2), ("A", ts(10), 110.0, 3)],
+        "sym string, time timestamp, px double, seq long",
+    )
+    out = asof_join(
+        signals, quotes, on=["sym"], left_time="time", right_time="time",
+        value_cols=["px"], right_order="seq", direction="forward",
+    )
+    got = {r["sid"]: r["px"] for r in out.collect()}
+    assert got[1] == 110.0  # exact match inclusive
+    assert got[2] == 105.0  # next quote after t3
+    assert got[3] is None  # nothing at or after t11
+    assert got[4] is None  # no quotes for B
+
+
+def test_asof_forward_same_ts_first_right_wins_and_tolerance(spark):
+    signals = spark.createDataFrame(
+        [("A", ts(5), 1), ("A", ts(0), 2)],
+        "sym string, time timestamp, sid int",
+    )
+    quotes = spark.createDataFrame(
+        [("A", ts(5), 100.0, 1), ("A", ts(5), 200.0, 2)],
+        "sym string, time timestamp, px double, seq long",
+    )
+    out = asof_join(
+        signals, quotes, on=["sym"], left_time="time", right_time="time",
+        value_cols=["px"], right_order="seq", direction="forward",
+    ).collect()
+    got = {r["sid"]: r["px"] for r in out}
+    assert got[1] == 100.0  # FIRST arrival wins forward
+    assert got[2] == 100.0
+    from pyspark.sql import functions as F
+
+    bounded = asof_join(
+        signals, quotes, on=["sym"], left_time="time", right_time="time",
+        value_cols=["px"], right_order="seq", direction="forward",
+        tolerance=F.expr("INTERVAL 2 SECONDS"),
+    ).collect()
+    gotb = {r["sid"]: r["px"] for r in bounded}
+    assert gotb[1] == 100.0
+    assert gotb[2] is None  # t5 quote is outside t0+2s
+
+
 def test_ohlcv(spark):
     df = spark.createDataFrame(
         [
