@@ -112,3 +112,49 @@ class IncrementalMACD:
         value = self._fast.update(close) - self._slow.update(close)
         avg = self._signal.update(value)
         return value, avg, value - avg
+
+
+@dataclass
+class IncrementalRSI:
+    """Wilder RSI register: O(1) state (prev value + two smoothed
+    averages). Wilder alpha = 1/n == seeded EMA(2n-1), the identity
+    the batch form (operators/indicators.rsi) uses — same recurrence,
+    same 0/0 → 50 and /0 → 100 edge contract, exactly equal output."""
+
+    n: int = 14
+    _prev: float | None = None
+    _ag: float = 0.0
+    _al: float = 0.0
+
+    def update(self, x: float) -> float:
+        x = float(x)
+        prev = x if self._prev is None else self._prev
+        gain, loss = max(x - prev, 0.0), max(prev - x, 0.0)
+        a = 1.0 / self.n  # == 2 / ((2n - 1) + 1)
+        self._ag = self._ag * (1 - a) + gain * a
+        self._al = self._al * (1 - a) + loss * a
+        self._prev = x
+        if self._ag == 0.0 and self._al == 0.0:
+            return 50.0
+        if self._al == 0.0:
+            return 100.0
+        return 100.0 - 100.0 / (1.0 + self._ag / self._al)
+
+
+@dataclass
+class IncrementalCUSUM:
+    """Two-sided CUSUM register (Page 1954): O(1) state — the clamped
+    S+/S- sums. Mirrors the cusum_alerts batch fold exactly (same op
+    order), so streaming == batch is an equality, not a tolerance."""
+
+    mu: float
+    k: float = 0.5
+    h: float = 5.0
+    s_hi: float = 0.0
+    s_lo: float = 0.0
+
+    def update(self, x: float) -> tuple[float, float, bool]:
+        x = float(x)
+        self.s_hi = max(0.0, self.s_hi + (x - self.mu - self.k))
+        self.s_lo = max(0.0, self.s_lo + (self.mu - self.k - x))
+        return self.s_hi, self.s_lo, (self.s_hi > self.h or self.s_lo > self.h)

@@ -439,6 +439,47 @@ class TestIncrementalIndicators:
         assert [g[0] for g in got] == pytest.approx(list(v), abs=1e-9)
 
 
+    def test_incremental_rsi_equals_batch_fold(self):
+        """The RSI register replays the batch prefix fold EXACTLY
+        (same op order) — equality, not tolerance."""
+        from tastytrade_sdk_spark.streaming.incremental import IncrementalRSI
+
+        series = trending_series()
+        inc = IncrementalRSI(n=14)
+        got = [inc.update(x) for x in series]
+        # batch fold replay (the operators/indicators.rsi recurrence)
+        a = 2.0 / 28.0
+        ag = al = 0.0
+        prev = series[0]
+        want = []
+        for x in series:
+            g, l = max(x - prev, 0.0), max(prev - x, 0.0)
+            ag = ag * (1 - a) + g * a
+            al = al * (1 - a) + l * a
+            prev = x
+            want.append(
+                50.0 if ag == al == 0.0
+                else 100.0 if al == 0.0
+                else 100.0 - 100.0 / (1.0 + ag / al)
+            )
+        assert got == want
+
+    def test_incremental_cusum_equals_batch_fold(self):
+        from tastytrade_sdk_spark.streaming.incremental import IncrementalCUSUM
+
+        series = trending_series()
+        mu = 100.0
+        inc = IncrementalCUSUM(mu=mu, k=0.5, h=5.0)
+        got = [inc.update(x) for x in series]
+        s_hi = s_lo = 0.0
+        want = []
+        for x in series:
+            s_hi = max(0.0, s_hi + (x - mu - 0.5))
+            s_lo = max(0.0, s_lo + (mu - 0.5 - x))
+            want.append((s_hi, s_lo, s_hi > 5.0 or s_lo > 5.0))
+        assert got == want
+        assert any(alert for _, _, alert in got)  # trending series drifts
+
     def test_streaming_candle_path_equals_legacy_with_revision(self):
         """The O(1) register path + slow-path fallback (out-of-order
         revision) emit exactly the legacy per-candle recompute's
