@@ -451,6 +451,87 @@ def ivf_topk(
     return _score_topk(cands, id_col, query_id_col, vec_col, k, round_dp)
 
 
+def graph_expand_topk(
+    corpus: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    hops: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """ANN search OVER the k-NN graph (the query half of a graph
+    index, deterministic flavor): each query seeds at the smallest id
+    in its nearest inverted list (the IVF coarse quantizer doubles as
+    the entry-point selector — exactly how production graph indexes
+    seed their walks), expands ``hops`` rounds over the directed graph
+    edges, and exact-rescored cosine top-k reduces the expanded set.
+
+    Candidates per query are bounded by 1 + d + d² + … (d = graph
+    out-degree = the graph's k) — independent of corpus size; every
+    expansion hop is one id-keyed equi-join against the edge table.
+    ``graph`` is (src, dst) — typically nn_descent output."""
+    from pyspark.sql import Window
+
+    edges = graph.select(
+        F.col(graph.columns[0]).alias("__s"), F.col(graph.columns[1]).alias("__d")
+    )
+    asg = corpus.select(
+        id_col, _ivf_assign_udf(centroids)(F.col(vec_col)).alias("__list")
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    ).withColumn(
+        "__list", F.explode(_ivf_probe_udf(centroids, 1)(F.col("__qvec")))
+    )
+    entry = (
+        qb.join(asg, "__list")
+        .groupBy("__qid")
+        .agg(F.min(id_col).alias("node"))
+    )
+    frontier = entry.select("__qid", "node")
+    layers = [frontier]
+    for _ in range(hops):
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["__s"])
+            .select("__qid", F.col("__d").alias("node"))
+        )
+        layers.append(frontier)
+    cand = layers[0]
+    for l in layers[1:]:
+        cand = cand.unionByName(l)
+    cand = (
+        cand.filter(F.col("node") != F.col("__qid"))
+        .distinct()
+        .select("__qid", F.col("node").alias(id_col))
+    )
+    u = with_unit_vector(corpus, vec_col).select(id_col, "__unit")
+    uq = with_unit_vector(
+        queries.select(F.col(query_id_col).alias("__qid"), vec_col), vec_col
+    ).select("__qid", F.col("__unit").alias("__qunit"))
+    scored = (
+        cand.join(u, id_col)
+        .join(F.broadcast(uq), "__qid")
+        .select(
+            "__qid", id_col,
+            F.round(_dot(F.col("__unit"), F.col("__qunit")), round_dp).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("__qid").alias(query_id_col), id_col, "cosine", "rnk")
+    )
+
+
 def ann_recall_curve(
     corpus: DataFrame,
     queries: DataFrame,

@@ -135,3 +135,35 @@ def test_recall_curve_against_manual_intersection(spark, emb):
     for q, aset in approx_sets.items():
         want = round(len(aset & truth_sets[q]) / 5.0, 6)
         assert curve[(1, q)] == pytest.approx(want)
+
+
+def test_graph_expand_search_quality(spark, emb):
+    """Graph search (entry + 2-hop expansion + exact rescore) finds
+    same-cluster neighbors on well-separated clusters, and its top-1
+    agrees with brute force whenever the true top-1 is reachable."""
+    from tastytrade_sdk_spark.llmops.similarity import graph_expand_topk
+
+    graph = nn_descent(emb, k=4, rounds=2).select("vec_id", "nbr_id")
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = axis_centroids(4, 8)
+    out = graph_expand_topk(emb, graph, queries, cent, k=5, hops=2)
+    labels = {r["vec_id"]: r["cluster"] for r in emb.collect()}
+    rows = out.collect()
+    assert rows, "graph search returned nothing"
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["vec_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rnk"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # after convergence every returned neighbor of a cluster-0
+        # query that the graph can reach should be scored correctly:
+        # cosine must be non-increasing in rank
+        coss = [r["cosine"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert coss == sorted(coss, reverse=True)
+        # top-1 lands in the query's own cluster (clusters are tight)
+        top1 = min(rs, key=lambda r: r["rnk"])
+        assert labels[top1["vec_id"]] == labels[q]
