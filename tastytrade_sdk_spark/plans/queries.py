@@ -183,6 +183,130 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "shipping_priority_top10",
+    """
+    SELECT l_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o_orderpriority,
+           CAST(round(sum(l_extendedprice::DECIMAL(18,2)
+                          * (1 - l_discount::DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey  = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped-revenue top-10
+    for one market segment at a cutoff date. customer broadcasts into
+    orders, the date filters push into both scans, revenue sums in
+    DECIMAL (the 4dp-grid rule), and the top-10 is fully tie-broken
+    (revenue desc, orderdate, orderkey) so LIMIT is deterministic."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = "1997-01-01"
+    rev = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ),
+        2,
+    ).cast("double")
+    return (
+        orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            li.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+@_q(
+    "order_priority_late_ships",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_late_ships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): count orders per
+    priority having at least one line that shipped more than 30 days
+    after the order date. One LEFT SEMI hash join on the order key
+    (the date predicate rides along as a join-side condition — no
+    second pass, no distinct), then a 5-row aggregate."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@_q(
+    "brand_supplier_counts",
+    """
+    SELECT p_brand, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt,
+           count(*) AS n_lines
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand != 'Brand#9'
+    GROUP BY p_brand, p_size
+    """,
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    supplier count per (brand, size) with one brand excluded —
+    lineitem plays the partsupp association. part broadcasts; the
+    only shuffle is the grouped distinct."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_brand") != "Brand#9"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
     "supplier_weighted_price",
     """
     SELECT l_suppkey,
