@@ -1227,3 +1227,36 @@ class TestIvfIndexStream:
         assert os.path.exists(os.path.join(path, "_centroids_md5"))
         # no torn temp files left behind
         assert not [f for f in os.listdir(path) if f.startswith("._centroids.")]
+
+
+class TestDedupTierPolicy:
+    """Tier precedence edges for the policy [Q]'s building blocks:
+    exact beats URL beats near-dup, and the URL tier only considers
+    exact survivors."""
+
+    def test_tier_precedence_on_synthetic(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        # docs 0/1 exact dups (same text); 2 shares 1's URL group but
+        # different text; 3 unique
+        rows = [
+            (0, "alpha beta gamma delta", "srcA"),
+            (1, "alpha beta gamma delta", "srcA"),
+            (2, "completely different words here", "srcA"),
+            (3, "another unrelated document text", "srcB"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        ex = docs.withColumn(
+            "ex_canon", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        got = {r["doc_id"]: r["ex_canon"] for r in ex.collect()}
+        assert got == {0: 0, 1: 0, 2: 2, 3: 3}
+        # URL tier: same curl for 0/1/2 (same source) => canonical
+        # among exact survivors {0, 2, 3} is min(0, 2) = 0
+        surv = ex.filter(F.col("doc_id") == F.col("ex_canon"))
+        ucan = surv.groupBy("source").agg(F.min("doc_id").alias("uc"))
+        got_u = {r["source"]: r["uc"] for r in ucan.collect()}
+        assert got_u == {"srcA": 0, "srcB": 3}
+        # so: 1 killed by exact (canon 0), 2 killed by url (canon 0),
+        # 0 and 3 keep — the [Q]'s CASE ordering encodes exactly this
