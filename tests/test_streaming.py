@@ -697,3 +697,65 @@ def test_streaming_session_windows_equal_batch(spark, tmp_path):
     assert streamed == expected
     # the bridged session arrived as ONE merged row, not two
     assert sum(1 for s in streamed if s[0] == 1 and s[3] == 3) == 1
+
+
+class TestStreamingCUSUM:
+    """Streaming drift detection == batch fold, exactly (same float
+    op order), across micro-batch boundaries with state carry."""
+
+    def _rows(self):
+        series = trending_series()
+        rows = []
+        for i, v in enumerate(series):
+            rows.append(("A", BASE + dt.timedelta(minutes=5 * i), float(v), 100.0))
+            rows.append(("B", BASE + dt.timedelta(minutes=5 * i), 100.0 + (i % 3) * 0.1, 100.0))
+        return rows
+
+    def test_streaming_equals_batch_exactly(self, spark):
+        from tastytrade_sdk_spark.streaming.drift import (
+            cusum_batch,
+            streaming_cusum,
+        )
+
+        rows = self._rows()
+        schema = "key string, ts timestamp, value double, mu double"
+        src = tempfile.mkdtemp(prefix="cusum_src_")
+        ckpt = tempfile.mkdtemp(prefix="cusum_ckpt_")
+        try:
+            half = len(rows) // 2
+            # chronological halves -> 2 files -> >=2 micro-batches
+            spark.createDataFrame(sorted(rows[:half], key=lambda r: r[1]), schema) \
+                .coalesce(1).write.mode("append").parquet(src)
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = streaming_cusum(stream, "key", "ts", "value", "mu")
+            q = (
+                out.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("cusum_out")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            spark.createDataFrame(sorted(rows[half:], key=lambda r: r[1]), schema) \
+                .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            q.stop()
+            streamed = spark.sql("select * from cusum_out").collect()
+
+            batched = cusum_batch(
+                spark.createDataFrame(rows, schema), "key", "ts", "value", "mu"
+            ).collect()
+            key = lambda r: (r["key"], r["ts"])  # noqa: E731
+            s = {key(r): (r["cusum_hi"], r["cusum_lo"], r["alert"]) for r in streamed}
+            b = {key(r): (r["cusum_hi"], r["cusum_lo"], r["alert"]) for r in batched}
+            assert s == b  # EXACT equality, including across the batch seam
+            # the trending key drifts -> alerts fire; the flat key never does
+            assert any(r["alert"] for r in batched if r["key"] == "A")
+            assert not any(r["alert"] for r in batched if r["key"] == "B")
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
