@@ -950,6 +950,99 @@ def macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "candle_patterns_hourly",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bucket ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    ), c AS (
+      SELECT event_type AS symbol, bucket AS time,
+             max(CASE WHEN rn_a = 1 THEN value END) AS open,
+             max(value) AS high, min(value) AS low,
+             max(CASE WHEN rn_d = 1 THEN value END) AS close
+      FROM r GROUP BY event_type, bucket
+    ), w AS (
+      SELECT symbol, time, open, high, low, close,
+             lag(open)  OVER win AS p_open,
+             lag(close) OVER win AS p_close
+      FROM c WINDOW win AS (PARTITION BY symbol ORDER BY time)
+    )
+    SELECT symbol, time, open, high, low, close,
+           (high > low AND abs(close - open) <= 0.1 * (high - low)) AS doji,
+           (p_close IS NOT NULL AND p_close < p_open
+            AND close > open AND open <= p_close AND close >= p_open)
+             AS bullish_engulfing,
+           (p_close IS NOT NULL AND p_close > p_open
+            AND close < open AND open >= p_close AND close <= p_open)
+             AS bearish_engulfing,
+           (high > low
+            AND least(open, close) - low >= 2 * abs(close - open)
+            AND high - greatest(open, close) <= abs(close - open)) AS hammer
+    FROM w
+    """,
+)
+def candle_patterns_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern flags over the hourly OHLC candles — the
+    charting-layer classification a reference user plots (doji,
+    bullish/bearish engulfing, hammer; textbook geometric
+    definitions). Candle construction is the proven A8 recipe; the
+    pattern tests are pure comparisons of identical grid values plus
+    one shared 0.1×range expression, so the booleans can't diverge.
+    One window shuffle over the candle table (already hour-bucketed:
+    tiny vs the event scan)."""
+    from tastytrade_sdk_spark.operators.candles import ohlcv
+
+    ev = load_table(spark, "events", sf_dir)
+    candles = ohlcv(
+        ev,
+        symbol_col="event_type",
+        time_col="ts",
+        price_col="value",
+        size_col=None,
+        interval="1 hour",
+        order_col="event_id",
+    ).select(
+        F.col("symbol"), F.col("time"), "open", "high", "low", "close"
+    )
+    w = Window.partitionBy("symbol").orderBy("time")
+    c = candles.select(
+        "*",
+        F.lag("open").over(w).alias("p_open"),
+        F.lag("close").over(w).alias("p_close"),
+    )
+    body = F.abs(F.col("close") - F.col("open"))
+    rng = F.col("high") - F.col("low")
+    return c.select(
+        "symbol", "time", "open", "high", "low", "close",
+        ((F.col("high") > F.col("low")) & (body <= 0.1 * rng)).alias("doji"),
+        (
+            F.col("p_close").isNotNull()
+            & (F.col("p_close") < F.col("p_open"))
+            & (F.col("close") > F.col("open"))
+            & (F.col("open") <= F.col("p_close"))
+            & (F.col("close") >= F.col("p_open"))
+        ).alias("bullish_engulfing"),
+        (
+            F.col("p_close").isNotNull()
+            & (F.col("p_close") > F.col("p_open"))
+            & (F.col("close") < F.col("open"))
+            & (F.col("open") >= F.col("p_close"))
+            & (F.col("close") <= F.col("p_open"))
+        ).alias("bearish_engulfing"),
+        (
+            (F.col("high") > F.col("low"))
+            & (F.least("open", "close") - F.col("low") >= 2 * body)
+            & (F.col("high") - F.greatest("open", "close") <= body)
+        ).alias("hammer"),
+    )
+
+
+@_q(
     "rsi_daily",
     _DAILY_CTE
     + """
