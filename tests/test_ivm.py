@@ -98,3 +98,12 @@ def test_merge_is_broadcast_no_stored_shuffle(spark, frames):
     maintained.collect()
     plan = maintained._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_empty_delta_is_identity(spark, frames):
+    _, stored, delta = frames
+    empty = delta.filter("1 = 0")
+    out = delta_apply_agg(stored, empty, ["k"], ["v"])
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, stored.collect()))
+    assert got == want

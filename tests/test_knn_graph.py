@@ -167,3 +167,17 @@ def test_graph_expand_search_quality(spark, emb):
         # top-1 lands in the query's own cluster (clusters are tight)
         top1 = min(rs, key=lambda r: r["rnk"])
         assert labels[top1["vec_id"]] == labels[q]
+
+
+def test_nn_descent_tiny_corpus(spark):
+    """n <= k: the ring wraps onto fewer distinct neighbors than k —
+    degree caps at n-1, no self-edges, no duplicates, no crash."""
+    rows = [(i, [float(i), 1.0]) for i in range(3)]
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = nn_descent(tiny, k=4, rounds=2).collect()
+    by_src = {}
+    for r in g:
+        assert r["vec_id"] != r["nbr_id"]
+        by_src.setdefault(r["vec_id"], []).append(r["nbr_id"])
+    for src, nbrs in by_src.items():
+        assert len(nbrs) == len(set(nbrs)) <= 2

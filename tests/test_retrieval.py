@@ -528,3 +528,15 @@ class TestRRFFusion:
         )
         # same rank => same score => id tiebreak
         assert [r["doc_id"] for r in q1] == [2, 9]
+
+    def test_rrf_single_empty_side(self, spark):
+        """An empty retriever contributes nothing but breaks nothing."""
+        from tastytrade_sdk_spark.llmops.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(0, 7, 1)], "query_id long, doc_id long, rank long"
+        )
+        dense = lex.filter("1 = 0")
+        rows = rrf_fuse({"lex": lex, "dense": dense}, topk=5).collect()
+        assert len(rows) == 1
+        assert rows[0]["doc_id"] == 7 and rows[0]["dense_rank"] is None
