@@ -362,3 +362,68 @@ def macd_expr(
         F.col("Value"), macd_length, partition_by, order_by, seed=F.lit(0.0)
     )
     return out.withColumn("avg", avg).withColumn("diff", F.col("Value") - F.col("avg"))
+
+
+def true_range_col(
+    high: Column,
+    low: Column,
+    close: Column,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[str | Column],
+) -> Column:
+    """Wilder true range: max(H-L, |H-prevC|, |L-prevC|). First row
+    (no prior close) degrades to H-L by contract. All three candidates
+    are differences of grid-valued doubles read from the same parquet,
+    so both engines compute bit-identical TR — the precondition for
+    the exact-equality ATR gate."""
+    w = Window.partitionBy(*_cols(partition_by)).orderBy(*_cols(order_by))
+    pc = F.lag(close).over(w)
+    return F.when(pc.isNull(), high - low).otherwise(
+        F.greatest(high - low, F.abs(high - pc), F.abs(low - pc))
+    )
+
+
+def atr_col(
+    tr: Column,
+    n: int,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[str | Column],
+) -> Column:
+    """Wilder ATR(n) over a materialized true-range column: the
+    recurrence ATR_t = ATR_{t-1}*(n-1)/n + TR_t/n with ATR_1 = TR_1
+    IS a seeded EMA of length 2n-1 (alpha = 1/n) seeded with the
+    first TR — so it reuses ``ema_expr_col``'s exact fold and both
+    engines replay the identical recurrence (beyond-reference
+    indicator widening; the reference ships Hull/MACD only,
+    src/tastytrade/analytics/visualizations/momentum.py)."""
+    w = (
+        Window.partitionBy(*_cols(partition_by))
+        .orderBy(*_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seed = F.first(tr, ignorenulls=True).over(w)
+    return ema_expr_col(tr, 2 * n - 1, partition_by, order_by, seed=seed)
+
+
+def obv_col(
+    close: Column,
+    volume: Column,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[str | Column],
+) -> Column:
+    """On-balance volume: running sum of sign(close - prev_close) *
+    volume (first row contributes 0 by contract — no prior close).
+    With integer volumes the output is an exact BIGINT running sum —
+    one window shuffle, no float anywhere."""
+    w = Window.partitionBy(*_cols(partition_by)).orderBy(*_cols(order_by))
+    pc = F.lag(close).over(w)
+    signed = (
+        F.when(pc.isNull() | (close == pc), F.lit(0).cast("long"))
+        .when(close > pc, volume.cast("long"))
+        .otherwise(-volume.cast("long"))
+    )
+    return F.sum(signed).over(
+        Window.partitionBy(*_cols(partition_by))
+        .orderBy(*_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )

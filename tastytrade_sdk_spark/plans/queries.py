@@ -2535,3 +2535,254 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(sk, p=6).select(
         "event_type", "hll_zero_regs", "hll_raw", "hll_estimate"
     )
+
+
+# ---------------------------------------------------------------------------
+# Indicator widening (r6 continuation): ATR / OBV / Donchian / Keltner
+# over a per-user daily OHLC base — same exact-replay discipline as
+# rsi/bollinger/stochastic (beyond-reference; reference ships
+# Hull/MACD only, src/tastytrade/analytics/visualizations/momentum.py)
+# ---------------------------------------------------------------------------
+
+_DAILY_OHLC_CTE = """
+    WITH b AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    ), dohlc AS (
+      SELECT user_id, day,
+             max(value)                          AS high,
+             min(value)                          AS low,
+             max(CASE WHEN rn_d = 1 THEN value END) AS close,
+             count(*)                            AS n_events
+      FROM r
+      GROUP BY user_id, day
+    )
+"""
+
+
+def _daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared derived series: per-user daily high/low/close/count via
+    the A8 candle aggregation (min_by/max_by — one hash agg, no window
+    sort; scan prunes to 4 columns)."""
+    ev = load_table(spark, "events", sf_dir)
+    c = ohlcv(
+        ev,
+        symbol_col="user_id",
+        time_col="ts",
+        price_col="value",
+        size_col=None,
+        interval="1 day",
+        order_col="event_id",
+    )
+    return c.select(
+        F.col("symbol").alias("user_id"),
+        F.col("time").alias("day"),
+        "high",
+        "low",
+        "close",
+        F.col("count").alias("n_events"),
+    )
+
+
+@_q(
+    "atr_daily",
+    _DAILY_OHLC_CTE
+    + """
+    , t AS (
+      SELECT user_id, day, high, low, close,
+             CASE WHEN lag(close) OVER win IS NULL THEN high - low
+                  ELSE greatest(high - low,
+                                abs(high - lag(close) OVER win),
+                                abs(low - lag(close) OVER win)) END AS tr
+      FROM dohlc
+      WINDOW win AS (PARTITION BY user_id ORDER BY day)
+    ), a AS (
+      SELECT user_id, day, close, tr,
+             list(tr) OVER w2 AS arr,
+             first_value(tr) OVER w2 AS seed
+      FROM t
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day, close,
+           round(tr, 6) AS tr,
+           round(list_reduce(list_prepend(seed, arr),
+             (acc, x) -> acc*(1.0 - 2.0/28.0) + x*(2.0/28.0)), 6) AS atr
+    FROM a
+    """,
+)
+def atr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder ATR(14) over the per-user daily OHLC series. TR is
+    bit-identical across engines (differences of the same parquet
+    doubles); the smoothing is the seeded-EMA exact fold (alpha=1/14
+    == EMA length 27, seed = first TR), so round(,6) sites agree.
+    Plan: one hash agg (candles) + one window chain — two shuffles on
+    the same key, AQE-coalesced."""
+    from tastytrade_sdk_spark.operators.indicators import (
+        atr_col,
+        true_range_col,
+    )
+
+    d = _daily_ohlc(spark, sf_dir)
+    staged = d.withColumn(
+        "__tr",
+        true_range_col(
+            F.col("high"), F.col("low"), F.col("close"), ["user_id"], ["day"]
+        ),
+    )
+    a = atr_col(F.col("__tr"), 14, ["user_id"], ["day"])
+    return staged.select(
+        "user_id",
+        "day",
+        "close",
+        F.round("__tr", 6).alias("tr"),
+        F.round(a, 6).alias("atr"),
+    )
+
+
+@_q(
+    "obv_daily",
+    _DAILY_OHLC_CTE
+    + """
+    , s AS (
+      SELECT user_id, day, close, n_events,
+             CASE WHEN lag(close) OVER win IS NULL OR close = lag(close) OVER win
+                    THEN CAST(0 AS BIGINT)
+                  WHEN close > lag(close) OVER win THEN CAST(n_events AS BIGINT)
+                  ELSE -CAST(n_events AS BIGINT) END AS signed_vol
+      FROM dohlc
+      WINDOW win AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id, day, close,
+           CAST(sum(signed_vol) OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+    FROM s
+    """,
+)
+def obv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume over the per-user daily series (volume :=
+    the day's event count — the synthetic stream has no size column).
+    Exact BIGINT running sum; sign comparisons on identical grid
+    doubles — no float output at all."""
+    from tastytrade_sdk_spark.operators.indicators import obv_col
+
+    d = _daily_ohlc(spark, sf_dir)
+    o = obv_col(F.col("close"), F.col("n_events"), ["user_id"], ["day"])
+    return d.select("user_id", "day", "close", o.alias("obv"))
+
+
+@_q(
+    "donchian_daily",
+    _DAILY_CTE
+    + """
+    , c AS (
+      SELECT user_id, day, day_value,
+             max(day_value) OVER w20 AS upper_chan,
+             min(day_value) OVER w20 AS lower_chan
+      FROM daily
+      WINDOW w20 AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, day, day_value, upper_chan, lower_chan,
+           floor((upper_chan + lower_chan) / 2 * 1000000 + 0.5) / 1000000 + 0.0 AS mid_chan,
+           day_value > upper_chan AS breakout_up,
+           day_value < lower_chan AS breakout_down
+    FROM c
+    """,
+)
+def donchian_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel (20, prior-window): rolling min/max of the
+    PRECEDING 20 rows (current row excluded so a new extreme reads as
+    a breakout, the trading use). First row per user has a NULL
+    channel by contract. min/max are exact; the midpoint can land on
+    the half-micro grid, so it rounds with the bollinger floor recipe
+    on both engines."""
+    daily = _daily_series(spark, sf_dir)
+    w20 = (
+        Window.partitionBy("user_id").orderBy("day").rowsBetween(-20, -1)
+    )
+    upper = F.max("day_value").over(w20)
+    lower = F.min("day_value").over(w20)
+    return daily.select(
+        "user_id",
+        "day",
+        "day_value",
+        upper.alias("upper_chan"),
+        lower.alias("lower_chan"),
+        (F.floor((upper + lower) / 2 * 1e6 + 0.5) / 1e6 + 0.0).alias("mid_chan"),
+        (F.col("day_value") > upper).alias("breakout_up"),
+        (F.col("day_value") < lower).alias("breakout_down"),
+    )
+
+
+@_q(
+    "keltner_daily",
+    _DAILY_OHLC_CTE
+    + """
+    , t AS (
+      SELECT user_id, day, high, low, close,
+             CASE WHEN lag(close) OVER win IS NULL THEN high - low
+                  ELSE greatest(high - low,
+                                abs(high - lag(close) OVER win),
+                                abs(low - lag(close) OVER win)) END AS tr
+      FROM dohlc
+      WINDOW win AS (PARTITION BY user_id ORDER BY day)
+    ), a AS (
+      SELECT user_id, day, close, tr,
+             list(close) OVER w2 AS carr,
+             first_value(close) OVER w2 AS cseed,
+             list(tr) OVER w2 AS tarr,
+             first_value(tr) OVER w2 AS tseed
+      FROM t
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), e AS (
+      SELECT user_id, day, close,
+             list_reduce(list_prepend(cseed, carr),
+               (acc, x) -> acc*(1.0 - 2.0/21.0) + x*(2.0/21.0)) AS mid,
+             list_reduce(list_prepend(tseed, tarr),
+               (acc, x) -> acc*(1.0 - 2.0/20.0) + x*(2.0/20.0)) AS atr10
+      FROM a
+    )
+    SELECT user_id, day, close,
+           round(mid, 6) AS mid_line,
+           round(mid + 2*atr10, 6) AS upper_band,
+           round(mid - 2*atr10, 6) AS lower_band
+    FROM e
+    """,
+)
+def keltner_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channel: EMA(20) midline (seed = first close) ± 2 ×
+    Wilder ATR(10) over the per-user daily OHLC. Both folds are the
+    exact seeded-EMA recurrence (alpha 2/21 and 1/10 == length 19), so
+    the band arithmetic is bit-identical across engines before the
+    round. Composes the atr_daily and ema_seeded_daily machinery in
+    one window chain — still a single shuffle after the candle agg."""
+    from tastytrade_sdk_spark.operators.indicators import (
+        atr_col,
+        ema_expr_col,
+        true_range_col,
+    )
+
+    d = _daily_ohlc(spark, sf_dir)
+    staged = d.withColumn(
+        "__tr",
+        true_range_col(
+            F.col("high"), F.col("low"), F.col("close"), ["user_id"], ["day"]
+        ),
+    )
+    mid = ema_expr_col(F.col("close"), 20, ["user_id"], ["day"])
+    atr10 = atr_col(F.col("__tr"), 10, ["user_id"], ["day"])
+    return staged.select(
+        "user_id",
+        "day",
+        "close",
+        F.round(mid, 6).alias("mid_line"),
+        F.round(mid + 2 * atr10, 6).alias("upper_band"),
+        F.round(mid - 2 * atr10, 6).alias("lower_band"),
+    )

@@ -184,3 +184,78 @@ class TestRSI:
                 else 100.0 - 100.0 / (1.0 + ag / al)
             )
             assert got[("mix", i)] == want
+
+
+class TestATRandOBV:
+    def test_atr_python_replay(self, spark):
+        """ATR(3) on a hand-built OHLC series equals a pure-Python
+        replay of the identical Wilder recurrence (alpha=1/3, seed =
+        first TR); first-row TR degrades to high-low."""
+        from tastytrade_sdk_spark.operators.indicators import (
+            atr_col,
+            true_range_col,
+        )
+
+        rows = [
+            ("k", 0, 10.0, 8.0, 9.0),
+            ("k", 1, 11.0, 9.5, 10.5),
+            ("k", 2, 10.8, 9.0, 9.2),
+            ("k", 3, 13.0, 9.1, 12.9),
+        ]
+        df = spark.createDataFrame(rows, "k string, i int, h double, l double, c double")
+        staged = df.withColumn(
+            "tr", true_range_col(F.col("h"), F.col("l"), F.col("c"), ["k"], ["i"])
+        )
+        out = staged.withColumn("atr", atr_col(F.col("tr"), 3, ["k"], ["i"]))
+        got = {r["i"]: (r["tr"], r["atr"]) for r in out.collect()}
+        # python replay
+        trs, prev_c = [], None
+        for _, _, h, l, c in rows:
+            tr = (h - l) if prev_c is None else max(h - l, abs(h - prev_c), abs(l - prev_c))
+            trs.append(tr)
+            prev_c = c
+        a = 2.0 / 6.0  # length 2n-1=5 -> alpha 2/6 == 1/3
+        acc = trs[0]
+        for i, tr in enumerate(trs):
+            acc = acc * (1 - a) + tr * a
+            assert got[i][0] == tr
+            assert got[i][1] == acc
+        assert got[0][0] == 2.0  # first row: high - low
+
+    def test_obv_exact_running_sum(self, spark):
+        from tastytrade_sdk_spark.operators.indicators import obv_col
+
+        rows = [
+            ("k", 0, 10.0, 5),
+            ("k", 1, 11.0, 3),   # up: +3
+            ("k", 2, 11.0, 7),   # flat: 0
+            ("k", 3, 9.0, 2),    # down: -2
+            ("k", 4, 12.0, 4),   # up: +4
+        ]
+        df = spark.createDataFrame(rows, "k string, i int, c double, v long")
+        out = df.withColumn("obv", obv_col(F.col("c"), F.col("v"), ["k"], ["i"]))
+        got = [r["obv"] for r in out.orderBy("i").collect()]
+        assert got == [0, 3, 3, 1, 5]
+
+    def test_single_row_series(self, spark):
+        """One-row series: TR = high-low, ATR = TR, OBV = 0 — no NULL
+        leaks from the lag edges."""
+        from tastytrade_sdk_spark.operators.indicators import (
+            atr_col,
+            obv_col,
+            true_range_col,
+        )
+
+        df = spark.createDataFrame(
+            [("k", 0, 10.0, 8.0, 9.0, 4)],
+            "k string, i int, h double, l double, c double, v long",
+        )
+        staged = df.withColumn(
+            "tr", true_range_col(F.col("h"), F.col("l"), F.col("c"), ["k"], ["i"])
+        )
+        row = staged.select(
+            "tr",
+            atr_col(F.col("tr"), 14, ["k"], ["i"]).alias("atr"),
+            obv_col(F.col("c"), F.col("v"), ["k"], ["i"]).alias("obv"),
+        ).collect()[0]
+        assert row["tr"] == 2.0 and row["atr"] == 2.0 and row["obv"] == 0
