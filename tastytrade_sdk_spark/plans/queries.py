@@ -2786,3 +2786,483 @@ def keltner_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mid + 2 * atr10, 6).alias("upper_band"),
         F.round(mid - 2 * atr10, 6).alias("lower_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape widening (r6 continuation): Q2/Q8/Q10/Q14/Q17/Q18/Q19/Q22
+# forms over the star schema (lineitem plays partsupp where needed —
+# the synthetic schema has no partsupp/shipmode/commitdate columns)
+# ---------------------------------------------------------------------------
+
+_DISC_REV_DEC = """l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))"""
+
+
+def _disc_rev_dec() -> F.Column:
+    """Exact decimal discounted revenue (4dp grid — the
+    pricing_summary boundary rule)."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+@_q(
+    "promo_revenue_monthly",
+    f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+           round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                       THEN {_DISC_REV_DEC}
+                                       ELSE 0::DECIMAL(18,2) END) AS DOUBLE)
+                 / CAST(sum({_DISC_REV_DEC}) AS DOUBLE), 6) AS promo_share,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): PROMO-part revenue share per
+    ship month. part broadcasts into the lineitem scan (the date filter
+    pushes down); both revenue sums run in exact DECIMAL and cast to
+    double BEFORE the one division, so the ratio bits agree across
+    engines; round(,6) on a continuous ratio is boundary-safe."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _disc_rev_dec()).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    ).cast("double")
+    total = F.sum(_disc_rev_dec()).cast("double")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.round(F.lit(100.0) * promo / total, 6).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose line
+    quantities sum past 250 units, with their customer. The HAVING
+    aggregate is map-side partial (integer-valued doubles sum exactly
+    — no float boundary); the survivor set (~1-2% of orders) joins
+    orders by key and broadcasts customer. At 100 TB the big-order
+    aggregate is the only full shuffle; the join side is pre-shrunk."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 250)
+        .select("l_orderkey", F.col("__qty").cast("long").alias("total_qty"))
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+@_q(
+    "brand_size_disjunct_revenue",
+    f"""
+    SELECT CAST(round(sum({_DISC_REV_DEC}), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def brand_size_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under a disjunctive
+    predicate): three (brand, size-range, quantity-range) arms OR-ed
+    together. The part arms prune the broadcast build side BEFORE the
+    join (Catalyst pushes the common p_brand/p_size disjunction into
+    the part scan); the quantity arms evaluate post-join. One exact
+    DECIMAL sum, one row out."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q = F.col("l_quantity")
+    arm1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & q.between(1, 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & q.between(10, 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & q.between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            F.round(F.sum(_disc_rev_dec()), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "idle_customer_balances",
+    """
+    WITH cents AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ), pos AS (
+      SELECT count(*) AS n_pos, sum(bal_cents) AS tot_cents
+      FROM cents WHERE bal_cents > 0
+    )
+    SELECT n_name,
+           count(*) AS n_idle,
+           CAST(sum(bal_cents) AS DOUBLE) / 100.0 AS total_bal
+    FROM cents
+    JOIN nation ON n_nationkey = c_nationkey
+    CROSS JOIN pos
+    WHERE bal_cents * n_pos > tot_cents
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY n_name
+    """,
+)
+def idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers holding an
+    above-average positive balance with no recent orders, rolled up by
+    nation. The above-average test runs as an exact integer
+    cross-multiplication (bal_cents · n_pos > tot_cents) against a
+    1-row broadcast aggregate — no float average, no boundary flips.
+    The no-recent-orders test is a LEFT ANTI hash join against the
+    date-pruned orders scan; nation broadcasts. Scale: customer scans
+    twice (once into the 1-row aggregate, once full) — both scans
+    prune to 3 columns."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum("bal_cents").alias("tot_cents"),
+    )
+    recent = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("tot_cents"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_idle"),
+            (F.sum("bal_cents").cast("double") / F.lit(100.0)).alias(
+                "total_bal"
+            ),
+        )
+    )
+
+
+@_q(
+    "min_cost_supplier_per_part",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             l_extendedprice / l_quantity AS unit_cost
+      FROM lineitem
+    ), ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             min(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+      FROM unit
+    )
+    SELECT DISTINCT p_partkey, p_brand, s_name, n_name,
+           round(unit_cost, 6) AS unit_cost
+    FROM ranked
+    JOIN part     ON p_partkey  = l_partkey AND p_size = 15
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE unit_cost = min_cost
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every size-15 part,
+    the supplier(s) quoting the lowest unit cost — lineitem plays the
+    partsupp association. The classic correlated subquery rewrites to
+    a window-min over the part key (one shuffle); part/supplier/nation
+    broadcast. unit_cost is the same double division on both engines,
+    so the min-equality match is bit-exact; ties keep every minimal
+    supplier (DISTINCT absorbs repeat quotes)."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = li.withColumn("__min", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("__min")
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_size") == 15
+    ).select("p_partkey", "p_brand")
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        ranked.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .distinct()
+    )
+
+
+@_q(
+    "returned_item_report",
+    f"""
+    WITH rev AS (
+      SELECT c_custkey, c_name, n_name,
+             sum({_DISC_REV_DEC}) AS rev_dec
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey  = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-04-01'
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(rev_dec, 2) AS DOUBLE) AS revenue
+    FROM rev
+    ORDER BY rev_dec DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter. The revenue sort key is
+    the EXACT decimal sum (ties broken by custkey), so the LIMIT is
+    deterministic across engines; the double cast happens after the
+    round, on the output only. orders date-prunes before the join;
+    customer/nation broadcast."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_disc_rev_dec()).alias("__rev_dec"))
+    )
+    return (
+        rev.orderBy(F.col("__rev_dec").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("__rev_dec", 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "nation_market_share",
+    f"""
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             sn.n_name AS supp_nation,
+             {_DISC_REV_DEC} AS rev_dec
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON c_custkey  = o_custkey
+      JOIN nation   cn ON cn.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON s_suppkey  = l_suppkey
+      JOIN nation   sn ON sn.n_nationkey = s_nationkey
+    ), per AS (
+      SELECT order_year, supp_nation, sum(rev_dec) AS rev FROM base GROUP BY 1, 2
+    )
+    SELECT order_year, supp_nation,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE) /
+                 CAST(sum(rev) OVER (PARTITION BY order_year) AS DOUBLE),
+                 6) AS market_share
+    FROM per
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): within the ASIA-customer
+    market, each supplier nation's share of yearly discounted revenue.
+    Five broadcast dim hops (customer→nation→region gate the probe
+    side; supplier→nation labels it), one grouped decimal sum, then a
+    25-row-per-year window ratio — numerator and denominator cast to
+    double from exact decimals BEFORE the division so the share bits
+    agree across engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "ASIA"
+    )
+    cnation = (
+        nation.join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    snation = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    per = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cnation), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(snation), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "supp_nation",
+        )
+        .agg(F.sum(_disc_rev_dec()).alias("__rev"))
+    )
+    wy = Window.partitionBy("order_year")
+    return per.select(
+        "order_year",
+        "supp_nation",
+        F.round("__rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("__rev").cast("double")
+            / F.sum("__rev").over(wy).cast("double"),
+            6,
+        ).alias("market_share"),
+    )
+
+
+@_q(
+    "small_quantity_revenue",
+    """
+    WITH pavg AS (
+      SELECT l_partkey,
+             sum(l_quantity) / count(*) AS avg_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT round(CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#3'
+    JOIN pavg ON pavg.l_partkey = lineitem.l_partkey
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines of one
+    brand whose quantity is under 20% of that part's average. The
+    correlated AVG rewrites to a grouped sum/count (integer-valued
+    doubles — exact in any accumulation order) re-joined on the part
+    key; the 0.2·avg threshold is the identical double on both
+    engines, so the filter set matches bit-exactly. At scale: one
+    lineitem aggregate (map-side combine) + one shuffle join on
+    l_partkey, brand-pruned by the broadcast part filter."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pavg = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "pk")
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pavg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                6,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
