@@ -21,7 +21,7 @@ fold), which keeps results reproducible.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1548,3 +1548,154 @@ def ivf_index_sink(
             )
         )
     )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot of two array<long> columns (JVM fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def mmr_rerank(
+    corpus8: DataFrame,
+    queries8: DataFrame,
+    pool: int = 12,
+    k: int = 5,
+    lam_num: int = 7,
+    lam_comp: int = 3,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998)
+    over int8-quantized vectors: from each query's `pool` most-relevant
+    candidates, greedily select `k` maximizing
+    lam_num·rel − lam_comp·max_sim_to_selected (λ scaled to integers —
+    all scores are exact BIGINTs, so the iterative argmax is
+    deterministic on both engines; ties break by candidate id; the
+    first pick defines max_sim = 0).
+
+    Inputs are quantize_int8 outputs: (id, qvec array<long>).
+
+    Scale shape: relevance is a bounded-build BNLJ (the query set
+    broadcasts into one corpus scan) + per-query top-`pool` window;
+    everything after — the pool×pool sim matrix and the k unrolled
+    selection rounds — runs on |queries|·pool rows, independent of
+    corpus size. The rounds are genuinely sequential (each pick feeds
+    the next round's max-sim), so they unroll declaratively like
+    pagerank_fixed's iterations rather than hiding in a Python loop
+    over collect()."""
+    q = queries8.select(
+        F.col(query_id_col).alias("__qid"), F.col("qvec").alias("__qq")
+    )
+    c = corpus8.select(F.col(id_col), "qvec")
+    rel = (
+        c.join(F.broadcast(q), F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            id_col,
+            _int_dot(F.col("qvec"), F.col("__qq")).alias("rel8"),
+            "qvec",
+        )
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("rel8").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        rel.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= pool)
+        .drop("__rn")
+    )
+    a = cand.select(
+        query_id_col,
+        F.col(id_col).alias("a"),
+        F.col("qvec").alias("__va"),
+    )
+    b = cand.select(
+        F.col(query_id_col).alias("__qid2"),
+        F.col(id_col).alias("b"),
+        F.col("qvec").alias("__vb"),
+    )
+    sims = (
+        a.join(
+            b,
+            (F.col(query_id_col) == F.col("__qid2"))
+            & (F.col("a") != F.col("b")),
+        )
+        .select(
+            query_id_col,
+            "a",
+            "b",
+            _int_dot(F.col("__va"), F.col("__vb")).alias("sim8"),
+        )
+    )
+    # pin the shortlist and its pool×pool sim matrix ONCE — every
+    # selection round references both, and without the lineage cut each
+    # round would re-execute the corpus scan + BNLJ (the cluster.py
+    # iterative-operator rule: localCheckpoint per converged stage)
+    sims = sims.localCheckpoint(eager=False)
+    slim = cand.select(query_id_col, id_col, "rel8").localCheckpoint(
+        eager=False
+    )
+    w1 = Window.partitionBy(query_id_col).orderBy(
+        F.col("rel8").desc(), F.col(id_col).asc()
+    )
+    selected = (
+        slim.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .select(
+            query_id_col,
+            id_col,
+            "rel8",
+            F.lit(1).alias("mmr_rank"),
+            (F.lit(lam_num) * F.col("rel8")).alias("mmr_score"),
+        )
+    )
+    for rnd in range(2, k + 1):
+        sel_keys = selected.select(
+            F.col(query_id_col).alias("__sq"), F.col(id_col).alias("__sv")
+        )
+        unsel = slim.join(
+            sel_keys,
+            (F.col(query_id_col) == F.col("__sq"))
+            & (F.col(id_col) == F.col("__sv")),
+            "left_anti",
+        )
+        ms = (
+            unsel.join(
+                sims.withColumnRenamed(query_id_col, "__pq"),
+                (F.col("__pq") == F.col(query_id_col))
+                & (F.col("a") == F.col(id_col)),
+            )
+            .join(
+                sel_keys,
+                (F.col("__sq") == F.col(query_id_col))
+                & (F.col("__sv") == F.col("b")),
+            )
+            .groupBy(query_id_col, id_col, "rel8")
+            .agg(F.max("sim8").alias("__maxsim"))
+        )
+        score = F.lit(lam_num) * F.col("rel8") - F.lit(lam_comp) * F.col(
+            "__maxsim"
+        )
+        wr = Window.partitionBy(query_id_col).orderBy(
+            score.desc(), F.col(id_col).asc()
+        )
+        pick = (
+            ms.withColumn("__rn", F.row_number().over(wr))
+            .filter(F.col("__rn") == 1)
+            .select(
+                query_id_col,
+                id_col,
+                "rel8",
+                F.lit(rnd).alias("mmr_rank"),
+                score.alias("mmr_score"),
+            )
+        )
+        # each round's pick feeds the next round's anti-join and
+        # max-sim — cut the per-round lineage so round r doesn't
+        # replay rounds 1..r-1 (k small; rows = |queries|·r)
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected

@@ -3266,3 +3266,106 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@_q(
+    "rolling_beta_daily",
+    _DAILY_CTE
+    + """
+    , g AS (
+      SELECT user_id, day, CAST(round(day_value * 1000000) AS HUGEINT) AS x
+      FROM daily
+    ), m AS (
+      SELECT day, sum(x) AS y FROM g GROUP BY day
+    ), j AS (
+      SELECT g.user_id, g.day, g.x, m.y FROM g JOIN m ON m.day = g.day
+    ), s AS (
+      SELECT user_id, day,
+             count(*)   OVER w20 AS n_win,
+             sum(x)     OVER w20 AS sx,
+             sum(y)     OVER w20 AS sy,
+             sum(x * y) OVER w20 AS sxy,
+             sum(x * x) OVER w20 AS sxx,
+             sum(y * y) OVER w20 AS syy
+      FROM j
+      WINDOW w20 AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), d AS (
+      SELECT user_id, day, n_win,
+             CAST(n_win * sxy - sx * sy AS DOUBLE) AS cov_n,
+             CAST(n_win * sxx - sx * sx AS DOUBLE) AS var_x,
+             CAST(n_win * syy - sy * sy AS DOUBLE) AS var_y
+      FROM s
+    )
+    SELECT user_id, day, n_win,
+           CASE WHEN var_x = 0 THEN NULL
+                ELSE round(cov_n / var_x, 6) END AS beta_20,
+           CASE WHEN var_x = 0 OR var_y = 0 THEN NULL
+                ELSE round(cov_n / (sqrt(var_x) * sqrt(var_y)), 6) END AS corr_20
+    FROM d
+    """,
+)
+def rolling_beta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-day beta and correlation of each user's daily series
+    against the cross-sectional market (the sum of all users' values
+    that day — an exact integer in micro-space, unlike an average).
+    The moment sums n·Σxy−ΣxΣy etc. run ENTIRELY on scaled 1e-6
+    integers (decimal(38,0)/HUGEINT — the bollinger recipe widened to
+    two series), and both engines cast the identical exact integers to
+    double before the one division/sqrt — bit-equal outputs; flat
+    windows yield NULL by contract.
+
+    Scale: the market series is one tiny (day-keyed) aggregate that
+    broadcasts back into the per-user stream; the window chain is the
+    only real shuffle. Magnitude audit: x ≤ 5.6e8 micros, y ≤ 8.4e11
+    (1500 users) → n·Σy² ≤ 3e26, and ≤ 3e30 at the 100× replica —
+    inside decimal(38)/HUGEINT."""
+    daily = _daily_series(spark, sf_dir)
+    g = daily.select(
+        "user_id",
+        "day",
+        F.round(F.col("day_value") * 1e6, 0)
+        .cast("decimal(20,0)")
+        .alias("x"),
+    )
+    m = g.groupBy("day").agg(F.sum("x").cast("decimal(38,0)").alias("y"))
+    j = g.join(F.broadcast(m), "day")
+    w20 = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    # materialize the six window sums ONCE: Spark expands every
+    # textual reuse of a window expression into a separate aggregate
+    # (32 _we slots for the naive form — measured 5x slower), so the
+    # derived moments must reference columns, not window expressions
+    s = j.select(
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(w20).alias("n_win"),
+        F.sum("x").over(w20).alias("__sx"),
+        F.sum("y").over(w20).alias("__sy"),
+        F.sum(F.col("x") * F.col("y")).over(w20).alias("__sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w20).alias("__sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w20).alias("__syy"),
+    )
+    cov_n = (
+        F.col("n_win") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ).cast("double")
+    var_x = (
+        F.col("n_win") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    ).cast("double")
+    var_y = (
+        F.col("n_win") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    ).cast("double")
+    return s.select(
+        "user_id",
+        "day",
+        "n_win",
+        F.when(var_x == 0, F.lit(None)).otherwise(
+            F.round(cov_n / var_x, 6)
+        ).alias("beta_20"),
+        F.when((var_x == 0) | (var_y == 0), F.lit(None)).otherwise(
+            F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6)
+        ).alias("corr_20"),
+    )

@@ -1260,3 +1260,70 @@ class TestDedupTierPolicy:
         assert got_u == {"srcA": 0, "srcB": 3}
         # so: 1 killed by exact (canon 0), 2 killed by url (canon 0),
         # 0 and 3 keep — the [Q]'s CASE ordering encodes exactly this
+
+
+class TestMMRRerank:
+    def test_diversity_beats_pure_relevance(self, spark):
+        """Hand-built case: the two most relevant candidates are
+        near-duplicates of each other, so MMR must pick the slightly
+        less relevant but diverse third vector at rank 2 — the exact
+        reorder a pure top-k would not do. Python replay of the same
+        integer greedy confirms every (rank, id, score)."""
+        from tastytrade_sdk_spark.llmops.similarity import mmr_rerank
+
+        # int8-domain vectors (already quantized; dim 4)
+        vecs = {
+            100: [127, 0, 0, 0],      # query
+            1: [100, 80, 0, 0],       # most relevant
+            2: [99, 81, 0, 0],        # near-dup of 1
+            3: [95, 0, 30, 0],        # diverse, nearly as relevant
+            4: [0, 0, 0, 100],        # orthogonal, irrelevant
+        }
+        rows = [(i, v) for i, v in vecs.items()]
+        c8 = spark.createDataFrame(rows, "vec_id long, qvec array<long>")
+        q8 = (
+            c8.filter(F.col("vec_id") == 100)
+            .select(F.col("vec_id").alias("query_id"), "qvec")
+        )
+        out = mmr_rerank(
+            c8.filter(F.col("vec_id") != 100), q8,
+            pool=4, k=3, lam_num=7, lam_comp=3,
+        )
+        got = {
+            r["mmr_rank"]: (r["vec_id"], r["mmr_score"])
+            for r in out.collect()
+        }
+
+        def dot(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        q = vecs[100]
+        cand = {i: dot(vecs[i], q) for i in (1, 2, 3, 4)}
+        sel = [max(sorted(cand), key=lambda i: (cand[i], -i))]
+        want = {1: (sel[0], 7 * cand[sel[0]])}
+        for rnd in (2, 3):
+            best = None
+            for i in sorted(set(cand) - set(sel)):
+                ms = max(dot(vecs[i], vecs[j]) for j in sel)
+                sc = 7 * cand[i] - 3 * ms
+                if best is None or sc > best[1]:
+                    best = (i, sc)
+            sel.append(best[0])
+            want[rnd] = best
+        assert got == want
+        # the reorder actually happened: rank 2 is NOT vec 2
+        assert got[2][0] != 2
+
+    def test_pool_smaller_than_k(self, spark):
+        """Fewer candidates than k: selection stops when the pool is
+        exhausted — no NULL rows, no crash."""
+        from tastytrade_sdk_spark.llmops.similarity import mmr_rerank
+
+        c8 = spark.createDataFrame(
+            [(1, [10, 0]), (2, [0, 10])], "vec_id long, qvec array<long>"
+        )
+        q8 = spark.createDataFrame(
+            [(99, [5, 5])], "query_id long, qvec array<long>"
+        )
+        out = mmr_rerank(c8, q8, pool=10, k=5).collect()
+        assert sorted(r["mmr_rank"] for r in out) == [1, 2]
