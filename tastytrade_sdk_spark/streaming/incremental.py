@@ -158,3 +158,48 @@ class IncrementalCUSUM:
         self.s_hi = max(0.0, self.s_hi + (x - self.mu - self.k))
         self.s_lo = max(0.0, self.s_lo + (self.mu - self.k - x))
         return self.s_hi, self.s_lo, (self.s_hi > self.h or self.s_lo > self.h)
+
+
+@dataclass
+class IncrementalATR:
+    """Wilder ATR register: O(1) state (prev close + smoothed TR).
+    Replays operators/indicators.atr_col's fold EXACTLY — including
+    the seed step (acc starts at the first TR and still runs through
+    acc·(1−a) + tr·a, because tr·(1−a) + tr·a can differ from tr by
+    one ulp and the batch fold takes the former path), so streaming
+    == batch is an equality, not a tolerance."""
+
+    n: int = 14
+    _prev_close: float | None = None
+    _acc: float | None = None
+
+    def update(self, high: float, low: float, close: float) -> tuple[float, float]:
+        high, low, close = float(high), float(low), float(close)
+        if self._prev_close is None:
+            tr = high - low
+        else:
+            pc = self._prev_close
+            tr = max(high - low, abs(high - pc), abs(low - pc))
+        if self._acc is None:
+            self._acc = tr  # seed = first TR (atr_col contract)
+        a = 2.0 / (2.0 * self.n)  # == ema_expr_col alpha for length 2n-1
+        self._acc = self._acc * (1 - a) + tr * a
+        self._prev_close = close
+        return tr, self._acc
+
+
+@dataclass
+class IncrementalOBV:
+    """On-balance-volume register: O(1) state (prev close + running
+    integer sum). Mirrors operators/indicators.obv_col — the first
+    candle and flat closes contribute 0; all-integer, exact."""
+
+    _prev_close: float | None = None
+    obv: int = 0
+
+    def update(self, close: float, volume: int) -> int:
+        close = float(close)
+        if self._prev_close is not None and close != self._prev_close:
+            self.obv += int(volume) if close > self._prev_close else -int(volume)
+        self._prev_close = close
+        return self.obv

@@ -759,3 +759,39 @@ class TestStreamingCUSUM:
         finally:
             shutil.rmtree(src, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class TestIncrementalATRandOBV:
+    def test_incremental_atr_equals_batch_fold(self):
+        """The ATR register replays the atr_col seeded-EMA fold
+        EXACTLY (seed = first TR, then the full recurrence including
+        the seed row) — equality, not tolerance."""
+        from tastytrade_sdk_spark.streaming.incremental import IncrementalATR
+
+        closes = trending_series()
+        # synthesize OHLC around the close path
+        bars = [(c + 1.5, c - 2.0, c) for c in closes]
+        inc = IncrementalATR(n=14)
+        got = [inc.update(h, l, c) for h, l, c in bars]
+        # batch fold replay (true_range_col + ema_expr_col semantics)
+        a = 2.0 / 28.0
+        prev_c = None
+        trs = []
+        for h, l, c in bars:
+            tr = (h - l) if prev_c is None else max(h - l, abs(h - prev_c), abs(l - prev_c))
+            trs.append(tr)
+            prev_c = c
+        acc = trs[0]
+        want = []
+        for tr in trs:
+            acc = acc * (1 - a) + tr * a
+            want.append((tr, acc))
+        assert got == want
+
+    def test_incremental_obv_exact(self):
+        from tastytrade_sdk_spark.streaming.incremental import IncrementalOBV
+
+        inc = IncrementalOBV()
+        seq = [(10.0, 5), (11.0, 3), (11.0, 7), (9.0, 2), (12.0, 4)]
+        got = [inc.update(c, v) for c, v in seq]
+        assert got == [0, 3, 3, 1, 5]
