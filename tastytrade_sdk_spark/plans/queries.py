@@ -3369,3 +3369,341 @@ def rolling_beta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6)
         ).alias("corr_20"),
     )
+
+
+@_q(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(round(sum(l_extendedprice::DECIMAL(18,2)
+                          * l_discount::DECIMAL(18,2)), 2) AS DOUBLE) AS revenue_delta,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the all-filter
+    single-scan aggregate — every predicate (date range, discount
+    band, quantity cap) pushes to the parquet scan, the plan is one
+    map-side partial agg with no shuffle beyond the 1-row gather.
+    The discount-band endpoints are exact 2dp-grid doubles, so
+    BETWEEN matches identically on both engines; the revenue product
+    runs in DECIMAL per the 4dp-grid rule."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(18,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey
+                      AND o_orderpriority != '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): histogram of per-
+    customer order counts, zeros included — the LEFT OUTER join keeps
+    order-less customers and count(o_orderkey) ignores the NULL rows.
+    The priority exclusion rides the join condition (evaluated join-
+    side, not as a post-filter that would fake zeros). Two shuffles:
+    the outer join and the tiny histogram re-agg. All integers."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@_q(
+    "top_supplier_quarter",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(l_extendedprice::DECIMAL(18,2)
+                 * (1 - l_discount::DECIMAL(18,2))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    ), m AS (
+      SELECT l_suppkey, total_rev,
+             max(total_rev) OVER () AS max_rev
+      FROM rev
+    )
+    SELECT s_suppkey, s_name,
+           CAST(round(total_rev, 2) AS DOUBLE) AS total_rev
+    FROM m JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev = max_rev
+    """,
+)
+def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with the
+    highest quarterly revenue — the view+subquery original rewritten
+    as one grouped DECIMAL sum and an empty-frame window max (100
+    supplier rows; no second scan of lineitem). The max-equality
+    match runs on the exact decimal, so ties keep every top supplier
+    identically on both engines; the double cast is output-only."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_disc_rev_dec()).alias("__rev")
+    )
+    m = rev.withColumn(
+        "__max", F.max("__rev").over(Window.partitionBy())
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        m.filter(F.col("__rev") == F.col("__max"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("__rev", 2).cast("double").alias("total_rev"),
+        )
+    )
+
+
+@_q(
+    "volume_shipping_pair",
+    f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(round(sum({_DISC_REV_DEC}), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    JOIN nation   cn ON cn.n_nationkey = c_nationkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN nation   sn ON sn.n_nationkey = s_nationkey
+    WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+       OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): discounted revenue flowing
+    between two trading nations in either direction, by ship year.
+    The nation-pair disjunction is evaluated after both broadcast
+    nation hops (each side pre-filtered to the two nations, so the
+    broadcast build sides are 2 rows); one grouped DECIMAL sum."""
+    na, nb = "NATION_1", "NATION_2"
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin(na, nb)
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .filter(
+            ((F.col("cust_nation") == na) & (F.col("supp_nation") == nb))
+            | ((F.col("cust_nation") == nb) & (F.col("supp_nation") == na))
+        )
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(F.sum(_disc_rev_dec()), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "product_margin_by_nation",
+    """
+    SELECT sn.n_name AS supp_nation,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(round(sum(l_extendedprice::DECIMAL(18,2)
+                          * (1 - l_discount::DECIMAL(18,2))
+                          - l_quantity::DECIMAL(18,2)
+                            * p_retailprice::DECIMAL(18,2)
+                            * 0.10::DECIMAL(3,2)), 2) AS DOUBLE) AS margin
+    FROM lineitem
+    JOIN part     ON p_partkey  = l_partkey AND p_type = 'PROMO'
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN nation   sn ON sn.n_nationkey = s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def product_margin_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier nation and
+    order year, revenue minus a supply-cost term for one part type.
+    The schema has no partsupp.ps_supplycost, so cost is DEFINED as
+    qty · 10% of the part's retail price — an exact DECIMAL product
+    (integer-valued qty × 2dp grid × exact 0.10), so the margin sum
+    stays in decimal until the output cast like every revenue query."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey", "p_retailprice")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    margin = F.sum(
+        _disc_rev_dec()
+        - F.col("l_quantity").cast("decimal(18,2)")
+        * F.col("p_retailprice").cast("decimal(18,2)")
+        * F.lit("0.10").cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(
+            "supp_nation",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.round(margin, 2).cast("double").alias("margin"))
+    )
+
+
+@_q(
+    "sole_late_supplier_blame",
+    """
+    WITH ls AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ), per_order AS (
+      SELECT l_orderkey,
+             count(*) AS n_supp,
+             sum(is_late) AS n_late
+      FROM ls GROUP BY 1
+    )
+    SELECT s_name, count(*) AS n_blamed_orders
+    FROM ls
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE ls.is_late = 1 AND n_late = 1 AND n_supp >= 2
+    GROUP BY s_name
+    """,
+)
+def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on
+    multi-supplier orders, the supplier who was the ONLY late one.
+    The original's EXISTS/NOT-EXISTS pair rewrites to one grouped
+    pass: per (order, supplier) lateness flag (no commitdate/
+    receiptdate in the schema — late := shipped >60 days after the
+    order date), then per-order supplier/late counts re-joined to
+    blame the sole offender. Two shuffles on the order key (AQE
+    coalesces them); supplier broadcasts. All-integer flags/counts —
+    exact."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    ls = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = ls.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+    ).withColumnRenamed("l_orderkey", "ok")
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        ls.join(per_order, F.col("ok") == F.col("l_orderkey"))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_late") == 1)
+            & (F.col("n_supp") >= 2)
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_blamed_orders"))
+    )
