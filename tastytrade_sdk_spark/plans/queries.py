@@ -3707,3 +3707,109 @@ def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_blamed_orders"))
     )
+
+
+@_q(
+    "autocorr_daily",
+    _DAILY_CTE
+    + """
+    , g AS (
+      SELECT user_id, day, CAST(round(day_value * 1000000) AS HUGEINT) AS x
+      FROM daily
+    ), lagged AS (
+      SELECT user_id, day, x,
+             lag(x, 1) OVER win AS x1,
+             lag(x, 5) OVER win AS x5
+      FROM g
+      WINDOW win AS (PARTITION BY user_id ORDER BY day)
+    ), m1 AS (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(x1) AS sy,
+             sum(x * x1) AS sxy, sum(x * x) AS sxx, sum(x1 * x1) AS syy
+      FROM lagged WHERE x1 IS NOT NULL GROUP BY user_id
+    ), m5 AS (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(x5) AS sy,
+             sum(x * x5) AS sxy, sum(x * x) AS sxx, sum(x5 * x5) AS syy
+      FROM lagged WHERE x5 IS NOT NULL GROUP BY user_id
+    ), r AS (
+      SELECT m1.user_id,
+             CAST(m1.n AS BIGINT) AS n_pairs_1,
+             CAST(m1.n * m1.sxy - m1.sx * m1.sy AS DOUBLE) AS c1,
+             CAST(m1.n * m1.sxx - m1.sx * m1.sx AS DOUBLE) AS v1a,
+             CAST(m1.n * m1.syy - m1.sy * m1.sy AS DOUBLE) AS v1b,
+             CAST(m5.n AS BIGINT) AS n_pairs_5,
+             CAST(m5.n * m5.sxy - m5.sx * m5.sy AS DOUBLE) AS c5,
+             CAST(m5.n * m5.sxx - m5.sx * m5.sx AS DOUBLE) AS v5a,
+             CAST(m5.n * m5.syy - m5.sy * m5.sy AS DOUBLE) AS v5b
+      FROM m1 JOIN m5 ON m5.user_id = m1.user_id
+    )
+    SELECT user_id, n_pairs_1, n_pairs_5,
+           CASE WHEN v1a = 0 OR v1b = 0 THEN NULL
+                ELSE round(c1 / (sqrt(v1a) * sqrt(v1b)), 6) END AS acf_lag1,
+           CASE WHEN v5a = 0 OR v5b = 0 THEN NULL
+                ELSE round(c5 / (sqrt(v5a) * sqrt(v5b)), 6) END AS acf_lag5
+    FROM r
+    """,
+)
+def autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-5 autocorrelation of each user's daily series —
+    the mean-reversion/momentum diagnostic a signal-research pass runs
+    before committing an indicator. Same exactness recipe as
+    rolling_beta_daily: Pearson moments on scaled 1e-6 integers
+    (decimal(38,0)/HUGEINT), cast to double only for the final
+    division; pairs are (t, t−k) rows where the lag exists. One window
+    shuffle + one grouped aggregate on the same key."""
+    daily = _daily_series(spark, sf_dir)
+    g = daily.select(
+        "user_id",
+        "day",
+        F.round(F.col("day_value") * 1e6, 0)
+        .cast("decimal(20,0)")
+        .alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = g.select(
+        "user_id",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 5).over(w).alias("x5"),
+    )
+
+    def moments(ycol: str, tag: str):
+        d = lagged.filter(F.col(ycol).isNotNull())
+        return d.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum("x").alias(f"sx_{tag}"),
+            F.sum(ycol).alias(f"sy_{tag}"),
+            F.sum(F.col("x") * F.col(ycol)).alias(f"sxy_{tag}"),
+            F.sum(F.col("x") * F.col("x")).alias(f"sxx_{tag}"),
+            F.sum(F.col(ycol) * F.col(ycol)).alias(f"syy_{tag}"),
+        )
+
+    m1 = moments("x1", "1")
+    m5 = moments("x5", "5").withColumnRenamed("user_id", "u5")
+    j = m1.join(m5, F.col("u5") == F.col("user_id"))
+
+    def acf(tag: str):
+        n = F.col(f"n_{tag}")
+        cov = (
+            n * F.col(f"sxy_{tag}") - F.col(f"sx_{tag}") * F.col(f"sy_{tag}")
+        ).cast("double")
+        va = (
+            n * F.col(f"sxx_{tag}") - F.col(f"sx_{tag}") * F.col(f"sx_{tag}")
+        ).cast("double")
+        vb = (
+            n * F.col(f"syy_{tag}") - F.col(f"sy_{tag}") * F.col(f"sy_{tag}")
+        ).cast("double")
+        return F.when((va == 0) | (vb == 0), F.lit(None)).otherwise(
+            F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 6)
+        )
+
+    return j.select(
+        "user_id",
+        F.col("n_1").cast("long").alias("n_pairs_1"),
+        F.col("n_5").cast("long").alias("n_pairs_5"),
+        acf("1").alias("acf_lag1"),
+        acf("5").alias("acf_lag5"),
+    )
