@@ -51,15 +51,30 @@ def _nanos_ts_columns(path: str) -> list[str]:
             )
             if not parts:
                 return []
-            schema = pq.read_schema(os.path.join(path, parts[0]))
+            fpath = os.path.join(path, parts[0])
         else:
-            schema = pq.read_schema(path)
+            fpath = path
+        schema = pq.read_schema(fpath)
     except Exception:
         return []
+    # INT96 timestamps (Spark's own default writer type) ALSO surface
+    # as timestamp[ns] in the Arrow schema, but Spark reads them
+    # natively as TIMESTAMP — flagging them would bolt a `div 1000`
+    # onto a timestamp column and break the read. Only true
+    # TIMESTAMP(NANOS) (physical INT64) needs the nanosAsLong path.
+    int96: set[str] = set()
+    try:
+        ps = pq.ParquetFile(fpath).schema
+        for i in range(len(ps)):
+            col = ps.column(i)
+            if col.physical_type == "INT96":
+                int96.add(col.name)
+    except Exception:
+        pass
     out = []
     for field in schema:
         t = field.type
-        if str(t) == "timestamp[ns]":
+        if str(t) == "timestamp[ns]" and field.name not in int96:
             out.append(field.name)
     return out
 

@@ -319,3 +319,110 @@ def test_interpolate_linear_subsecond_grid(spark):
     }
     assert abs(out[t0 + ms] - 2.0) < 1e-9
     assert abs(out[t0 + 2 * ms] - 4.0) < 1e-9
+
+
+class TestTpchEdgeContracts:
+    """Contract pins for the TPC-H-shape adaptations on hand-built
+    fixtures (the oracle gate runs on real data where ties and empty
+    groups may never occur — these pin the declared edge semantics)."""
+
+    def _write(self, spark, tmp_path, name, rows, schema):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+
+    def test_top_supplier_tie_keeps_both(self, spark, tmp_path):
+        import datetime as dt
+
+        from tastytrade_sdk_spark.plans.queries import top_supplier_quarter
+
+        ts = dt.datetime(1997, 2, 1)
+        li = [
+            # suppliers 1 and 2 tie exactly (same price/discount)
+            (1, 1, 100.0, 0.0, ts),
+            (2, 2, 100.0, 0.0, ts),
+            (3, 3, 50.0, 0.0, ts),
+            # outside the quarter: must not count
+            (4, 1, 999.0, 0.0, dt.datetime(1998, 1, 1)),
+        ]
+        self._write(
+            spark, tmp_path, "lineitem",
+            [(o, s, p, d, t) for o, s, p, d, t in li],
+            "l_orderkey long, l_suppkey long, l_extendedprice double, "
+            "l_discount double, l_shipdate timestamp",
+        )
+        self._write(
+            spark, tmp_path, "supplier",
+            [(1, "S1"), (2, "S2"), (3, "S3")],
+            "s_suppkey long, s_name string",
+        )
+        out = {
+            r["s_suppkey"]: r["total_rev"]
+            for r in top_supplier_quarter(spark, str(tmp_path)).collect()
+        }
+        assert out == {1: 100.0, 2: 100.0}
+
+    def test_order_distribution_preserves_zero_bucket(self, spark, tmp_path):
+        import datetime as dt
+
+        from tastytrade_sdk_spark.plans.queries import (
+            customer_order_distribution,
+        )
+
+        ts = dt.datetime(1997, 1, 1)
+        self._write(
+            spark, tmp_path, "customer",
+            [(1,), (2,), (3,)], "c_custkey long",
+        )
+        # cust 1: two counted orders; cust 2: only an URGENT order
+        # (excluded by the join predicate -> lands in the 0 bucket);
+        # cust 3: no orders at all
+        self._write(
+            spark, tmp_path, "orders",
+            [
+                (10, 1, "3-MEDIUM", ts),
+                (11, 1, "5-LOW", ts),
+                (12, 2, "1-URGENT", ts),
+            ],
+            "o_orderkey long, o_custkey long, o_orderpriority string, "
+            "o_orderdate timestamp",
+        )
+        out = {
+            r["n_orders"]: r["n_customers"]
+            for r in customer_order_distribution(spark, str(tmp_path)).collect()
+        }
+        assert out == {2: 1, 0: 2}
+
+    def test_min_cost_supplier_tie_keeps_both(self, spark, tmp_path):
+        from tastytrade_sdk_spark.plans.queries import (
+            min_cost_supplier_per_part,
+        )
+
+        self._write(
+            spark, tmp_path, "lineitem",
+            # part 1: suppliers 1,2 tie at unit cost 5.0; supplier 3 higher
+            [(1, 1, 10.0, 2.0), (1, 2, 5.0, 1.0), (1, 3, 12.0, 2.0)],
+            "l_partkey long, l_suppkey long, l_extendedprice double, "
+            "l_quantity double",
+        )
+        self._write(
+            spark, tmp_path, "part",
+            [(1, "Brand#1", 15)],
+            "p_partkey long, p_brand string, p_size int",
+        )
+        self._write(
+            spark, tmp_path, "supplier",
+            [(1, "S1", 0), (2, "S2", 0), (3, "S3", 1)],
+            "s_suppkey long, s_name string, s_nationkey int",
+        )
+        self._write(
+            spark, tmp_path, "nation",
+            [(0, "N0"), (1, "N1")],
+            "n_nationkey int, n_name string",
+        )
+        got = {
+            r["s_name"]
+            for r in min_cost_supplier_per_part(spark, str(tmp_path)).collect()
+        }
+        assert got == {"S1", "S2"}

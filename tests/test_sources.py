@@ -108,3 +108,27 @@ class TestChainFlatten:
         out = closest_dte_expirations(contracts, [28, 70]).collect()
         got = {(r["target_dte"], r["days_to_expiration"]) for r in out}
         assert got == {(28, 30), (70, 65)}
+
+
+def test_load_table_reads_spark_written_int96(spark, tmp_path):
+    """Spark's own default parquet writer emits INT96 timestamps,
+    which pyarrow surfaces as timestamp[ns] — the same spelling as
+    true TIMESTAMP(NANOS). The loader must NOT route INT96 through
+    the nanosAsLong+div path (that bolts integer division onto a
+    column Spark already read as TIMESTAMP and kills the query);
+    regression for the r6 TPC-H fixture tests that first hit it."""
+    import datetime as dt
+
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    ts = dt.datetime(1997, 6, 1, 12, 30)
+    spark.createDataFrame(
+        [(1, ts)], "id long, ts timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "t.parquet"))
+    out = load_table(spark, "t", str(tmp_path)).collect()
+    assert out[0]["ts"] == ts
+
+    # the true-NANOS path still works (the driver's events table)
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    assert ev.schema["ts"].dataType.typeName() == "timestamp"
+    assert ev.limit(1).count() == 1
