@@ -3298,8 +3298,8 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT user_id, day, n_win,
-           CASE WHEN var_x = 0 THEN NULL
-                ELSE round(cov_n / var_x, 6) END AS beta_20,
+           CASE WHEN var_y = 0 THEN NULL
+                ELSE round(cov_n / var_y, 6) END AS beta_20,
            CASE WHEN var_x = 0 OR var_y = 0 THEN NULL
                 ELSE round(cov_n / (sqrt(var_x) * sqrt(var_y)), 6) END AS corr_20
     FROM d
@@ -3358,12 +3358,17 @@ def rolling_beta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_y = (
         F.col("n_win") * F.col("__syy") - F.col("__sy") * F.col("__sy")
     ).cast("double")
+    # beta = cov(user, market) / var(MARKET) — the regression slope of
+    # the user's series on the market (the finance convention); the
+    # first cut divided by var(user), which is the market-on-user
+    # slope — caught by the exact linear-relation property test
+    # (B = 2A ⇒ betas must be 1/3 and 2/3, not 3 and 3/2)
     return s.select(
         "user_id",
         "day",
         "n_win",
-        F.when(var_x == 0, F.lit(None)).otherwise(
-            F.round(cov_n / var_x, 6)
+        F.when(var_y == 0, F.lit(None)).otherwise(
+            F.round(cov_n / var_y, 6)
         ).alias("beta_20"),
         F.when((var_x == 0) | (var_y == 0), F.lit(None)).otherwise(
             F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6)

@@ -426,3 +426,33 @@ class TestTpchEdgeContracts:
             for r in min_cost_supplier_per_part(spark, str(tmp_path)).collect()
         }
         assert got == {"S1", "S2"}
+
+
+class TestRollingBetaProperties:
+    def test_exact_linear_relation(self, spark, tmp_path):
+        """Two users in an exact linear relation (B = 2·A, one event
+        per day so day_value == value): the market is 3·A, so every
+        window must give corr == 1.0 exactly and betas 1/3 and 2/3
+        (cov/var are exact integers; round(1/3, 6) = 0.333333)."""
+        import datetime as dt
+
+        from tastytrade_sdk_spark.plans.queries import rolling_beta_daily
+
+        rows = []
+        for d in range(30):
+            ts = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+            va = 100.0 + d * 0.5
+            rows.append((1, ts, va, d * 2))
+            rows.append((2, ts, 2 * va, d * 2 + 1))
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double, event_id long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        out = rolling_beta_daily(spark, str(tmp_path)).collect()
+        assert len(out) == 60
+        for r in out:
+            if r["n_win"] == 1:
+                assert r["beta_20"] is None and r["corr_20"] is None
+                continue
+            assert r["corr_20"] == 1.0
+            want = 0.333333 if r["user_id"] == 1 else 0.666667
+            assert r["beta_20"] == want
