@@ -456,3 +456,26 @@ class TestRollingBetaProperties:
             assert r["corr_20"] == 1.0
             want = 0.333333 if r["user_id"] == 1 else 0.666667
             assert r["beta_20"] == want
+
+
+class TestAutocorrProperties:
+    def test_linear_series_acf_one_flat_null(self, spark, tmp_path):
+        """A strictly linear daily series satisfies x_{t-k} = x_t − bk
+        (an exact affine relation), so both lags must give exactly 1.0;
+        a flat series has zero variance → NULL by contract."""
+        import datetime as dt
+
+        from tastytrade_sdk_spark.plans.queries import autocorr_daily
+
+        rows = []
+        for d in range(30):
+            ts = dt.datetime(2024, 1, 1) + dt.timedelta(days=d)
+            rows.append((1, ts, 100.0 + 0.25 * d, d))   # linear
+            rows.append((2, ts, 42.0, 1000 + d))         # flat
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double, event_id long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        out = {r["user_id"]: r for r in autocorr_daily(spark, str(tmp_path)).collect()}
+        assert out[1]["acf_lag1"] == 1.0 and out[1]["acf_lag5"] == 1.0
+        assert out[1]["n_pairs_1"] == 29 and out[1]["n_pairs_5"] == 25
+        assert out[2]["acf_lag1"] is None and out[2]["acf_lag5"] is None
