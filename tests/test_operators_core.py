@@ -479,3 +479,74 @@ class TestAutocorrProperties:
         assert out[1]["acf_lag1"] == 1.0 and out[1]["acf_lag5"] == 1.0
         assert out[1]["n_pairs_1"] == 29 and out[1]["n_pairs_5"] == 25
         assert out[2]["acf_lag1"] is None and out[2]["acf_lag5"] is None
+
+
+class TestR6cInvariants:
+    """Cheap cross-query invariants on real sf0.001 data — the class
+    of check that caught the rolling-beta denominator bug (oracle
+    parity alone can't catch a bug mirrored into the oracle)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_channel_orderings_and_signs(self, spark):
+        from tastytrade_sdk_spark.plans.queries import (
+            atr_daily,
+            donchian_daily,
+            keltner_daily,
+        )
+
+        for r in keltner_daily(spark, self.SF).collect():
+            assert r["lower_band"] <= r["mid_line"] <= r["upper_band"]
+        for r in donchian_daily(spark, self.SF).collect():
+            if r["upper_chan"] is not None:
+                assert r["lower_chan"] <= r["upper_chan"]
+                assert not (r["breakout_up"] and r["breakout_down"])
+        for r in atr_daily(spark, self.SF).collect():
+            assert r["tr"] >= 0.0 and r["atr"] >= 0.0
+
+    def test_market_share_sums_to_one_per_year(self, spark):
+        from pyspark.sql import functions as F
+
+        from tastytrade_sdk_spark.plans.queries import nation_market_share
+
+        out = (
+            nation_market_share(spark, self.SF)
+            .groupBy("order_year")
+            .agg(F.sum("market_share").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert out
+        for r in out:
+            # each share rounds at 6dp -> the sum may drift n*5e-7
+            assert abs(r["s"] - 1.0) <= r["n"] * 5e-7 + 1e-9
+
+    def test_bounded_ranges(self, spark):
+        from tastytrade_sdk_spark.plans.llm_queries import (
+            dim_truncation_recall,
+            mmr_rerank_topk,
+        )
+        from tastytrade_sdk_spark.plans.queries import (
+            promo_revenue_monthly,
+            rolling_beta_daily,
+        )
+
+        for r in promo_revenue_monthly(spark, self.SF).collect():
+            assert 0.0 <= r["promo_share"] <= 100.0
+        for r in dim_truncation_recall(spark, self.SF).collect():
+            assert 0 <= r["n_overlap"] <= 10
+            assert r["recall_at_10"] == r["n_overlap"] / 10.0
+        for r in rolling_beta_daily(spark, self.SF).collect():
+            if r["corr_20"] is not None:
+                assert -1.0 <= r["corr_20"] <= 1.0
+        mmr = mmr_rerank_topk(spark, self.SF).collect()
+        per_q = {}
+        for r in mmr:
+            per_q.setdefault(r["query_id"], []).append(r)
+        for qid, rows in per_q.items():
+            ids = [r["vec_id"] for r in rows]
+            assert len(ids) == len(set(ids)), "no repeat selections"
+            ranks = sorted(r["mmr_rank"] for r in rows)
+            assert ranks == list(range(1, len(rows) + 1))
+            # rank 1 is the relevance argmax: its rel8 is the max
+            r1 = next(r for r in rows if r["mmr_rank"] == 1)
+            assert r1["rel8"] == max(r["rel8"] for r in rows)
