@@ -342,6 +342,21 @@ def sa_duplicate_spans(
     - ``"hash"``: plain id hash. Within-doc repeats are always found,
       but a cross-doc duplicate pair is found only when the two docs
       happen to co-locate — the fast, approximate tier.
+    - ``"exact"``: duplicate-window co-location — the EXACT sharded
+      tier. Any cross-doc duplicate of length >= L shares at least one
+      length-L window, so docs are linked whenever they carry the same
+      duplicated window hash (xxhash64, 8-byte shuffle key; per-hash
+      edges go doc -> min-doc, a star, so edge count is linear in the
+      distinct (hash, doc) pairs, never quadratic in a hash's doc
+      list). Connected components of that graph route each duplicate
+      cluster to ONE shard; untouched docs hash-route. Output is
+      therefore IDENTICAL to the global tier at ANY n_shards: a hash
+      collision can only add a spurious edge (over-co-locating, never
+      separating a true pair), and the SA kernel re-verifies on real
+      text. Shard size is bounded by the largest duplicate-connected
+      component — the exact-grouping floor any scheme carries. The
+      window pass reuses the linear _window_rows scaffold, so the
+      routing pre-pass costs one extra hash-keyed shuffle.
     - ``"lsh"``: near-dup-candidate co-location. The MinHash-LSH band
       graph (dedup.lsh_candidate_pairs, k/bands/shingle_n) is
       clustered into connected components and each component routes to
@@ -365,14 +380,51 @@ def sa_duplicate_spans(
             T.StructField("span_end", T.IntegerType()),
         ]
     )
-    if routing not in ("hash", "lsh"):
+    if routing not in ("hash", "lsh", "exact"):
         # validate BEFORE the n_shards branch: with the check inside
         # the elif chain a typo'd routing silently ran the hash tier
         # whenever n_shards <= 1 and only raised once the caller
         # scaled the shard count up
         raise ValueError(f"unknown routing: {routing}")
     hash_bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
-    if routing == "lsh" and n_shards > 1:
+    if routing == "exact" and n_shards > 1:
+        from tastytrade_sdk_spark.llmops.cluster import connected_components
+
+        hd = (
+            _window_rows(df, text_col, id_col, min_len)
+            .select(F.col(id_col), F.xxhash64(F.col("__win")).alias("__wh"))
+            .groupBy("__wh", id_col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        per_hash = Window.partitionBy("__wh")
+        edges = (
+            hd.select(
+                F.col(id_col),
+                F.min(id_col).over(per_hash).alias("__rep"),
+                F.count(F.lit(1)).over(per_hash).alias("__nd"),
+            )
+            .filter((F.col("__nd") >= 2) & (F.col(id_col) != F.col("__rep")))
+            .select(
+                F.col(id_col).alias("doc_a"), F.col("__rep").alias("doc_b")
+            )
+            .distinct()
+        )
+        comp = connected_components(edges, id_col=id_col).select(
+            F.col(id_col).alias("__rid"), F.col("component").alias("__comp")
+        )
+        base = (
+            df.select(F.col(id_col), F.col(text_col))
+            .join(comp, F.col(id_col) == F.col("__rid"), "left")
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.col(text_col).alias("text"),
+                F.coalesce(
+                    F.concat(F.lit("c"), F.col("__comp").cast("string")),
+                    F.concat(F.lit("h"), hash_bucket.cast("string")),
+                ).alias("__shard"),
+            )
+        )
+    elif routing == "lsh" and n_shards > 1:
         from tastytrade_sdk_spark.llmops.cluster import connected_components
         from tastytrade_sdk_spark.llmops.dedup import lsh_candidate_pairs
 

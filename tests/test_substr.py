@@ -158,6 +158,61 @@ def test_lsh_routed_sa_equals_global_on_cross_shard_fixture(spark):
     assert any(d == 301 for d, *_ in hash_sharded)
 
 
+def test_exact_routed_sa_equals_global_on_cross_shard_fixture(spark):
+    """r7: routing="exact" (duplicate-window connected components)
+    must recover the GLOBAL tier's spans for a pair that plain hash
+    sharding splits — by construction, not by LSH luck: any >=L
+    duplicate shares a length-L window, so the pair is edge-linked
+    and co-located. Reuses the proven-cross-shard fixture recipe."""
+    n_shards = 3
+    shard_of = {
+        r["id"]: r["s"]
+        for r in spark.range(100, 140)
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(n_shards)).alias("s"))
+        .collect()
+    }
+    a, b = next(
+        (x, y)
+        for x in shard_of
+        for y in shard_of
+        if x < y and shard_of[x] != shard_of[y]
+    )
+    rows = [
+        (a, "alpha intro " + BOILER + " tail of doc a"),
+        (b, "beta intro " + BOILER + " tail of doc b"),
+        (301, "self " + "W" * 50 + " again " + "W" * 50),
+        (302, "completely unique filler content with zero duplication"),
+        (303, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = set(_sa_spans(df, n_shards=1))
+    exact_routed = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in sa_duplicate_spans(
+            df, min_len=L, n_shards=n_shards, routing="exact"
+        ).collect()
+    }
+    assert exact_routed == full
+    assert any(d in (a, b) for d, *_ in exact_routed)
+
+
+def test_exact_routed_sa_equals_global_on_real_docs(spark):
+    """routing="exact" at n_shards=8 equals the single-SA global tier
+    on the real sf0.001 documents table — the equivalence the r7
+    registry re-point of sa_substring_spans rests on."""
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    full = set(_sa_spans(docs, n_shards=1))
+    routed = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in sa_duplicate_spans(
+            docs, min_len=L, n_shards=8, routing="exact"
+        ).collect()
+    }
+    assert routed == full and len(full) > 0
+
+
 def test_suffix_array_and_lcp_vs_bruteforce():
     rng = np.random.default_rng(9)
     for alphabet, n in [(2, 300), (4, 200), (26, 120)]:

@@ -357,10 +357,39 @@ def sa_demo(spark, sf_dir: str, mult: int = 1) -> None:
         ).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 2)
 
-    for routing in ("hash", "lsh"):
+    for routing in ("hash", "lsh", "exact"):
         best = min(timed(routing), timed(routing))
         print(json.dumps({"demo": "sa_sharded", "n_shards": n_shards,
                           "routing": routing, "sec": best}), flush=True)
+
+
+def negatives_demo(spark, sf_dir: str, mult: int) -> None:
+    """Regression sentinels for the two RETIRED quadratic [Q] forms
+    (r7: both registry entries were re-pointed at their linear tiers).
+    The fixed-k SemDeDup prune (k*(n/k)^2 once n outgrows k) and the
+    single-shard suffix array (one kernel call holding the whole
+    corpus) stay runnable here so the honest-negative measurements in
+    SCALING.md remain reproducible — they are NOT driver-visible."""
+    import time as _t
+
+    from tastytrade_sdk_spark.llmops.cluster import semdedup_prune
+    from tastytrade_sdk_spark.llmops.substr import sa_duplicate_spans
+    from tastytrade_sdk_spark.plans.llm_queries import _kmeans_centroids
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    def timed(thunk) -> float:
+        t0 = _t.perf_counter()
+        thunk().write.format("noop").mode("overwrite").save()
+        return round(_t.perf_counter() - t0, 2)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    sec = timed(lambda: semdedup_prune(emb, _kmeans_centroids(), threshold=0.4))
+    print(json.dumps({"demo": "retired_negative", "form": "semdedup_fixed_k",
+                      "mult": mult, "sec": sec}), flush=True)
+    docs = load_table(spark, "documents", sf_dir)
+    sec = timed(lambda: sa_duplicate_spans(docs, min_len=40, n_shards=1))
+    print(json.dumps({"demo": "retired_negative", "form": "sa_single_shard",
+                      "mult": mult, "sec": sec}), flush=True)
 
 
 def bucketing_demo(spark, sf_dir: str) -> None:
@@ -514,7 +543,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--bucketing", "--skew", "--zorder",
                          "--semdedup-scaled", "--bloom", "--sa",
-                         "--skipping")
+                         "--skipping", "--negatives")
             and not a.startswith("--only=")]
     probe = PROBE
     for a in sys.argv[1:]:
@@ -563,6 +592,8 @@ def main() -> None:
             bloom_demo(spark, sf_dir)
         if "--sa" in sys.argv:
             sa_demo(spark, sf_dir, mult)
+        if "--negatives" in sys.argv:
+            negatives_demo(spark, sf_dir, mult)
 
 
 if __name__ == "__main__":
