@@ -1550,6 +1550,88 @@ def ivf_index_sink(
     )
 
 
+def ivf_index_compact(
+    spark,
+    path: str,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """OPTIMIZE for a STREAMED IVF index (the dense twin of
+    retrieval.bm25_index_compact): rewrite the (epoch, list_id)
+    partition tree — whose epoch count, directory count, and file
+    count grow with stream lifetime, so every probed-list search reads
+    all epochs of that list — into the flat list_id-partitioned batch
+    layout ivf_index_write produces. After the swap, searches prune
+    one directory level shallower, ivf_index_append is accepted again
+    (the layout guard sees "batch"), and the per-list small-file
+    compaction story applies. Rows are copied verbatim (assignment
+    depends only on (vector, centroids), so the union of epochs IS the
+    one-shot build — no re-aggregation needed, unlike BM25's tf sums);
+    results are identical by construction and equivalence-tested.
+
+    WRITER MUST BE QUIESCED: same tmp-then-swap with
+    restore-before-delete crash recovery and concurrent-writer
+    listing check as bm25_index_compact / compact_parquet_table.
+    Returns the number of vectors in the compacted index."""
+    import os
+    import shutil
+    import tempfile
+
+    tmp, old = path + ".__tmp", path + ".__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    _check_centroid_sidecar(path, centroids, "ivf_index_compact")
+    layout = _ivf_layout(path)
+    if layout is None:
+        # sidecar-only index (every epoch so far was empty): nothing
+        # to rewrite, and spark.read.parquet would fail on a dataless
+        # tree — leave it; the stream sink keeps working
+        return 0
+    # "batch" is accepted too: re-compaction is a valid no-op-shaped
+    # rewrite (it still merges small files from appends)
+
+    def _listing() -> "list[str]":
+        files = []
+        for base, _, names in os.walk(path):
+            rel = os.path.relpath(base, path)
+            files.extend(
+                os.path.join(rel, f) for f in names if f.endswith(".parquet")
+            )
+        return sorted(files)
+
+    before = _listing()
+    rows = spark.read.parquet(path).select(id_col, vec_col, "list_id")
+    n = (
+        rows.repartition(
+            F.col("list_id"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(_IVF_FILES_PER_LIST)),
+        )
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+    fd, t = tempfile.mkstemp(dir=tmp, prefix="._centroids.")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(_centroid_digest(centroids))
+    os.replace(t, os.path.join(tmp, "_centroids_md5"))
+    if _listing() != before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"ivf_index_compact: {path} changed during compaction "
+            "(concurrent writer?) — aborted, index untouched; quiesce "
+            "the sink and retry"
+        )
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n
+
+
 def _int_dot(a: Column, b: Column) -> Column:
     """Exact integer dot of two array<long> columns (JVM fold)."""
     return F.aggregate(
@@ -1568,6 +1650,7 @@ def mmr_rerank(
     lam_comp: int = 3,
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998)
     over int8-quantized vectors: from each query's `pool` most-relevant
@@ -1586,13 +1669,23 @@ def mmr_rerank(
     corpus size. The rounds are genuinely sequential (each pick feeds
     the next round's max-sim), so they unroll declaratively like
     pagerank_fixed's iterations rather than hiding in a Python loop
-    over collect()."""
+    over collect().
+
+    ``exclude_self`` (default True) drops the corpus row whose id
+    equals the query's id — the self-query convention when queries ARE
+    corpus members (every [Q]/test here). It ASSUMES queries share the
+    corpus id space; callers with a DISJOINT query id domain must pass
+    exclude_self=False, or a valid candidate whose id collides with a
+    query id is silently lost (advisor r6)."""
     q = queries8.select(
         F.col(query_id_col).alias("__qid"), F.col("qvec").alias("__qq")
     )
     c = corpus8.select(F.col(id_col), "qvec")
+    pair_cond = (
+        F.col(id_col) != F.col("__qid") if exclude_self else F.lit(True)
+    )
     rel = (
-        c.join(F.broadcast(q), F.col(id_col) != F.col("__qid"))
+        c.join(F.broadcast(q), pair_cond)
         .select(
             F.col("__qid").alias(query_id_col),
             id_col,

@@ -3015,9 +3015,13 @@ def idle_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min_cost_supplier_per_part",
     """
     WITH unit AS (
+      -- l_quantity > 0 pins the zero-quantity edge: Spark (non-ANSI)
+      -- yields NULL for x/0 while DuckDB yields inf, so the guard
+      -- makes the division's domain identical on both engines
       SELECT l_partkey, l_suppkey,
              l_extendedprice / l_quantity AS unit_cost
       FROM lineitem
+      WHERE l_quantity > 0
     ), ranked AS (
       SELECT l_partkey, l_suppkey, unit_cost,
              min(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
@@ -3039,11 +3043,18 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     a window-min over the part key (one shuffle); part/supplier/nation
     broadcast. unit_cost is the same double division on both engines,
     so the min-equality match is bit-exact; ties keep every minimal
-    supplier (DISTINCT absorbs repeat quotes)."""
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_partkey",
-        "l_suppkey",
-        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    supplier (DISTINCT absorbs repeat quotes). The l_quantity > 0
+    guard (advisor r6) pins the zero-quantity edge where Spark's
+    non-ANSI division yields NULL but DuckDB yields inf — TPC-H-style
+    data never hits it, but the semantics shouldn't be data-dependent."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
     )
     w = Window.partitionBy("l_partkey")
     ranked = li.withColumn("__min", F.min("unit_cost").over(w)).filter(
@@ -3764,7 +3775,13 @@ def autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling_beta_daily: Pearson moments on scaled 1e-6 integers
     (decimal(38,0)/HUGEINT), cast to double only for the final
     division; pairs are (t, t−k) rows where the lag exists. One window
-    shuffle + one grouped aggregate on the same key."""
+    shuffle + one grouped aggregate on the same key.
+
+    Row contract (advisor r6): the lag-1 and lag-5 moment tables are
+    INNER-joined, so a user with fewer than 6 daily rows (no lag-5
+    pair) is dropped entirely — including their valid lag-1 ACF. Both
+    engines share the join, so parity holds; callers needing short
+    series should full-outer on user_id and take acf_lag5 as NULL."""
     daily = _daily_series(spark, sf_dir)
     g = daily.select(
         "user_id",
@@ -3817,4 +3834,291 @@ def autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_5").cast("long").alias("n_pairs_5"),
         acf("1").alias("acf_lag1"),
         acf("5").alias("acf_lag5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 / Q12 / Q20 (r7): the synthetic schema carries no partsupp
+# table and no l_shipmode/l_commitdate/l_receiptdate columns, so these
+# three shapes derive DETERMINISTIC stand-ins inside the query — the
+# established hash_embedding pattern: both engines compute the same
+# md5-derived h32 values from the same keys, so parity is exact and the
+# query shape (the thing TPC-H exercises) is the real one.
+
+_H32_SQL = "(('0x' || substring(md5({s}), 1, 8))::BIGINT)"
+_PS_KEY_SQL = "'{salt}:' || l_partkey::VARCHAR || ':' || l_suppkey::VARCHAR"
+_PARTSUPP_SQL = f"""
+    ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             1 + {_H32_SQL.format(s=_PS_KEY_SQL.format(salt='aq'))} % 10000
+               AS ps_availqty,
+             100 + {_H32_SQL.format(s=_PS_KEY_SQL.format(salt='sc'))} % 99900
+               AS ps_supplycost_cents
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    )
+"""
+
+
+def _partsupp_standin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp stand-in: the DISTINCT (l_partkey, l_suppkey) pairs the
+    data actually relates, with availqty/supplycost_cents as h32 hashes
+    of salted keys — integer-exact, engine-stable, and identical to the
+    _PARTSUPP_SQL CTE. One distinct on the two join keys; everything
+    else is a projection."""
+    from tastytrade_sdk_spark.llmops.textops import h32
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    key = lambda salt: F.concat(  # noqa: E731
+        F.lit(salt + ":"),
+        F.col("l_partkey").cast("string"),
+        F.lit(":"),
+        F.col("l_suppkey").cast("string"),
+    )
+    return li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        (F.lit(1) + h32(key("aq")) % 10000).alias("ps_availqty"),
+        (F.lit(100) + h32(key("sc")) % 99900).alias("ps_supplycost_cents"),
+    )
+
+
+@_q(
+    "important_stock_shares",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    g AS (
+      SELECT ps_partkey,
+             CAST(sum(CAST(ps_availqty AS BIGINT) * ps_supplycost_cents)
+                  AS BIGINT) AS val_cents
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_nationkey % 5 = 2
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(val_cents) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS n
+      FROM g
+    )
+    SELECT ps_partkey,
+           CAST(round(val_cents / 100.0, 2) AS DOUBLE) AS stock_value
+    FROM g, tot
+    WHERE val_cents * n > 2 * t
+    ORDER BY stock_value DESC, ps_partkey
+    """,
+)
+def important_stock_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part stock
+    value (availqty * supplycost, exact integer cents) over a 5-nation
+    supplier bloc, keeping parts whose value exceeds 2x the mean — the
+    'significant share of total' predicate as an exact integer
+    cross-multiply (val * n > 2 * total) against a 1-row broadcast, the
+    idle_customer_balances pattern. The fixed-fraction original is
+    SF-scaled in TPC-H for the same reason (a constant fraction goes
+    degenerate as group count grows); mean-relative is the scale-free
+    form. Cross-multiply headroom: val_cents <= 1e9 and n is the
+    per-bloc part count, so the product stays inside BIGINT until
+    ~1e9 parts per bloc — beyond that, move both sides to DECIMAL(38).
+    One shuffle on ps_partkey; supplier and nation broadcast."""
+    ps = _partsupp_standin(spark, sf_dir)
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey").filter(
+        F.col("n_nationkey") % 5 == 2
+    )
+    bloc = supp.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+    g = (
+        ps.join(F.broadcast(bloc), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_availqty").cast("long")
+                * F.col("ps_supplycost_cents")
+            ).cast("long").alias("val_cents")
+        )
+    )
+    tot = g.agg(
+        F.sum("val_cents").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_cents") * F.col("n") > 2 * F.col("t"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("val_cents") / 100.0, 2)
+            .cast("double")
+            .alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
+
+
+_LINE_KEY_SQL = "'{salt}:' || l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR"
+_SHIPMODES = ["MAIL", "SHIP", "TRUCK", "RAIL", "AIR", "REG AIR", "FOB"]
+
+
+@_q(
+    "shipmode_priority_counts",
+    f"""
+    WITH x AS (
+      SELECT (ARRAY{_SHIPMODES!r})[
+               1 + {_H32_SQL.format(s=_LINE_KEY_SQL.format(salt='sm'))} % 7
+             ] AS l_shipmode,
+             o_orderdate + to_days(
+               (30 + {_H32_SQL.format(s=_LINE_KEY_SQL.format(salt='cd'))} % 60)::INT
+             ) AS l_commitdate,
+             l_shipdate + to_days(
+               (1 + {_H32_SQL.format(s=_LINE_KEY_SQL.format(salt='rd'))} % 30)::INT
+             ) AS l_receiptdate,
+             l_shipdate, o_orderpriority
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    )
+    SELECT l_shipmode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM x
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l_commitdate < l_receiptdate
+      AND l_shipdate < l_commitdate
+      AND l_receiptdate >= TIMESTAMP '1997-01-01'
+      AND l_receiptdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_shipmode
+    ORDER BY l_shipmode
+    """,
+)
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): lines that
+    arrived late relative to commitment, bucketed by ship mode, with
+    high- vs low-priority counts. shipmode / commitdate / receiptdate
+    are h32 stand-ins keyed on (orderkey, linenumber) — commit 30-89
+    days after order, receipt 1-30 days after ship, both engines
+    identical. The mode filter prunes ~5/7 of lines BEFORE the
+    aggregate; one shuffle on the order key for the orders join, then
+    a 2-group aggregate. All-integer counts — exact."""
+    from tastytrade_sdk_spark.llmops.textops import h32
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    key = lambda salt: F.concat(  # noqa: E731
+        F.lit(salt + ":"),
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    modes = F.array(*[F.lit(m) for m in _SHIPMODES])
+    x = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .withColumn("__cd_days", (30 + h32(key("cd")) % 60).cast("int"))
+        .withColumn("__rd_days", (1 + h32(key("rd")) % 30).cast("int"))
+        .select(
+            F.element_at(modes, (1 + h32(key("sm")) % 7).cast("int")).alias(
+                "l_shipmode"
+            ),
+            F.expr(
+                "timestampadd(DAY, __cd_days, o_orderdate)"
+            ).alias("l_commitdate"),
+            F.expr(
+                "timestampadd(DAY, __rd_days, l_shipdate)"
+            ).alias("l_receiptdate"),
+            "l_shipdate",
+            "o_orderpriority",
+        )
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        x.filter(
+            F.col("l_shipmode").isin("MAIL", "SHIP")
+            & (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("l_shipdate") < F.col("l_commitdate"))
+            & (F.col("l_receiptdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_receiptdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+@_q(
+    "excess_stock_suppliers",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    qty AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT s_name
+    FROM ps
+    JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'red%'
+    JOIN qty ON qty.l_partkey = ps_partkey AND qty.l_suppkey = ps_suppkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+    WHERE CAST(2 * ps_availqty AS DOUBLE) > q
+    ORDER BY s_name
+    """,
+)
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one
+    nation holding more than half a year's shipped quantity of any
+    red part — availqty > 0.5 * sum(qty) as the integer cross-multiply
+    2*availqty > q (l_quantity is integer-valued, so the double sum is
+    exact in any order). Plan: the year's lineitem slice aggregates
+    per (part, supplier) once (the only fact shuffle, with map-side
+    partials); part (name-filtered) and supplier⋈nation broadcast;
+    DISTINCT s_name is a few-row final agg."""
+    ps = _partsupp_standin(spark, sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_name").filter(
+        F.col("p_name").like("red%")
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name"
+    ).filter(F.col("n_name") == "NATION_3")
+    sn = supp.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+    return (
+        ps.join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            qty,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .filter((2 * F.col("ps_availqty")).cast("double") > F.col("q"))
+        .select("s_name")
+        .distinct()
+        .orderBy("s_name")
     )
