@@ -834,15 +834,26 @@ def nn_descent(
         edges = (
             scored.withColumn("rnk", F.row_number().over(w_top))
             .filter(F.col("rnk") <= k)
-            .select("src", "dst", "cosine")
+            # rnk rides along in the checkpoint so the return below
+            # reuses it instead of re-shuffling one more window pass
+            .select("src", "dst", "cosine", "rnk")
             .localCheckpoint(eager=True)
         )
 
+    if rounds == 0:
+        # init edges carry no scores: score + rank them once
+        scored0 = edges.join(u_src, "src").join(u_dst, "dst").select(
+            "src", "dst",
+            F.round(_dot(F.col("__us"), F.col("__ud")), round_dp).alias("cosine"),
+        )
+        edges = scored0.withColumn("rnk", F.row_number().over(w_top)).filter(
+            F.col("rnk") <= k
+        )
     return edges.select(
         F.col("src").alias(id_col),
         F.col("dst").alias("nbr_id"),
         "cosine",
-        F.row_number().over(w_top).alias("rnk"),
+        "rnk",
     )
 
 
