@@ -1616,7 +1616,7 @@ def ivf_index_compact(
 
     before = _listing()
     rows = spark.read.parquet(path).select(id_col, vec_col, "list_id")
-    n = (
+    (
         rows.repartition(
             F.col("list_id"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(_IVF_FILES_PER_LIST)),
