@@ -495,6 +495,54 @@ def asof_entry_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_entry_price_skewsafe",
+    """
+    WITH signals AS (
+      SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), pricing AS (
+      SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'view'
+    ), tie AS (
+      SELECT user_id, ts, value, event_id,
+             row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM pricing
+    )
+    SELECT s.user_id, s.event_id, s.ts, s.value,
+           p.value AS entry_price
+    FROM signals s
+    ASOF LEFT JOIN (SELECT * FROM tie WHERE rn = 1) p
+      ON s.user_id = p.user_id AND s.ts >= p.ts
+    """,
+)
+def asof_entry_price_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of join through the r7 hot-key two-phase fold
+    (asof.skew_bucket_seconds — per-(key, day-bucket) running last +
+    tiny per-key prefix carry) with the IDENTICAL oracle as
+    asof_entry_price: the driver gate itself proves the fold exact,
+    not just the local equivalence test. This is the form to use when
+    one key dominates the feed (the SPX case) — SCALING.md's hot-key
+    section measures plain 4.3 s vs fold 2.9 s on the 90%-hot 100×
+    replica."""
+    ev = load_table(spark, "events", sf_dir)
+    signals = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    pricing = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return asof_join(
+        signals,
+        pricing,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["value"],
+        right_order="event_id",
+        suffix="_entry",
+        skew_bucket_seconds=86400,
+    ).withColumnRenamed("value_entry", "entry_price")
+
+
+@_q(
     "asof_next_quote",
     """
     WITH signals AS (
