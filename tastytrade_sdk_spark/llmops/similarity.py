@@ -749,6 +749,7 @@ def nn_descent(
     rev_cap: int | None = None,
     round_dp: int = 6,
     init_edges: DataFrame | None = None,
+    units: DataFrame | None = None,
 ) -> DataFrame:
     """k-NN graph construction by NN-descent (Dong, Charikar & Li,
     WWW'11), made DETERMINISTIC so a SQL oracle can replay it exactly:
@@ -782,9 +783,13 @@ def nn_descent(
     from pyspark.sql import Window
 
     rev_cap = k if rev_cap is None else rev_cap
-    units = with_unit_vector(corpus, vec_col).select(
-        id_col, "__unit"
-    ).localCheckpoint(eager=True)
+    if units is None:
+        # callers that already materialized (id, __unit) — e.g.
+        # knn_graph_index_write, which persists the same frame as the
+        # index's units table — pass it in and save a corpus scan
+        units = with_unit_vector(corpus, vec_col).select(
+            id_col, "__unit"
+        ).localCheckpoint(eager=True)
 
     if init_edges is None:
         n = units.agg(F.max(id_col).alias("m")).collect()[0]["m"] + 1
@@ -1677,9 +1682,12 @@ def knn_graph_index_write(
     import json as _json
     import os
 
+    units = with_unit_vector(corpus, vec_col).select(
+        id_col, "__unit"
+    ).localCheckpoint(eager=True)
     graph = nn_descent(
         corpus, id_col=id_col, vec_col=vec_col, k=k, rounds=rounds,
-        rev_cap=rev_cap,
+        rev_cap=rev_cap, units=units,
     ).select(F.col(id_col).alias("src"), F.col("nbr_id").alias("dst"))
     bucket = F.pmod(F.xxhash64(F.col("src")), F.lit(n_buckets))
     (
@@ -1689,7 +1697,6 @@ def knn_graph_index_write(
         .partitionBy("bucket")
         .parquet(os.path.join(path, "edges"))
     )
-    units = with_unit_vector(corpus, vec_col).select(id_col, "__unit")
     (
         units.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
