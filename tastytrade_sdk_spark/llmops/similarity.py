@@ -462,6 +462,7 @@ def graph_expand_topk(
     k: int = 5,
     hops: int = 2,
     round_dp: int = 6,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ANN search OVER the k-NN graph (the query half of a graph
     index, deterministic flavor): each query seeds at the smallest id
@@ -473,7 +474,9 @@ def graph_expand_topk(
     Candidates per query are bounded by 1 + d + d² + … (d = graph
     out-degree = the graph's k) — independent of corpus size; every
     expansion hop is one id-keyed equi-join against the edge table.
-    ``graph`` is (src, dst) — typically nn_descent output."""
+    ``graph`` is (src, dst) — typically nn_descent output.
+    ``exclude_self`` assumes queries share the corpus id space (the
+    self-query convention); disjoint-id-domain callers pass False."""
     from pyspark.sql import Window
 
     edges = graph.select(
@@ -503,11 +506,9 @@ def graph_expand_topk(
     cand = layers[0]
     for l in layers[1:]:
         cand = cand.unionByName(l)
-    cand = (
-        cand.filter(F.col("node") != F.col("__qid"))
-        .distinct()
-        .select("__qid", F.col("node").alias(id_col))
-    )
+    if exclude_self:
+        cand = cand.filter(F.col("node") != F.col("__qid"))
+    cand = cand.distinct().select("__qid", F.col("node").alias(id_col))
     u = with_unit_vector(corpus, vec_col).select(id_col, "__unit")
     uq = with_unit_vector(
         queries.select(F.col(query_id_col).alias("__qid"), vec_col), vec_col
@@ -1678,10 +1679,25 @@ def knn_graph_index_write(
       seeder, as in graph_expand_topk) — n_lists rows, broadcast-sized.
 
     The centroid digest sidecar guards routing identity exactly like
-    the IVF index (same _check_centroid_sidecar)."""
+    the IVF index (same _check_centroid_sidecar).
+
+    ATOMIC REBUILD (r7 review): the three tables land in a sibling
+    tmp dir and swap in with restore-before-delete — three sequential
+    in-place overwrites would leave a torn mixed-generation index
+    (new edges + stale units, sidecar still valid) after a mid-rebuild
+    crash, and every guard would pass. Same protocol as
+    ivf_index_compact / bm25_index_compact; readers mid-swap fall back
+    to the .__old snapshot (readable_store_path)."""
     import json as _json
     import os
+    import shutil
 
+    tmp, old = path + ".__tmp", path + ".__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for d in (tmp,):
+        if os.path.exists(d):
+            shutil.rmtree(d)
     units = with_unit_vector(corpus, vec_col).select(
         id_col, "__unit"
     ).localCheckpoint(eager=True)
@@ -1695,7 +1711,7 @@ def knn_graph_index_write(
         .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(os.path.join(path, "edges"))
+        .parquet(os.path.join(tmp, "edges"))
     )
     (
         units.withColumn(
@@ -1704,7 +1720,7 @@ def knn_graph_index_write(
         .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(os.path.join(path, "units"))
+        .parquet(os.path.join(tmp, "units"))
     )
     assign = _ivf_assign_udf(centroids)
     entry = (
@@ -1714,12 +1730,19 @@ def knn_graph_index_write(
         .agg(F.min(id_col).alias("node"))
     )
     entry.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "entry")
+        os.path.join(tmp, "entry")
     )
-    with open(os.path.join(path, "_centroids_md5"), "w") as fh:
+    with open(os.path.join(tmp, "_centroids_md5"), "w") as fh:
         fh.write(_centroid_digest(centroids))
-    with open(os.path.join(path, "_graph_meta.json"), "w") as fh:
+    with open(os.path.join(tmp, "_graph_meta.json"), "w") as fh:
         _json.dump({"k": k, "n_buckets": n_buckets}, fh)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def knn_graph_index_search(
@@ -1733,6 +1756,7 @@ def knn_graph_index_search(
     k: int = 5,
     hops: int = 2,
     round_dp: int = 6,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Search a persisted k-NN graph index: seed each query at its
     nearest list's entry node (broadcast join against the tiny entry
@@ -1767,7 +1791,9 @@ def knn_graph_index_search(
     frontier = qb.join(F.broadcast(entry), "list_id").select("__qid", "node")
     frontier = frontier.localCheckpoint(eager=True)
     layers = [frontier]
-    edges_root = os.path.join(path, "edges")
+    # open the edges table ONCE (file listing + schema inference);
+    # each hop applies its own partition filter to the same relation
+    edges_all = spark.read.parquet(os.path.join(path, "edges"))
     for _ in range(hops):
         buckets = sorted(
             r["b"]
@@ -1777,9 +1803,7 @@ def knn_graph_index_search(
             .distinct()
             .collect()
         )
-        edges_h = spark.read.parquet(edges_root).filter(
-            F.col("bucket").isin(buckets)
-        )
+        edges_h = edges_all.filter(F.col("bucket").isin(buckets))
         frontier = (
             frontier.join(edges_h, frontier["node"] == edges_h["src"])
             .select("__qid", F.col("dst").alias("node"))
@@ -1790,11 +1814,13 @@ def knn_graph_index_search(
     cand = layers[0]
     for l in layers[1:]:
         cand = cand.unionByName(l)
-    cand = (
-        cand.filter(F.col("node") != F.col("__qid"))
-        .distinct()
-        .select("__qid", F.col("node").alias(id_col))
-    )
+    if exclude_self:
+        # shared-id-space convention (queries ARE corpus members);
+        # disjoint-id-domain callers pass exclude_self=False or a
+        # valid candidate colliding with a query id is lost (the
+        # mmr_rerank advisor finding, applied here too)
+        cand = cand.filter(F.col("node") != F.col("__qid"))
+    cand = cand.distinct().select("__qid", F.col("node").alias(id_col))
     cbuckets = sorted(
         r["b"]
         for r in cand.select(

@@ -387,14 +387,17 @@ def sa_duplicate_spans(
         # scaled the shard count up
         raise ValueError(f"unknown routing: {routing}")
     hash_bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    # each candidate-routing tier produces a (id, component) frame;
+    # the base construction (component shard, hash-bucket fallback)
+    # is shared so the tiers can't drift
+    comp = None
     if routing == "exact" and n_shards > 1:
         from tastytrade_sdk_spark.llmops.cluster import connected_components
 
         hd = (
             _window_rows(df, text_col, id_col, min_len)
             .select(F.col(id_col), F.xxhash64(F.col("__win")).alias("__wh"))
-            .groupBy("__wh", id_col)
-            .agg(F.count(F.lit(1)).alias("__c"))
+            .distinct()
         )
         per_hash = Window.partitionBy("__wh")
         edges = (
@@ -409,21 +412,7 @@ def sa_duplicate_spans(
             )
             .distinct()
         )
-        comp = connected_components(edges, id_col=id_col).select(
-            F.col(id_col).alias("__rid"), F.col("component").alias("__comp")
-        )
-        base = (
-            df.select(F.col(id_col), F.col(text_col))
-            .join(comp, F.col(id_col) == F.col("__rid"), "left")
-            .select(
-                F.col(id_col).alias("doc_id"),
-                F.col(text_col).alias("text"),
-                F.coalesce(
-                    F.concat(F.lit("c"), F.col("__comp").cast("string")),
-                    F.concat(F.lit("h"), hash_bucket.cast("string")),
-                ).alias("__shard"),
-            )
-        )
+        comp = connected_components(edges, id_col=id_col)
     elif routing == "lsh" and n_shards > 1:
         from tastytrade_sdk_spark.llmops.cluster import connected_components
         from tastytrade_sdk_spark.llmops.dedup import lsh_candidate_pairs
@@ -438,7 +427,9 @@ def sa_duplicate_spans(
                 shingle_n=shingle_n,
             ),
             id_col=id_col,
-        ).select(
+        )
+    if comp is not None:
+        comp = comp.select(
             F.col(id_col).alias("__rid"), F.col("component").alias("__comp")
         )
         base = (

@@ -154,8 +154,15 @@ def asof_join(
         # (negated for forward, which walks time descending); rows at
         # equal time share a bucket, so intra-bucket ordering is the
         # global ordering restricted to the bucket
+        from pyspark.sql import types as T
+
+        t = F.col("__time")
+        if isinstance(unioned.schema["__time"].dataType, T.DateType):
+            # date -> double fails analysis; route through timestamp
+            # so the plain path's DATE support carries over
+            t = t.cast("timestamp")
         bkt = F.floor(
-            F.col("__time").cast("double") / F.lit(float(skew_bucket_seconds))
+            t.cast("double") / F.lit(float(skew_bucket_seconds))
         ).cast("long")
         if fwd:
             bkt = -bkt
@@ -186,9 +193,20 @@ def asof_join(
         )
         carried = finals.withColumn(
             "__carry", F.last("__bf", ignorenulls=True).over(wc)
-        ).select(*keys, "__bkt", "__carry")
+        ).select(
+            *[F.col(c).alias(f"__c_{c}") for c in keys],
+            F.col("__bkt").alias("__c_bkt"),
+            "__carry",
+        )
+        # NULL-SAFE join keys: Window.partitionBy treats NULL as a
+        # normal group on the plain path, so the fold must too — a
+        # null-unsafe equi-join would silently drop the carry for
+        # NULL-keyed groups (r7 review finding)
+        cond = F.col("__bkt").eqNullSafe(F.col("__c_bkt"))
+        for c in keys:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__c_{c}"))
         filled = (
-            staged.join(carried, keys + ["__bkt"], "left")
+            staged.join(carried, cond, "left")
             .withColumn(_PAYLOAD, F.coalesce("__rv", "__carry"))
         )
     out = filled.filter(F.col(_SIDE) == 2)

@@ -982,6 +982,72 @@ class TestKnnGraphIndex:
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and "bucket" in m.group(1), plan[:2000]
 
+    def test_rebuild_is_atomic_and_heals_crash(self, spark, tmp_path):
+        """r7 review: a rebuild lands in a tmp dir and swaps — never
+        three in-place overwrites that a crash could tear. A crash
+        between the swap renames (only .__old on disk) heals on the
+        next write, and a rebuild over an existing index serves
+        identical searches after."""
+        import os
+
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            knn_graph_index_search,
+            knn_graph_index_write,
+        )
+        from tastytrade_sdk_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cent = axis_centroids(16, 64)
+        path = str(tmp_path / "gidx")
+        knn_graph_index_write(emb, path, cent)
+        before = sorted(
+            map(tuple, knn_graph_index_search(spark, path, queries, cent).collect())
+        )
+        # rebuild over the existing index: swap, not tear
+        knn_graph_index_write(emb, path, cent)
+        assert sorted(
+            map(tuple, knn_graph_index_search(spark, path, queries, cent).collect())
+        ) == before
+        assert not os.path.exists(path + ".__tmp")
+        assert not os.path.exists(path + ".__old")
+        # crash window: only .__old exists -> next write restores+rebuilds
+        os.rename(path, path + ".__old")
+        knn_graph_index_write(emb, path, cent)
+        assert sorted(
+            map(tuple, knn_graph_index_search(spark, path, queries, cent).collect())
+        ) == before
+
+    def test_disjoint_id_domain_keeps_colliding_candidate(self, spark, tmp_path):
+        """exclude_self=False keeps a corpus vector whose id equals a
+        query id from a DISJOINT domain (the mmr_rerank advisor rule
+        applied to the graph search APIs)."""
+        from tastytrade_sdk_spark.llmops.similarity import (
+            axis_centroids,
+            knn_graph_index_search,
+            knn_graph_index_write,
+        )
+        from tastytrade_sdk_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+        cent = axis_centroids(16, 64)
+        path = str(tmp_path / "gidx")
+        knn_graph_index_write(emb, path, cent)
+        # query id 3 collides with corpus vec 3; use vec 3's own vector
+        # so vec 3 is its top hit
+        q = emb.filter(F.col("vec_id") == 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        kept = knn_graph_index_search(
+            spark, path, q, cent, k=5, exclude_self=False
+        ).collect()
+        assert any(r["vec_id"] == 3 for r in kept)
+        dropped = knn_graph_index_search(spark, path, q, cent, k=5).collect()
+        assert not any(r["vec_id"] == 3 for r in dropped)
+
     def test_search_refuses_wrong_centroids(self, spark, tmp_path):
         import pytest
 

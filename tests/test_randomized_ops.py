@@ -165,7 +165,10 @@ def test_asof_skew_bucketed_equals_single_window(spark):
 
     rng = random.Random(20260815)
     base = dt.datetime(2026, 1, 1)
-    syms = ["HOT"] * 9 + ["B"]  # 90% of rows on one key
+    # 90% of rows on one key; None is a REAL group (the plain path's
+    # Window.partitionBy treats NULL keys as a normal partition, and
+    # the fold's carry join must too — null-safe keys, r7 review)
+    syms = ["HOT"] * 9 + ["B", None]
     left_rows, right_rows = [], []
     for i in range(400):
         left_rows.append(
@@ -199,6 +202,36 @@ def test_asof_skew_bucketed_equals_single_window(spark):
                 ).collect()
             }
             assert bucketed == plain, (direction, width)
+
+
+def test_asof_skew_bucketed_accepts_date_columns(spark):
+    """The skew fold must accept every time type the plain path does —
+    DATE columns route through a timestamp cast before the bucket
+    division (r7 review: a bare double cast raised AnalysisException)."""
+    import datetime as dt
+
+    from tastytrade_sdk_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("A", dt.date(2026, 1, 10), 1), ("A", dt.date(2026, 3, 1), 2)],
+        "sym string, d date, lid long",
+    )
+    right = spark.createDataFrame(
+        [("A", dt.date(2026, 1, 5), 1, 10.0), ("A", dt.date(2026, 2, 1), 2, 20.0)],
+        "sym string, rd date, seq long, px double",
+    )
+    kw = dict(
+        on=["sym"], left_time="d", right_time="rd",
+        value_cols=["px"], right_order="seq",
+    )
+    plain = {(r["lid"], r["px"]) for r in asof_join(left, right, **kw).collect()}
+    bucketed = {
+        (r["lid"], r["px"])
+        for r in asof_join(
+            left, right, skew_bucket_seconds=7 * 86400, **kw
+        ).collect()
+    }
+    assert bucketed == plain == {(1, 10.0), (2, 20.0)}
 
 
 def test_range_join_vs_brute_force(spark):
