@@ -237,6 +237,95 @@ def lsh_candidate_pairs(
     return band_pairs(banded, id_col)
 
 
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints — the MOSS overlap
+    detector (Schleimer et al. 2003) on top of
+    ``textops.winnow_selections``: two docs pair when >= ``min_shared``
+    of their winnowed k-gram hashes coincide; ``containment`` is the
+    shared count over the smaller doc's fingerprint-set size.
+
+    Scale shape: fingerprints are a per-row expression (no shuffle);
+    the pair join is keyed on the 8-byte fingerprint hash, and
+    ``max_df`` drops fingerprints present in more docs than that
+    BEFORE the self-join — the boilerplate/hot-key guard that bounds
+    the join to O(true candidate pairs), the same guard
+    lsh_candidate_pairs gets from banding. Set sizes (n_a/n_b) are
+    measured over the capped fingerprint sets so the containment
+    denominator matches the join's candidate universe. The per-doc
+    fingerprint frame is lineage-cut with an eager localCheckpoint
+    because FOUR consumers need it (df-cap build, both join sides,
+    set sizes) — the dsir_importance_weights rule; without it each
+    consumer re-runs the md5 + window scan.
+    """
+    from tastytrade_sdk_spark.llmops.textops import (
+        gram_hashes,
+        tokens_expr,
+        winnow_from_hashes,
+    )
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    # spread FIRST so the md5 pass runs wide, then the repartition
+    # AFTER the hash projection is the barrier that stops
+    # CollapseProject inlining __g into the winnow lambda
+    hashed = _spread(df, id_col).select(
+        F.col(id_col), gram_hashes(tokens_expr(F.col(text_col)), k).alias("__g")
+    ).repartition(target)
+    fps = (
+        hashed.select(
+            F.col(id_col),
+            F.explode(winnow_from_hashes(F.col("__g"), w)).alias("__s"),
+        )
+        .select(F.col(id_col), F.col("__s.fp").alias("__fp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rare = (
+        fps.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("__fp")
+    )
+    kept = fps.join(rare, "__fp")
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = kept.select(F.col(id_col).alias("doc_a"), "__fp")
+    b = kept.select(F.col(id_col).alias("doc_b"), "__fp")
+    shared = (
+        a.join(b, "__fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

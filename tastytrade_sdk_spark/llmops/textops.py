@@ -144,6 +144,78 @@ def rolling_fingerprint(tokens: Column) -> Column:
     )
 
 
+def gram_hashes(tokens: Column, k: int = 3) -> Column:
+    """h32 over word k-gram shingles — the hash sequence winnowing
+    slides over. Materialize this as a REAL column (behind a
+    projection barrier) before calling ``winnow_from_hashes``:
+    higher-order lambdas do not get common-subexpression elimination,
+    so an inlined gram expression would re-run the md5 pass once per
+    window — O(grams * w) digests per doc instead of O(grams)."""
+    return F.transform(shingles_expr(tokens, k), h32)
+
+
+def winnow_selections(tokens: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprint selections (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local-fingerprinting scheme): hash every word
+    k-gram with h32, slide a window of ``w`` consecutive gram hashes,
+    and in each window keep the RIGHTMOST minimal hash; identical
+    (hash, position) selections from overlapping windows collapse.
+
+    Convenience form over ``gram_hashes`` + ``winnow_from_hashes`` —
+    fine for tests/small frames, but plan-shape-sensitive callers
+    should materialize the hash column first (see gram_hashes).
+    """
+    return winnow_from_hashes(gram_hashes(tokens, k), w)
+
+
+def winnow_from_hashes(grams: Column, w: int = 4) -> Column:
+    """Winnowing window selection over a precomputed gram-hash array.
+
+    Returns ``array<struct<fp:bigint, pos:bigint>>`` with ``pos`` the
+    1-based k-gram start index. The paper's guarantee holds: any match
+    of length >= w + k - 1 tokens shares a fingerprint, and a doc with
+    >= 1 gram always yields at least one selection (a hash sequence
+    shorter than ``w`` is treated as a single window).
+
+    Pure per-row JVM expression — the window scan is an ``aggregate``
+    fold over a length-<=w slice, so cost is O(grams * w) array reads
+    per row with no shuffle; scan-bound at 100 TB.
+    """
+    m = F.size(grams)
+    wins = (
+        F.when(m >= w, F.sequence(F.lit(1), m - (w - 1)))
+        .when(m >= 1, F.array(F.lit(1)))
+        .otherwise(F.array().cast("array<int>"))
+    )
+
+    def pick(i: Column) -> Column:
+        # rightmost-min fold over the window slice: <= lets a later
+        # equal hash displace the earlier one (the paper's tie rule)
+        return F.aggregate(
+            F.slice(grams, i, w),
+            F.struct(
+                F.lit(None).cast("long").alias("bh"),
+                F.lit(0).alias("bp"),
+                F.lit(0).alias("cur"),
+            ),
+            lambda acc, x: F.struct(
+                F.when(acc["bh"].isNull() | (x <= acc["bh"]), x)
+                .otherwise(acc["bh"])
+                .alias("bh"),
+                F.when(acc["bh"].isNull() | (x <= acc["bh"]), acc["cur"] + 1)
+                .otherwise(acc["bp"])
+                .alias("bp"),
+                (acc["cur"] + 1).alias("cur"),
+            ),
+            lambda acc: F.struct(
+                acc["bh"].alias("fp"),
+                (i + acc["bp"] - 1).cast("long").alias("pos"),
+            ),
+        )
+
+    return F.array_distinct(F.transform(wins, pick))
+
+
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
 LANG_PROFILES: dict[str, tuple[str, ...]] = {

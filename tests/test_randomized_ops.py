@@ -618,3 +618,79 @@ def test_vocab_oov_stats_vs_python_replication(spark):
             n, oov = len(toks), sum(1 for t in toks if t not in vocab)
             rate = round(oov / n, 6) if n else None
             assert got[d] == (n, oov, rate), (v_size, d)
+
+
+def test_winnow_selections_vs_python_reference(spark):
+    """Spark's winnow fold vs a literal Python transcription of the
+    Schleimer et al. scheme (rightmost minimal hash per window, k=3
+    grams, w=4 windows, selections deduped) over random word docs —
+    including docs shorter than k (no selection) and docs with
+    k <= len < k+w-1 (single short window)."""
+    import hashlib
+    import random
+
+    from tastytrade_sdk_spark.llmops.textops import winnow_selections
+
+    k, w = 3, 4
+    words = [f"w{i}" for i in range(12)]  # small vocab => repeated grams
+    rng = random.Random(4242)
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 14))))
+        for i in range(120)
+    ]
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    truth = {}
+    for d, text in docs:
+        toks = [t for t in text.split() if t]
+        grams = [
+            h32(" ".join(toks[i : i + k]))
+            for i in range(len(toks) - k + 1)
+        ]
+        sel = set()
+        m = len(grams)
+        if m:
+            starts = range(1, m - w + 2) if m >= w else [1]
+            for i in starts:
+                window = grams[i - 1 : i - 1 + w]
+                best_h, best_p = None, None
+                for j, h in enumerate(window):
+                    if best_h is None or h <= best_h:
+                        best_h, best_p = h, i + j
+                sel.add((best_h, best_p))
+        truth[d] = sel
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = df.select(
+        "doc_id",
+        winnow_selections(
+            F.split("text", " "), k=k, w=w
+        ).alias("sel"),
+    ).collect()
+    for r in out:
+        got = {(s["fp"], s["pos"]) for s in r["sel"]}
+        assert got == truth[r["doc_id"]], r["doc_id"]
+
+
+def test_winnowing_overlap_guarantee(spark):
+    """The paper's guarantee: two docs sharing a token run of length
+    >= w + k - 1 share at least one fingerprint — with min_shared=1
+    the pair must surface; unrelated docs with disjoint vocab never
+    pair."""
+    from tastytrade_sdk_spark.llmops.dedup import winnowing_overlap_pairs
+
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 >= 4+3-1
+    docs = [
+        (1, "one two three " + shared_run),
+        (2, shared_run + " four five six"),
+        (3, "seven eight nine ten eleven twelve thirteen"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnowing_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
