@@ -100,6 +100,117 @@ def pack_sequences(
     )
 
 
+def nfd_pack_bins(
+    df: DataFrame,
+    token_count_col: str,
+    id_col: str = "doc_id",
+    budget: int = 128,
+) -> DataFrame:
+    """Boundary-respecting sequence packing by next-fit-decreasing bin
+    packing — the SFT/instruction-tuning packing policy where documents
+    must NOT straddle a training-sequence boundary (contrast
+    ``pack_sequences``, the pretraining concat-then-chunk scheme that
+    lets them). Items are processed in (size DESC, id ASC) order; an
+    item that no longer fits the open bin closes it and opens a new
+    one (NFD waste is bounded at 2x OPT, and <= one open bin's slack
+    per size class in practice).
+
+    The sequential fold runs over SIZE CLASSES, not documents: with
+    equal-size items the per-class placement is closed-form (u items
+    top up the open bin, then floor(budget/s) per fresh bin), so the
+    inherently-sequential region is <= ``budget`` rows — corpus-size
+    INDEPENDENT. The class histogram is a bounded collect (<= budget
+    rows, the stats-sidecar pattern); placement broadcasts back and
+    every doc computes its bin arithmetically from its rank within its
+    class. All integer arithmetic — exact on any engine.
+
+    Docs larger than ``budget`` cannot fit any bin: each gets a
+    dedicated bin AFTER the packed ones, flagged ``oversize`` (the
+    caller truncates or splits those upstream). Zero token counts
+    clamp to size 1. Skew note: the within-class rank is a
+    Window.partitionBy(size); a single dominant size class would
+    serialize its enumeration — at lake scale swap in the
+    hash-sharded two-pass enumeration (training_shuffle_order's
+    pattern). Returned frame is a SNAPSHOT (the class fold executes at
+    build, the declared-query build-then-execute contract).
+
+    Output: (id, n_tokens, bin_id, oversize).
+    """
+    nt = F.col(token_count_col).cast("long")
+    sized = df.select(
+        F.col(id_col),
+        nt.alias("__nt"),
+        F.greatest(nt, F.lit(1)).alias("__s"),
+    )
+    reg = sized.filter(F.col("__s") <= budget)
+
+    classes = sorted(
+        (
+            (r["__s"], r["c"])
+            for r in reg.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ),
+        key=lambda sc: -sc[0],
+    )
+    place_rows, open_bin, rem = [], 0, budget
+    for s, c in classes:
+        u = min(c, rem // s)  # items topping up the open bin
+        k = budget // s  # capacity of a fresh bin for this size
+        place_rows.append((s, open_bin, u, k))
+        spill = c - u
+        if spill == 0:
+            rem -= u * s
+        else:
+            nb = (spill + k - 1) // k
+            last = spill - (nb - 1) * k
+            open_bin += nb
+            rem = budget - last * s
+    total_bins = open_bin + 1
+
+    spark = df.sparkSession
+    place = spark.createDataFrame(
+        place_rows or [(0, 0, 0, 1)], "s long, ob long, u long, k long"
+    )
+    ranked = reg.withColumn(
+        "__j",
+        F.row_number().over(
+            Window.partitionBy("__s").orderBy(F.col(id_col).asc())
+        ).cast("long"),
+    )
+    packed = ranked.join(
+        F.broadcast(place), ranked["__s"] == place["s"]
+    ).select(
+        F.col(id_col),
+        F.col("__nt").alias("n_tokens"),
+        F.when(F.col("__j") <= F.col("u"), F.col("ob"))
+        .otherwise(
+            F.col("ob")
+            + 1
+            + F.floor((F.col("__j") - F.col("u") - 1) / F.col("k")).cast(
+                "long"
+            )
+        )
+        .alias("bin_id"),
+        F.lit(False).alias("oversize"),
+    )
+    # oversize docs: one dedicated bin each, numbered after the packed
+    # bins; assumed rare (the global window is a no-op when empty)
+    ovr = sized.filter(F.col("__s") > budget).select(
+        F.col(id_col),
+        F.col("__nt").alias("n_tokens"),
+        (
+            F.lit(total_bins)
+            + F.row_number().over(
+                Window.orderBy(F.col("__s").desc(), F.col(id_col).asc())
+            ).cast("long")
+            - 1
+        ).alias("bin_id"),
+        F.lit(True).alias("oversize"),
+    )
+    return packed.unionByName(ovr)
+
+
 def quality_threshold(scored: DataFrame, pct: float) -> DataFrame:
     """One-row frame holding the pct-quantile cut over a ``quality``
     column: the k-th smallest ROUNDED value (k = ceil(pct * n)) via

@@ -694,3 +694,56 @@ def test_winnowing_overlap_guarantee(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_nfd_pack_bins_vs_item_walk(spark):
+    """The size-class fold must equal literal item-by-item next-fit
+    over (size DESC, id ASC) order — random sizes including zeros
+    (clamp to 1) and oversize items (dedicated trailing bins). Also
+    asserts packing validity: no bin exceeds the budget and regular
+    bin ids are contiguous from 0."""
+    import random
+
+    from tastytrade_sdk_spark.llmops.pipeline import nfd_pack_bins
+
+    rng = random.Random(99)
+    for trial, budget in ((0, 64), (1, 128), (2, 16)):
+        rows = [
+            (i, rng.choice([0, 1, rng.randint(1, budget), budget,
+                            budget + rng.randint(1, 40)]))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, n int")
+        got = {
+            r["doc_id"]: (r["bin_id"], r["oversize"])
+            for r in nfd_pack_bins(df, "n", budget=budget).collect()
+        }
+
+        # literal NFD walk
+        items = sorted(
+            ((max(n, 1), i) for i, n in rows), key=lambda x: (-x[0], x[1])
+        )
+        truth, open_bin, rem = {}, 0, budget
+        oversize = [(s, i) for s, i in items if s > budget]
+        for s, i in items:
+            if s > budget:
+                continue
+            if s > rem:
+                open_bin += 1
+                rem = budget
+            truth[i] = (open_bin, False)
+            rem -= s
+        total = open_bin + 1
+        for rank, (s, i) in enumerate(oversize):
+            truth[i] = (total + rank, True)
+
+        assert got == truth, (trial, budget)
+
+        # validity: regular bin loads never exceed the budget
+        load = {}
+        for i, n in rows:
+            b, ov = got[i]
+            if not ov:
+                load[b] = load.get(b, 0) + max(n, 1)
+        assert all(v <= budget for v in load.values())
+        assert sorted(load) == list(range(len(load)))
