@@ -139,6 +139,82 @@ def score_docs_bigram_lm(
     )
 
 
+def train_unigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    is_train: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Count tables for the add-k UNIGRAM LM over the training slice —
+    the weak 'proxy model' in doremi_domain_weights (the bigram LM is
+    the stronger reference). Same 80% hash split default as
+    train_bigram_lm.
+
+    Returns ``(token_counts[w, c], totals[n, v])`` — one explode +
+    groupBy (map-side combine, output bounded by vocabulary) plus a
+    2-value fold over that count table.
+    """
+    from tastytrade_sdk_spark.llmops.textops import h32
+
+    if is_train is None:
+        is_train = (
+            h32(F.concat(F.lit("split:"), F.col(id_col).cast("string"))) % 100 < 80
+        )
+    toks = docs.filter(is_train).select(
+        F.explode(tokens_expr(text_col)).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    return counts, totals
+
+
+def score_docs_unigram_lm(
+    docs: DataFrame,
+    token_counts: DataFrame,
+    totals: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Average token log-probability per document under the add-k
+    unigram LM, P(w) = (c(w)+k)/(N+kV). Mirrors score_docs_bigram_lm:
+    per-doc token multiplicities, a hash join on the token key, one
+    agg back onto the id; empty docs score NULL with n_tokens 0."""
+    doc_tok = docs.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("w")
+    ).groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("m"))
+    terms = (
+        doc_tok.join(token_counts, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("m"),
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k))
+                / (F.col("n") + F.lit(k) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    scores = terms.groupBy(id_col).agg(
+        F.sum("m").alias("n_tokens"),
+        F.round(F.sum(F.col("m") * F.col("lp")) / F.sum("m"), round_dp).alias(
+            "avg_logprob"
+        ),
+    )
+    return (
+        docs.select(id_col)
+        .join(scores, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "avg_logprob",
+        )
+    )
+
+
 def dsir_importance_weights(
     docs: DataFrame,
     is_target: Column,

@@ -100,6 +100,121 @@ def pack_sequences(
     )
 
 
+def doremi_domain_weights(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eta: float = 1.0,
+    smooth: float = 0.2,
+) -> DataFrame:
+    """One DoReMi-style domain-mixture reweighting step (Xie et al.
+    2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): per-domain EXCESS LOSS of a weak proxy model over a
+    stronger reference model drives a multiplicative-weights update of
+    the sampling mixture, smoothed toward uniform. Here the proxy is
+    the add-k UNIGRAM LM and the reference the add-k BIGRAM LM (both
+    trained on the standard 80% hash split), so excess is high where
+    local word order carries information the weak model misses —
+    domains the mixture should upweight.
+
+        excess_k = max(0, mean_k[-logP_uni] - mean_k[-logP_bi])
+        w_k      = alpha0_k * exp(eta * excess_k)   (alpha0 = token share)
+        alpha1_k = (1-smooth) * w_k / sum(w) + smooth / K
+
+    Cross-engine exactness: per-doc scores are the scorers' rounded
+    6-dp doubles converted to integer MICRO-UNITS, so every cross-doc
+    sum is exact integer arithmetic in any order; the only
+    transcendental (exp) runs on an identical rounded input and its
+    output is re-rounded before the integer normalization sum.
+
+    Scale shape: both LM scorings are vocabulary-bounded count-table
+    joins (llmops/lm.py notes); everything after is a K-row domain
+    aggregate with two 1-row broadcasts (totals, norm). No new
+    corpus-sized shuffle beyond the scorers'.
+
+    Output: (domain, n_docs, n_tokens, alpha0, excess_loss, alpha1).
+    """
+    from tastytrade_sdk_spark.llmops.lm import (
+        score_docs_bigram_lm,
+        score_docs_unigram_lm,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    uc, ut = train_unigram_lm(docs, text_col, id_col)
+    bc, cx, v = train_bigram_lm(docs, text_col, id_col)
+    u = score_docs_unigram_lm(docs, uc, ut, text_col, id_col)
+    b = score_docs_bigram_lm(docs, bc, cx, v, text_col, id_col)
+
+    micro = lambda col: F.round(col * 1e6, 0).cast("long")  # noqa: E731
+    per_doc = (
+        docs.select(id_col, domain_col)
+        .join(
+            u.select(
+                id_col, "n_tokens", F.col("avg_logprob").alias("__u")
+            ),
+            id_col,
+        )
+        .join(
+            b.select(id_col, F.col("avg_logprob").alias("__b")), id_col
+        )
+    )
+    scorable = F.col("__u").isNotNull() & F.col("__b").isNotNull()
+    agg = per_doc.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.when(scorable, 1).otherwise(0)).alias("__ns"),
+        F.sum(F.when(scorable, micro(F.col("__u"))).otherwise(F.lit(0))).alias(
+            "__su"
+        ),
+        F.sum(F.when(scorable, micro(F.col("__b"))).otherwise(F.lit(0))).alias(
+            "__sb"
+        ),
+    )
+    tot = agg.agg(
+        F.sum("n_tokens").alias("__tt"), F.count(F.lit(1)).alias("__k")
+    )
+    # sign decided on the exact integer difference; the division only
+    # runs on the positive branch (also dodges any ns=0 edge)
+    excess = F.round(
+        F.when(
+            (F.col("__ns") > 0) & ((F.col("__sb") - F.col("__su")) > 0),
+            (F.col("__sb") - F.col("__su"))
+            / F.col("__ns")
+            / F.lit(1000000.0),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    stage = (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("__ex", excess)
+        .withColumn(
+            "__wi",
+            micro(
+                F.round(
+                    (F.col("n_tokens") / F.col("__tt"))
+                    * F.exp(F.lit(eta) * F.col("__ex")),
+                    6,
+                )
+            ),
+        )
+    )
+    norm = stage.agg(F.sum("__wi").alias("__norm"))
+    return stage.crossJoin(F.broadcast(norm)).select(
+        F.col(domain_col),
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__tt"), 6).alias("alpha0"),
+        F.col("__ex").alias("excess_loss"),
+        F.round(
+            F.lit(1.0 - smooth) * F.col("__wi") / F.col("__norm")
+            + F.lit(smooth) / F.col("__k"),
+            6,
+        ).alias("alpha1"),
+    )
+
+
 def nfd_pack_bins(
     df: DataFrame,
     token_count_col: str,

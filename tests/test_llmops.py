@@ -1607,3 +1607,42 @@ class TestMMRRerank:
         )
         out = mmr_rerank(c8, q8, pool=10, k=5).collect()
         assert sorted(r["mmr_rank"] for r in out) == [1, 2]
+
+
+# ------------------------------------------------ DoReMi reweighting
+
+
+def test_doremi_domain_weights_properties(spark):
+    """Structured text (predictable bigrams) earns positive excess and
+    an upweighted mixture share; unigram-soup text earns ~zero excess
+    and is downweighted relative to its token share. Invariants: the
+    smoothed mixture sums to ~1 and never drops below smooth/K."""
+    import random
+
+    from tastytrade_sdk_spark.llmops.pipeline import doremi_domain_weights
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    # 'ordered': a repeated phrase -> bigram LM near-deterministic
+    for i in range(40):
+        rows.append((i, "alpha beta gamma delta " * 6, "ordered"))
+    # 'soup': random unigrams over the same marginal distribution
+    for i in range(40, 80):
+        rows.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(24)), "soup")
+        )
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    out = {r["source"]: r for r in doremi_domain_weights(df).collect()}
+
+    assert set(out) == {"ordered", "soup"}
+    assert out["ordered"]["excess_loss"] > out["soup"]["excess_loss"] >= 0.0
+    total = out["ordered"]["alpha1"] + out["soup"]["alpha1"]
+    assert abs(total - 1.0) < 1e-4
+    for r in out.values():
+        assert r["alpha1"] >= 0.2 / 2 - 1e-9  # smooth/K floor
+    # multiplicative update: the high-excess domain gains share
+    assert (
+        out["ordered"]["alpha1"] / max(out["ordered"]["alpha0"], 1e-12)
+        > out["soup"]["alpha1"] / max(out["soup"]["alpha0"], 1e-12)
+    )
