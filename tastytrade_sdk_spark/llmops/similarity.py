@@ -1652,6 +1652,97 @@ def ivf_index_compact(
 _KNN_GRAPH_BUCKETS = 32
 
 
+def sign_code_words(vec: Column) -> tuple[Column, Column]:
+    """Symmetric SIGN quantization of an embedding into two 32-bit
+    code words (binary hashing, the LSH sign-random-projection family:
+    bit i-1 set where v[i] > 0; dims beyond 64 ignored, short vectors
+    zero-fill). 16 bytes per vector regardless of dimension — the
+    cheapest shortlist representation; Hamming distance between codes
+    is a monotone estimator of angular distance (Charikar 2002).
+
+    Two 32-bit words rather than one 64-bit: bit 63 would need the
+    BIGINT sign bit, and the 2**(i-1) power stays exactly
+    representable either way. Pure per-row fold; exact on any engine.
+    """
+
+    def word(lo_dim: int, hi_dim: int) -> Column:
+        idx = F.sequence(F.lit(lo_dim), F.least(F.size(vec), F.lit(hi_dim)))
+        return F.when(
+            F.size(vec) >= lo_dim,
+            F.aggregate(
+                idx,
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.when(
+                    F.element_at(vec, i) > 0,
+                    F.pow(F.lit(2.0), (i - lo_dim).cast("double")).cast(
+                        "long"
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+
+    return word(1, 32), word(33, 64)
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    max_queries: int = 1024,
+) -> DataFrame:
+    """Binary-code ANN: rank corpus vectors per query by Hamming
+    distance between sign-quantization codes (xor + popcount on two
+    BIGINT words — all integer, exact on any engine; ties by id).
+
+    Scale shape: codes are a per-row projection (the corpus never
+    shuffles and the scan carries 16 bytes/vector); the query side is
+    broadcast, so the non-equi self-exclusion join is a BNLJ bounded
+    by the broadcast query count — the brute_force_topk shape with the
+    BLAS matmul replaced by two xor/popcount expressions. At 100 TB
+    this is the shortlist stage: feed the survivors to exact cosine
+    (sq8_rescore_topk's pattern) for the final ranking.
+
+    ``max_queries`` makes the small-query-side contract STRUCTURAL — a
+    limit node on the build side, the bound the plan audit verifies.
+    It is a guard, not a sampler: callers must pass a query frame
+    within the cap (excess rows would be truncated arbitrarily).
+    """
+    lo, hi = sign_code_words(F.col(vec_col))
+    codes = _spread(corpus.select(id_col, vec_col), id_col).select(
+        F.col(id_col), lo.alias("__lo"), hi.alias("__hi")
+    )
+    qlo, qhi = sign_code_words(F.col(vec_col))
+    qc = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        qlo.alias("__qlo"),
+        qhi.alias("__qhi"),
+    ).limit(max_queries)
+    scored = codes.join(
+        F.broadcast(qc), F.col(id_col) != F.col("__qid")
+    ).select(
+        "__qid",
+        id_col,
+        (
+            F.bit_count(F.col("__lo").bitwiseXOR(F.col("__qlo")))
+            + F.bit_count(F.col("__hi").bitwiseXOR(F.col("__qhi")))
+        ).alias("hamming"),
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col), id_col, "hamming", "rnk"
+        )
+    )
+
+
 def knn_graph_index_write(
     corpus: DataFrame,
     path: str,

@@ -747,3 +747,44 @@ def test_nfd_pack_bins_vs_item_walk(spark):
                 load[b] = load.get(b, 0) + max(n, 1)
         assert all(v <= budget for v in load.values())
         assert sorted(load) == list(range(len(load)))
+
+
+def test_hamming_topk_vs_numpy(spark):
+    """Sign-code Hamming ranking vs a literal numpy replication —
+    random embeddings (positive/negative/zero components; zeros set no
+    bit on either side) with id tie-breaks, plus a short (dim<33)
+    vector exercising the zero-filled high word."""
+    import random
+
+    from tastytrade_sdk_spark.llmops.similarity import hamming_topk
+
+    rng = random.Random(2026)
+    dims = 64
+    rows = [
+        (i, [rng.choice([-1.0, -0.5, 0.0, 0.5, 1.0]) for _ in range(dims)])
+        for i in range(60)
+    ]
+    rows.append((60, [1.0] * 20))  # short vector: high word = 0
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["rnk"]): (r["vec_id"], r["hamming"])
+        for r in hamming_topk(df, queries, k=3).collect()
+    }
+
+    def code(v):
+        bits = [1 if x > 0 else 0 for x in (v + [0.0] * 64)[:64]]
+        return bits
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(code(a), code(b)))
+
+    vecs = dict(rows)
+    for qid in range(4):
+        ranked = sorted(
+            ((ham(vecs[qid], v), i) for i, v in rows if i != qid)
+        )[:3]
+        for rnk, (h, i) in enumerate(ranked, 1):
+            assert got[(qid, rnk)] == (i, h), (qid, rnk)
