@@ -1743,6 +1743,52 @@ def hamming_topk(
     )
 
 
+def hamming_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    shortlist: int = 20,
+    k: int = 5,
+    round_dp: int = 6,
+    max_queries: int = 1024,
+) -> DataFrame:
+    """Two-stage binary ANN: Hamming-code shortlist, exact-cosine
+    rescore — the standard binary-hashing retrieval pipeline (shortlist
+    on 16-byte codes, touch raw vectors only for |queries|*shortlist
+    candidates; the sq8_rescore_topk shape with sign codes instead of
+    SQ8). Deterministic end-to-end: the shortlist is hamming_topk's
+    exact integer ranking, the rescore the rounded cosine with id
+    tie-break."""
+    cand = hamming_topk(
+        corpus, queries, id_col, vec_col, query_id_col,
+        k=shortlist, max_queries=max_queries,
+    ).select(query_id_col, id_col)
+    ce = corpus.select(F.col(id_col), F.col(vec_col).alias("__e"))
+    qe = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qe"))
+    scored = (
+        cand.join(ce, id_col)
+        .join(F.broadcast(qe), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                _dot(F.col("__qe"), F.col("__e"))
+                / (_norm(F.col("__qe")) * _norm(F.col("__e"))),
+                round_dp,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def knn_graph_index_write(
     corpus: DataFrame,
     path: str,

@@ -788,3 +788,50 @@ def test_hamming_topk_vs_numpy(spark):
         )[:3]
         for rnk, (h, i) in enumerate(ranked, 1):
             assert got[(qid, rnk)] == (i, h), (qid, rnk)
+
+
+def test_hamming_rescore_full_shortlist_equals_brute_force(spark):
+    """With shortlist >= corpus size the Hamming stage excludes
+    nothing, so the rescore must equal exact brute-force cosine
+    top-k; with a small shortlist the result is a subset of the
+    Hamming candidates and cosines stay exact."""
+    import random
+
+    from tastytrade_sdk_spark.llmops.similarity import (
+        brute_force_topk,
+        hamming_rescore_topk,
+        hamming_topk,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    full = {
+        (r["query_id"], r["rnk"]): (r["vec_id"], r["cosine"])
+        for r in hamming_rescore_topk(
+            df, queries, shortlist=100, k=4
+        ).collect()
+    }
+    brute = {
+        (r["query_id"], r["rnk"]): (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(df, queries, k=4).collect()
+    }
+    assert full == brute
+
+    short = hamming_rescore_topk(df, queries, shortlist=6, k=4).collect()
+    cand = {
+        (r["query_id"], r["vec_id"])
+        for r in hamming_topk(df, queries, k=6).collect()
+    }
+    assert all((r["query_id"], r["vec_id"]) in cand for r in short)
+    exact = {(q, v): c for (q, _), (v, c) in brute.items()}
+    for r in short:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact:
+            assert r["cosine"] == exact[key]
