@@ -160,6 +160,69 @@ def bm25_topk(
     return _bm25_score_tail(probed, qterms, dl, glob, k, k1, b, id_col)
 
 
+def bm25_rm3_topk(
+    corpus: DataFrame,
+    query_docs: DataFrame,
+    k: int = 5,
+    fb_k: int = 10,
+    n_exp: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 with RM3-style pseudo-relevance feedback (Lavrenko &
+    Croft relevance models, the Anserini RM3 default): retrieve
+    ``fb_k`` feedback docs per query with plain BM25, pick the
+    ``n_exp`` heaviest NEW terms from the feedback set (total term
+    frequency across feedback docs; deterministic (weight desc, term)
+    tie-break — an integer-exact stand-in for the relevance-model
+    term weights), append them to the query's term set, and rescore.
+
+    Plan shape: stage 1 is bm25_topk's plan; the expansion join
+    touches only |queries| * fb_k feedback rows against the postings
+    (doc-keyed hash join, feedback side broadcast); stage 2 re-probes
+    the postings with the expanded term set — the same
+    probed-lists-only df aggregation, so total cost is two bounded
+    probe passes, never corpus-squared. Both stages share one
+    postings/doc-length build.
+    """
+    postings = build_postings(corpus, text_col, id_col)
+    dl = doc_lengths(corpus, text_col, id_col)
+    glob = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+    qterms = _query_terms(query_docs, text_col, id_col)
+    probed = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    fb = _bm25_score_tail(
+        probed, qterms, dl, glob, fb_k, k1, b, id_col
+    ).select("query_id", id_col)
+
+    exp_w = (
+        F.broadcast(fb)
+        .join(postings, id_col)
+        .join(qterms, ["query_id", "term"], "left_anti")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("w"))
+    )
+    wexp = Window.partitionBy("query_id").orderBy(
+        F.col("w").desc(), F.col("term").asc()
+    )
+    expansion = (
+        exp_w.withColumn("er", F.row_number().over(wexp))
+        .filter(F.col("er") <= n_exp)
+        .select("query_id", "term")
+    )
+    qt2 = qterms.unionByName(expansion).distinct()
+    probed2 = postings.join(
+        F.broadcast(qt2.select("term").distinct()), "term"
+    )
+    return _bm25_score_tail(probed2, qt2, dl, glob, k, k1, b, id_col)
+
+
 def rrf_fuse(
     sides: "dict[str, DataFrame]",
     k_rrf: int = 60,

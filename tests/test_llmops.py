@@ -1646,3 +1646,34 @@ def test_doremi_domain_weights_properties(spark):
         out["ordered"]["alpha1"] / max(out["ordered"]["alpha0"], 1e-12)
         > out["soup"]["alpha1"] / max(out["soup"]["alpha0"], 1e-12)
     )
+
+
+# ------------------------------------------------ RM3 query expansion
+
+
+def test_bm25_rm3_reaches_beyond_query_vocabulary(spark):
+    """Pseudo-relevance feedback must surface a doc sharing NO term
+    with the original query: the query matches feedback docs, the
+    feedback docs carry the expansion term, and only the expanded
+    query can reach the target doc. Plain BM25 on the same corpus
+    cannot return it."""
+    from tastytrade_sdk_spark.llmops.retrieval import bm25_rm3_topk, bm25_topk
+
+    rows = [
+        (0, "spark shuffle partition"),                     # the query
+        (1, "spark shuffle partition zanzibar zanzibar"),   # feedback
+        (2, "spark shuffle partition zanzibar zanzibar"),   # feedback
+        (3, "zanzibar zanzibar zanzibar"),                  # reachable only via expansion
+        (4, "completely unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    q = df.filter(F.col("doc_id") == 0)
+
+    plain = {r["doc_id"] for r in bm25_topk(df, q, k=4).collect()}
+    rm3 = {
+        r["doc_id"]
+        for r in bm25_rm3_topk(df, q, k=4, fb_k=2, n_exp=1).collect()
+    }
+    assert 3 not in plain
+    assert 3 in rm3
+    assert 4 not in rm3
