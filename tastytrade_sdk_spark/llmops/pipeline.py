@@ -281,7 +281,11 @@ def nfd_pack_bins(
             last = spill - (nb - 1) * k
             open_bin += nb
             rem = budget - last * s
-    total_bins = open_bin + 1
+    # the open bin is never empty once any regular doc packed, so the
+    # packed-bin count is open_bin+1 — but 0 when NOTHING fit the
+    # budget (otherwise oversize bins would start at 1, leaving a
+    # phantom empty bin 0)
+    total_bins = (open_bin + 1) if classes else 0
 
     spark = df.sparkSession
     place = spark.createDataFrame(

@@ -1774,9 +1774,7 @@ def hamming_rescore_topk(
             query_id_col,
             id_col,
             F.round(
-                _dot(F.col("__qe"), F.col("__e"))
-                / (_norm(F.col("__qe")) * _norm(F.col("__e"))),
-                round_dp,
+                cosine(F.col("__qe"), F.col("__e")), round_dp
             ).alias("cosine"),
         )
     )

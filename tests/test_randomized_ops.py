@@ -707,12 +707,17 @@ def test_nfd_pack_bins_vs_item_walk(spark):
     from tastytrade_sdk_spark.llmops.pipeline import nfd_pack_bins
 
     rng = random.Random(99)
-    for trial, budget in ((0, 64), (1, 128), (2, 16)):
-        rows = [
-            (i, rng.choice([0, 1, rng.randint(1, budget), budget,
-                            budget + rng.randint(1, 40)]))
-            for i in range(200)
-        ]
+    for trial, budget in ((0, 64), (1, 128), (2, 16), (3, 8)):
+        if trial == 3:
+            # all-oversize corpus: no packed bins at all — oversize
+            # bin ids must start at 0 (no phantom empty bin)
+            rows = [(i, budget + 1 + rng.randint(0, 9)) for i in range(40)]
+        else:
+            rows = [
+                (i, rng.choice([0, 1, rng.randint(1, budget), budget,
+                                budget + rng.randint(1, 40)]))
+                for i in range(200)
+            ]
         df = spark.createDataFrame(rows, "doc_id int, n int")
         got = {
             r["doc_id"]: (r["bin_id"], r["oversize"])
@@ -725,15 +730,17 @@ def test_nfd_pack_bins_vs_item_walk(spark):
         )
         truth, open_bin, rem = {}, 0, budget
         oversize = [(s, i) for s, i in items if s > budget]
+        packed_any = False
         for s, i in items:
             if s > budget:
                 continue
+            packed_any = True
             if s > rem:
                 open_bin += 1
                 rem = budget
             truth[i] = (open_bin, False)
             rem -= s
-        total = open_bin + 1
+        total = (open_bin + 1) if packed_any else 0
         for rank, (s, i) in enumerate(oversize):
             truth[i] = (total + rank, True)
 
