@@ -443,6 +443,56 @@ def hotkey_demo(spark, sf_dir: str, mult: int) -> None:
                       "sec": sec}), flush=True)
 
 
+def winnowhot_demo(spark, sf_dir: str) -> None:
+    """Boilerplate hot-fingerprint probe for winnowing_overlap_pairs
+    (r7 session): builds a documents replica where 40% of docs share
+    one appended boilerplate sentence, so that sentence's winnowed
+    fingerprints have df ~= 0.4n. Measures the pair join WITH the
+    max_df cap (the structural hot-key guard) vs UNCAPPED — the
+    uncapped form pays ~(0.4n)^2/2 candidate rows per hot fingerprint,
+    exactly the blow-up the cap exists to prevent."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.llmops.dedup import winnowing_overlap_pairs
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    hot_dir = "/tmp/winnowhot"
+    if not os.path.exists(f"{hot_dir}/documents.parquet"):
+        os.makedirs(hot_dir, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW d AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        con.execute(f"""
+            COPY (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 4
+                          THEN text || ' subscribe to our newsletter for'
+                               || ' updates terms and conditions apply'
+                          ELSE text END AS text,
+                     lang, source, n_chars
+              FROM d
+            ) TO '{hot_dir}/documents.parquet' (FORMAT PARQUET)
+        """)
+
+    docs = load_table(spark, "documents", hot_dir)
+
+    def timed(thunk) -> float:
+        t0 = _t.perf_counter()
+        thunk().write.format("noop").mode("overwrite").save()
+        return round(_t.perf_counter() - t0, 2)
+
+    for label, cap in (("capped_df50", 50), ("uncapped", 1 << 40)):
+        sec = min(
+            timed(lambda: winnowing_overlap_pairs(docs, max_df=cap)),
+            timed(lambda: winnowing_overlap_pairs(docs, max_df=cap)),
+        )
+        print(json.dumps({"demo": "winnow_hot_fp", "variant": label,
+                          "sec": sec}), flush=True)
+
+
 def negatives_demo(spark, sf_dir: str, mult: int) -> None:
     """Regression sentinels for the two RETIRED quadratic [Q] forms
     (r7: both registry entries were re-pointed at their linear tiers).
@@ -623,7 +673,8 @@ def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--bucketing", "--skew", "--zorder",
                          "--semdedup-scaled", "--bloom", "--sa",
-                         "--skipping", "--negatives", "--hotkey")
+                         "--skipping", "--negatives", "--hotkey",
+                         "--winnowhot")
             and not a.startswith("--only=")]
     probe = PROBE
     for a in sys.argv[1:]:
@@ -676,6 +727,8 @@ def main() -> None:
             negatives_demo(spark, sf_dir, mult)
         if "--hotkey" in sys.argv and mult == max(mults + [1]):
             hotkey_demo(spark, BASE, mult)
+        if "--winnowhot" in sys.argv and mult == 1:
+            winnowhot_demo(spark, BASE)
 
 
 if __name__ == "__main__":
