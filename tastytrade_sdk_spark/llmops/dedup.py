@@ -416,6 +416,71 @@ def dup_shingle_fraction(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Broder CONTAINMENT near-dup join: pairs where one doc's
+    distinct-shingle set is mostly inside the other's —
+    ``|A ∩ B| / min(|A|, |B|)`` >= threshold. The asymmetric
+    complement of ngram_jaccard_pairs: a short excerpt quoted inside a
+    long article scores near-1 containment but low Jaccard (the union
+    is dominated by the long doc), so symmetric dedup misses exactly
+    the quote/excerpt/wrapper duplicates this catches.
+
+    Same plan as the Jaccard join (shingle-keyed self-join is the only
+    shuffle; cost tracks true overlap, never n^2); emits both directed
+    containments plus the max the filter runs on.
+    """
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    cont = F.round(
+        F.col("n_common") / F.least("size_a", "size_b"), 6
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            F.round(F.col("n_common") / F.col("size_a"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_common") / F.col("size_b"), 6).alias(
+                "containment_b"
+            ),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1677,3 +1677,30 @@ def test_bm25_rm3_reaches_beyond_query_vocabulary(spark):
     assert 3 not in plain
     assert 3 in rm3
     assert 4 not in rm3
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short excerpt quoted inside a long article has near-1
+    containment but low Jaccard — the asymmetric join must pair them
+    while the symmetric one at 0.5 must not."""
+    from tastytrade_sdk_spark.llmops.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    body = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(20, 28))  # inside body
+    rows = [(1, body), (2, excerpt), (3, "totally different words only")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, threshold=0.8).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert cont.get((1, 2)) == 1.0  # every excerpt shingle is in body
+    assert (1, 2) not in jac
+    assert all(3 not in p for p in cont)
