@@ -27,16 +27,20 @@ from tastytrade_sdk_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # global wall-clock budget: past this, re-runs degrade to single runs
-# so the bench always finishes inside the driver's window. 600 s keeps
-# min-of-N coverage over the grown suite (209 queries × ~1 s × 2-3
-# runs) — at 480 the tail ran single-run and host stalls landed
-# uncorrected in the record (measured: median 1.1× drift, worst 4.5×)
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
+# so the bench always finishes inside the driver's window. SCALES WITH
+# SUITE SIZE (set in main once the registry is loaded): the fixed 600 s
+# of rounds ≤7 was exhausted by the 227-query suite, so the tail —
+# which is the FAST queries under slow-first ordering — ran single-run
+# with no stall defense, and 20-60 s host stalls landed raw in the
+# record (r7: random_projection_16 recorded 7.6 s by the driver vs
+# 1.1 s in the same-code repo gate). Root cause of the r6→r7 ratio
+# drift; see SCALING.md "Bench measurement hygiene".
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "0")) or None
 _T_START = time.perf_counter()
 
 
 def _over_budget() -> bool:
-    return time.perf_counter() - _T_START > BUDGET_SEC
+    return BUDGET_SEC is not None and time.perf_counter() - _T_START > BUDGET_SEC
 
 # Headline = the full declared query suite (every operator family from
 # SURVEY §2), taken from the driver contract so bench never drifts.
@@ -54,6 +58,7 @@ def main() -> None:
     # protection should be spent where a stall hurts most. Ordering
     # comes from the committed previous run; new queries (no history)
     # run last in declared order.
+    _prev: dict[str, float] = {}
     try:
         with open(
             os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json")
@@ -62,6 +67,13 @@ def main() -> None:
         names = sorted(names, key=lambda n: -_prev.get(n, 0.0))
     except Exception:
         pass
+
+    global BUDGET_SEC
+    if BUDGET_SEC is None:
+        # ~3.2 s of re-run headroom per query keeps min-of-N coverage
+        # over the whole suite at its current size (empirically the
+        # spark phase needs ~2× the min-time sum)
+        BUDGET_SEC = max(600.0, 3.2 * len(names))
 
     def run(df) -> None:
         # noop sink: fully materializes every column (count() would let
@@ -82,6 +94,7 @@ def main() -> None:
             run(queries[wname](spark, warm_sf))
 
     timings: dict[str, float] = {}
+    rescue_spent = 0.0  # stall-rescue re-runs past the global budget
     for name in names:
         t0 = time.perf_counter()
         run(queries[name](spark, SF_DIR))
@@ -89,11 +102,24 @@ def main() -> None:
         # host-stall defense (20-60s idle-CPU stalls): re-run and take
         # the min. Short queries get two re-runs (a stall swamps them
         # completely); long ones get one; past the global budget,
-        # single runs only.
-        for _ in range(0 if _over_budget() else (2 if best < 1.5 else 1)):
+        # single runs only — EXCEPT when the first run carries the
+        # stall signature (≫ the committed prior-round time), which
+        # always earns one confirming re-run under a separate bounded
+        # budget, so a stall can never be recorded unchallenged.
+        n_extra = 0 if _over_budget() else (2 if best < 1.5 else 1)
+        if (
+            n_extra == 0
+            and rescue_spent < 150.0
+            and best > max(2.5, 3.0 * _prev.get(name, best / 3.0))
+        ):
+            n_extra = 1
+        for _ in range(n_extra):
             t0 = time.perf_counter()
             run(queries[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
+            t = time.perf_counter() - t0
+            if _over_budget():
+                rescue_spent += t
+            best = min(best, t)
         timings[name] = round(best, 3)
 
     streaming_eps = streaming_throughput(spark)
