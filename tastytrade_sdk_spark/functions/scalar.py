@@ -95,6 +95,21 @@ def interval_to_ms(interval: Column | str) -> Column:
     return count * unit_ms
 
 
+def interval_ms_value(interval: str) -> int:
+    """Driver-side Python twin of interval_to_ms, for sizing decisions
+    made while BUILDING a plan (e.g. deriving the as-of skew-bucket
+    width from the candle interval in run_backtest) — same anchored
+    whole-string grammar, but raises on malformed input instead of
+    yielding NULL (a sizing decision can't proceed on a bad interval).
+    """
+    import re
+
+    m = re.fullmatch(r"([0-9]*)([smhdw])", interval.lower())
+    if not m:
+        raise ValueError(f"malformed interval: {interval!r}")
+    return int(m.group(1) or 1) * _INTERVAL_MS[m.group(2)]
+
+
 def floor_time_to_interval(ts: Column | str, interval_ms: Column) -> Column:
     """Interval flooring (W8): epoch_ms // interval_ms * interval_ms as timestamp."""
     t = F.col(ts) if isinstance(ts, str) else ts

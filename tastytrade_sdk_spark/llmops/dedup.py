@@ -422,6 +422,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Broder CONTAINMENT near-dup join: pairs where one doc's
     distinct-shingle set is mostly inside the other's —
@@ -432,10 +433,28 @@ def ngram_containment_pairs(
     the quote/excerpt/wrapper duplicates this catches.
 
     Same plan as the Jaccard join (shingle-keyed self-join is the only
-    shuffle; cost tracks true overlap, never n^2); emits both directed
-    containments plus the max the filter runs on.
+    shuffle); cost tracks true overlap EXCEPT when a boilerplate
+    shingle is shared by m docs — that key alone contributes O(m²)
+    join rows. ``max_df`` drops shingles whose document frequency
+    exceeds it before the self-join (the same hot-key cap
+    winnowing_overlap_pairs applies): docs sharing only boilerplate
+    that common are not near-dups, and at lake scale the cap is what
+    keeps the join linear in true overlap. None (the default, and the
+    declared-[Q] form so the oracle SQL stays a plain self-join)
+    means uncapped — small-corpus exact semantics.
     """
     sh = _exploded_shingles(df, text_col, id_col, shingle_n, "shingle")
+    if max_df is not None:
+        # cap first, THEN size: containment ratios stay internally
+        # consistent within the capped shingle universe (the winnowing
+        # cap computes its sizes the same way)
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -525,6 +544,62 @@ def ngram_jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def pair_exact_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact distinct-shingle Jaccard for an EXPLICIT pair set
+    (columns ``doc_a``, ``doc_b``) — the bounded-by-construction form
+    of the exact-similarity audit.
+
+    Unlike ngram_jaccard_pairs' shingle self-join (quadratic in
+    duplicate-CLASS size: a class of m near-identical docs probes m²
+    combinations per shared shingle), this joins the shingle table
+    once per pair END — pairs ⋈ shingles(doc_a), then an equi-join on
+    (doc_b, shingle) — so total work is O(|pairs| · shingles_per_doc)
+    no matter how large any duplicate class is. The intended caller
+    feeds a deterministic hash-sample of candidate pairs, making the
+    exact audit O(sample) at any corpus scale.
+
+    Returns one row per input pair that shares ≥1 shingle
+    (``doc_a, doc_b, n_common, jaccard``); pairs sharing no shingle
+    are absent, matching ngram_jaccard_pairs(threshold→0) semantics.
+    """
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
 

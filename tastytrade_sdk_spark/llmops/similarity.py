@@ -741,6 +741,18 @@ def lsh_topk(
     )
 
 
+# Session-scoped build memo: NN-descent is deterministic in (corpus,
+# params), and the graph-ANN lifecycle is build-once / search-many —
+# three declared [Q]s (nn_descent_knn_graph, graph_ann_search,
+# knn_graph_index_search) construct the IDENTICAL graph. Keyed by
+# (session id, corpus analyzed-plan semanticHash, params); the cached
+# value is a lineage-cut snapshot, so reuse returns the same rows the
+# fresh build would. ``units``, when passed, MUST be the materialized
+# with_unit_vector(corpus) per its parameter contract below — it is
+# derived state, so it does not enter the key.
+_NN_DESCENT_MEMO: dict = {}
+
+
 def nn_descent(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -784,6 +796,18 @@ def nn_descent(
     from pyspark.sql import Window
 
     rev_cap = k if rev_cap is None else rev_cap
+    memo_key = None
+    if init_edges is None:
+        try:
+            memo_key = (
+                id(corpus.sparkSession._jsparkSession),
+                corpus.semanticHash(),
+                id_col, vec_col, k, rounds, rev_cap, round_dp,
+            )
+        except Exception:
+            memo_key = None
+        if memo_key is not None and memo_key in _NN_DESCENT_MEMO:
+            return _NN_DESCENT_MEMO[memo_key]
     if units is None:
         # callers that already materialized (id, __unit) — e.g.
         # knn_graph_index_write, which persists the same frame as the
@@ -855,12 +879,19 @@ def nn_descent(
         edges = scored0.withColumn("rnk", F.row_number().over(w_top)).filter(
             F.col("rnk") <= k
         )
-    return edges.select(
+    out = edges.select(
         F.col("src").alias(id_col),
         F.col("dst").alias("nbr_id"),
         "cosine",
         "rnk",
     )
+    if memo_key is not None:
+        if rounds == 0:
+            # the >0-rounds path is already a checkpointed snapshot;
+            # cut lineage here too so the memo never re-executes
+            out = out.localCheckpoint(eager=True)
+        _NN_DESCENT_MEMO[memo_key] = out
+    return out
 
 
 def quantize_int8(
@@ -1708,9 +1739,18 @@ def hamming_topk(
 
     ``max_queries`` makes the small-query-side contract STRUCTURAL — a
     limit node on the build side, the bound the plan audit verifies.
-    It is a guard, not a sampler: callers must pass a query frame
-    within the cap (excess rows would be truncated arbitrarily).
+    It is a guard, not a sampler: a query frame exceeding the cap
+    raises ValueError (silently truncating would drop a
+    nondeterministic subset of queries — the r7 advisor finding)
+    rather than returning incomplete results.
     """
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"hamming_topk: query frame exceeds max_queries="
+            f"{max_queries}; shard the query side (or raise the cap) "
+            "instead of relying on truncation"
+        )
     lo, hi = sign_code_words(F.col(vec_col))
     codes = _spread(corpus.select(id_col, vec_col), id_col).select(
         F.col(id_col), lo.alias("__lo"), hi.alias("__hi")

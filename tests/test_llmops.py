@@ -83,6 +83,83 @@ def test_ngram_jaccard(docs):
     assert (0, 3) not in out
 
 
+def test_pair_exact_jaccard_matches_self_join(docs):
+    """pair_exact_jaccard (the bounded audit form, r8) must agree
+    exactly with the shingle self-join on any explicit pair set, and
+    omit pairs sharing no shingle."""
+    from tastytrade_sdk_spark.llmops.dedup import pair_exact_jaccard
+
+    spark = docs.sparkSession
+    full = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in pair_exact_jaccard(docs, pairs).collect()
+    }
+    for p in [(0, 1), (0, 2), (1, 2)]:
+        assert got[p] == full[p]
+    assert (0, 3) not in got  # disjoint shingle sets -> absent
+
+
+def test_hamming_topk_fail_fast_over_cap(spark):
+    """r7 advisor finding: a query frame over max_queries raises
+    instead of silently truncating."""
+    import pytest
+
+    from tastytrade_sdk_spark.llmops.similarity import hamming_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        hamming_topk(emb, q, k=2, max_queries=4)
+    # within the cap still works
+    out = hamming_topk(emb, q.limit(2), k=2, max_queries=4)
+    assert out.count() > 0
+
+
+def test_ngram_containment_max_df_drops_boilerplate(spark):
+    """r7 advisor finding: the max_df cap drops hot boilerplate
+    shingles before the self-join — docs sharing ONLY a common footer
+    no longer pair, while genuine excerpt containment survives."""
+    from tastytrade_sdk_spark.llmops.dedup import ngram_containment_pairs
+
+    footer = (
+        "subscribe to our newsletter for daily updates and exclusive "
+        "offers today"
+    )
+    body0 = "a unique tale of great adventure"
+    rows = (
+        [(0, f"{body0} {footer}")]
+        + [(i, f"story {i} {footer}") for i in range(1, 6)]
+        # doc 10 is a genuine excerpt of doc 0 (no footer)
+        + [(10, body0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_containment_pairs(
+            df, threshold=0.8, max_df=3
+        ).collect()
+    }
+    assert (0, 10) in capped  # real excerpt kept
+    assert not any(
+        a < 6 and b < 6 for a, b in capped
+    ), "footer-only pairs must be dropped by the cap"
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_containment_pairs(df, threshold=0.8).collect()
+    }
+    assert any(a < 6 and b < 6 for a, b in uncapped)
+
+
 def test_simhash_hamming(docs):
     fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
     assert fp[0] == fp[1]
