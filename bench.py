@@ -89,6 +89,13 @@ def main() -> None:
         "knn_cosine_topk", "strategy_classification",
         "corpus_filter_pipeline", "kmeans_lloyd_step", "semdedup_keep",
         "range_join_window_views",
+        # the heavy index lifecycles run FIRST under slow-first
+        # ordering, i.e. against a cold JVM: warm their codegen /
+        # Python-worker / parquet-writer paths at sf0.001 so the sf0.1
+        # record measures the engine, not JIT warm-up (measured: cold
+        # first run 22.7 s vs 5.0 s warm for knn_graph_index_search)
+        "knn_graph_index_search", "bm25_index_stream_search",
+        "ivf_index_stream_search", "band_store_replay",
     ):
         if wname in queries:
             run(queries[wname](spark, warm_sf))
@@ -242,6 +249,28 @@ def streaming_throughput(spark) -> float:
     ev = load_table(spark, "events", SF_DIR)
     n = ev.count()
     schema = ev.schema
+
+    # warm-up stream first: the first streaming query in a session
+    # pays state-store/sink/codegen spin-up that halves the measured
+    # rate (measured: 143k cold vs 363k warm on identical input) —
+    # and the number this reports is defined as SUSTAINED throughput
+    warm_src = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    ev.limit(1000).write.mode("append").parquet(warm_src)
+    wq = (
+        streaming_ohlcv(
+            spark.readStream.schema(schema).parquet(warm_src),
+            symbol_col="event_type", time_col="ts", price_col="value",
+            size_col="value", interval="5 minutes",
+            watermark="30 minutes", order_col="event_id",
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("bench_stream_warm")
+        .start()
+    )
+    wq.processAllAvailable()
+    wq.stop()
+
     src = tempfile.mkdtemp(prefix="bench_stream_")
     # replay the table several times (shifted event ids) so query
     # startup (~seconds, fixed) is amortized and the number reflects
