@@ -58,15 +58,23 @@ def main() -> None:
     # protection should be spent where a stall hurts most. Ordering
     # comes from the committed previous run; new queries (no history)
     # run last in declared order.
+    # stall reference + ordering come from BENCH_BEST.json — the
+    # elementwise-min over all committed runs — NOT the last run:
+    # a stall that survives min-of-N inflates the last record, and an
+    # inflated reference would stop challenging that same stall next
+    # run (the reference must be the best the query has ever shown)
     _prev: dict[str, float] = {}
-    try:
-        with open(
-            os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json")
-        ) as fh:
-            _prev = json.load(fh).get("queries", {})
+    for fname in ("BENCH_BEST.json", "BENCH_LOCAL.json"):
+        try:
+            with open(
+                os.path.join(os.path.dirname(__file__), fname)
+            ) as fh:
+                _prev = json.load(fh).get("queries", {})
+            break
+        except Exception:
+            continue
+    if _prev:
         names = sorted(names, key=lambda n: -_prev.get(n, 0.0))
-    except Exception:
-        pass
 
     global BUDGET_SEC
     if BUDGET_SEC is None:
@@ -186,12 +194,28 @@ def main() -> None:
     print(json.dumps(out))
     # Full, untruncated record for the repo (committed per round so
     # the judge always has the complete dual per-query map).
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LOCAL.json"), "w"
-        ) as f:
+        with open(os.path.join(repo, "BENCH_LOCAL.json"), "w") as f:
             json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    # best-observed map (see loader above): elementwise min over runs
+    try:
+        best: dict[str, float] = {}
+        try:
+            with open(os.path.join(repo, "BENCH_BEST.json")) as f:
+                best = json.load(f).get("queries", {})
+        except Exception:
+            pass
+        merged = {
+            n: round(min(t, best.get(n, t)), 3)
+            for n, t in timings.items()
+        }
+        with open(os.path.join(repo, "BENCH_BEST.json"), "w") as f:
+            json.dump(
+                {"queries": dict(sorted(merged.items()))}, f, indent=1
+            )
     except OSError:
         pass
 
