@@ -669,12 +669,84 @@ def zorder_demo(spark, sf_dir: str) -> None:
         }), flush=True)
 
 
+def jaccard_audit_demo(spark, sf_dir: str, mult: int) -> None:
+    """The UNSAMPLED exact-Jaccard audit forms (retired from the
+    declared [Q]s in r8) — kept here as the measured counterexample:
+    the truth-side shingle self-join is quadratic in duplicate-class
+    size, so on the duplicate-heavy replicas it blows up with the
+    multiplier (46 s / 39 s at 10×; the r8 fixed-fraction mod-4 pair
+    sample still spun >45 min at 100× before being killed). The
+    declared forms bound the audit with an adaptive modulus to a
+    ~2000-pair / ~2000-doc constant; this demo is the 'before'."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.llmops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    def timed(thunk) -> float:
+        t0 = _t.perf_counter()
+        thunk().write.format("noop").mode("overwrite").save()
+        return round(_t.perf_counter() - t0, 2)
+
+    def full_estimate_error():
+        cand = lsh_candidate_pairs(docs, k=16, bands=4)
+        sigs = minhash_signatures(docs, k=16)
+        a = sigs.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"sig_{i}").alias(f"__a{i}") for i in range(16)],
+        )
+        b = sigs.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"sig_{i}").alias(f"__b{i}") for i in range(16)],
+        )
+        n_match = sum(
+            F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+            for i in range(16)
+        ).cast("long")
+        est = (
+            cand.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b", n_match.alias("n_match"))
+        )
+        exact = ngram_jaccard_pairs(docs, threshold=0.0).select(
+            "doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard")
+        )
+        return est.join(exact, ["doc_a", "doc_b"], "left")
+
+    def full_dedup_eval():
+        truth = ngram_jaccard_pairs(docs, threshold=0.5).select(
+            "doc_a", "doc_b"
+        )
+        cand = lsh_candidate_pairs(docs, k=16, bands=4)
+        t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        h = cand.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        return t.crossJoin(c).crossJoin(h)
+
+    for label, thunk in (
+        ("minhash_estimate_error_unsampled", full_estimate_error),
+        ("lsh_dedup_eval_unsampled", full_dedup_eval),
+    ):
+        print(json.dumps({"demo": "jaccard_audit_full", "mult": mult,
+                          "variant": label, "sec": timed(thunk)}),
+              flush=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--bucketing", "--skew", "--zorder",
                          "--semdedup-scaled", "--bloom", "--sa",
                          "--skipping", "--negatives", "--hotkey",
-                         "--winnowhot")
+                         "--winnowhot", "--jaccard-audit")
             and not a.startswith("--only=")]
     probe = PROBE
     for a in sys.argv[1:]:
@@ -729,6 +801,8 @@ def main() -> None:
             hotkey_demo(spark, BASE, mult)
         if "--winnowhot" in sys.argv and mult == 1:
             winnowhot_demo(spark, BASE)
+        if "--jaccard-audit" in sys.argv:
+            jaccard_audit_demo(spark, sf_dir, mult)
 
 
 if __name__ == "__main__":
