@@ -47,6 +47,38 @@ def _over_budget() -> bool:
 HEADLINE: list[str] = []  # filled from queries() in main()
 
 
+def _robust_prior(repo: str, k_runs: int = 5) -> dict[str, float]:
+    """Per-query prior = MEDIAN over the last ``k_runs`` committed
+    bench runs (BENCH_HISTORY.json, appended by every run), falling
+    back to BENCH_LOCAL then BENCH_BEST for queries with no history.
+
+    A median prior resists both tails (r8 advice): one stalled round
+    cannot inflate it (which would stop future slow-challenges of the
+    same stall), and one anomalously-fast run cannot deflate it into a
+    reference no honest run reproduces (the BENCH_BEST elementwise-min
+    ratchet). BENCH_BEST remains a committed best-observed RECORD, but
+    it no longer drives ordering or challenge thresholds."""
+    import statistics
+
+    samples: dict[str, list[float]] = {}
+    try:
+        with open(os.path.join(repo, "BENCH_HISTORY.json")) as fh:
+            for run in json.load(fh).get("runs", [])[-k_runs:]:
+                for n, t in run.get("queries", {}).items():
+                    samples.setdefault(n, []).append(float(t))
+    except Exception:
+        pass
+    prior = {n: statistics.median(v) for n, v in samples.items()}
+    for fname in ("BENCH_LOCAL.json", "BENCH_BEST.json"):
+        try:
+            with open(os.path.join(repo, fname)) as fh:
+                for n, t in json.load(fh).get("queries", {}).items():
+                    prior.setdefault(n, float(t))
+        except Exception:
+            continue
+    return prior
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -55,24 +87,11 @@ def main() -> None:
     names = HEADLINE or list(queries)
     # run historically-slow queries FIRST: the global budget degrades
     # late queries to single (stall-exposed) runs, so the min-of-N
-    # protection should be spent where a stall hurts most. Ordering
-    # comes from the committed previous run; new queries (no history)
-    # run last in declared order.
-    # stall reference + ordering come from BENCH_BEST.json — the
-    # elementwise-min over all committed runs — NOT the last run:
-    # a stall that survives min-of-N inflates the last record, and an
-    # inflated reference would stop challenging that same stall next
-    # run (the reference must be the best the query has ever shown)
-    _prev: dict[str, float] = {}
-    for fname in ("BENCH_BEST.json", "BENCH_LOCAL.json"):
-        try:
-            with open(
-                os.path.join(os.path.dirname(__file__), fname)
-            ) as fh:
-                _prev = json.load(fh).get("queries", {})
-            break
-        except Exception:
-            continue
+    # protection should be spent where a stall hurts most. Ordering +
+    # challenge thresholds come from the robust median prior; new
+    # queries (no history) run last in declared order.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    _prev = _robust_prior(repo)
     if _prev:
         names = sorted(names, key=lambda n: -_prev.get(n, 0.0))
 
@@ -109,44 +128,72 @@ def main() -> None:
             run(queries[wname](spark, warm_sf))
 
     timings: dict[str, float] = {}
-    rescue_spent = 0.0  # stall-rescue re-runs past the global budget
-    for name in names:
+    rescue_spent = 0.0  # challenge re-runs charged past the budget
+    RESCUE_CAP = 240.0
+
+    def timed(name: str) -> float:
         t0 = time.perf_counter()
         run(queries[name](spark, SF_DIR))
-        best = time.perf_counter() - t0
+        return time.perf_counter() - t0
+
+    for name in names:
+        best = timed(name)
+        prior = _prev.get(name)
         # host-stall defense (20-60s idle-CPU stalls): re-run and take
         # the min. Short queries get two re-runs (a stall swamps them
         # completely); long ones get one; past the global budget,
         # single runs only — EXCEPT when the first run carries the
-        # stall signature (≫ the committed prior-round time), which
-        # always earns one confirming re-run under a separate bounded
-        # budget, so a stall can never be recorded unchallenged.
+        # stall signature (≫ the median prior), which always earns one
+        # confirming re-run under the bounded rescue budget, so a
+        # stall can never be recorded unchallenged.
         n_extra = 0 if _over_budget() else (2 if best < 1.5 else 1)
         if (
             n_extra == 0
-            and rescue_spent < 150.0
-            and best > max(2.5, 3.0 * _prev.get(name, best / 3.0))
+            and rescue_spent < RESCUE_CAP
+            and prior is not None
+            and best > max(2.0, 2.0 * prior)
         ):
             n_extra = 1
         for _ in range(n_extra):
-            t0 = time.perf_counter()
-            run(queries[name](spark, SF_DIR))
-            t = time.perf_counter() - t0
+            t = timed(name)
             if _over_budget():
                 rescue_spent += t
             best = min(best, t)
-        # both runs stall-hit (~6% at a 25% stall rate — and exactly
-        # what the r8 record showed for two mid-weight queries): when
-        # the min still exceeds 1.5x the committed prior, buy one more
-        # run before recording a number the prior round contradicts
-        if (
-            name in _prev
-            and best > 1.5 * _prev[name]
-            and not _over_budget()
+        # every run stall-hit (~6% at a 25% stall rate — exactly what
+        # the r8 record showed for two mid-weight queries that sat
+        # just under the old 3x trigger): while the min still exceeds
+        # 1.5x the median prior, buy confirming runs — charged to the
+        # rescue budget so this defense survives global-budget
+        # exhaustion (the r8 failure mode), and tighter for mid-cost
+        # queries (prior >= 2s) where a 2.5x stall costs the record
+        # the most.
+        challenges = 2
+        while (
+            prior is not None
+            and challenges > 0
+            and rescue_spent < RESCUE_CAP
+            and best > 1.5 * prior
         ):
-            t0 = time.perf_counter()
-            run(queries[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
+            t = timed(name)
+            rescue_spent += t
+            best = min(best, t)
+            challenges -= 1
+        # symmetric fast-side challenge (r8 advice): a min FAR below
+        # the median prior is as suspect as a stall — a one-off fluke
+        # (page-cache luck, a plan accidentally reusing session state)
+        # must not ratchet into BENCH_BEST as a permanent reference.
+        # One confirming run; if it can't reproduce within 2x of the
+        # outlier, record the reproducible time instead of the fluke.
+        if (
+            prior is not None
+            and prior >= 1.0
+            and best < 0.4 * prior
+            and rescue_spent < RESCUE_CAP
+        ):
+            t = timed(name)
+            rescue_spent += t
+            if t > 2.0 * best:
+                best = t
         timings[name] = round(best, 3)
 
     streaming_eps = streaming_throughput(spark)
@@ -194,22 +241,37 @@ def main() -> None:
     print(json.dumps(out))
     # Full, untruncated record for the repo (committed per round so
     # the judge always has the complete dual per-query map).
-    repo = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(repo, "BENCH_LOCAL.json"), "w") as f:
             json.dump(out, f, indent=1)
     except OSError:
         pass
-    # best-observed map (see loader above): elementwise min over runs
+    # rolling per-run history — feeds the median prior next run
     try:
-        best: dict[str, float] = {}
+        hist: list[dict] = []
+        try:
+            with open(os.path.join(repo, "BENCH_HISTORY.json")) as f:
+                hist = json.load(f).get("runs", [])
+        except Exception:
+            pass
+        hist.append({"sf": out["sf"], "queries": timings})
+        with open(os.path.join(repo, "BENCH_HISTORY.json"), "w") as f:
+            json.dump({"runs": hist[-5:]}, f, indent=1)
+    except OSError:
+        pass
+    # best-observed RECORD (not the challenge prior — see
+    # _robust_prior): elementwise min over challenge-passed runs only,
+    # so a value can enter it only after surviving the fast-side
+    # confirmation above
+    try:
+        best_map: dict[str, float] = {}
         try:
             with open(os.path.join(repo, "BENCH_BEST.json")) as f:
-                best = json.load(f).get("queries", {})
+                best_map = json.load(f).get("queries", {})
         except Exception:
             pass
         merged = {
-            n: round(min(t, best.get(n, t)), 3)
+            n: round(min(t, best_map.get(n, t)), 3)
             for n, t in timings.items()
         }
         with open(os.path.join(repo, "BENCH_BEST.json"), "w") as f:

@@ -741,16 +741,13 @@ def lsh_topk(
     )
 
 
-# Session-scoped build memo: NN-descent is deterministic in (corpus,
-# params), and the graph-ANN lifecycle is build-once / search-many —
-# three declared [Q]s (nn_descent_knn_graph, graph_ann_search,
-# knn_graph_index_search) construct the IDENTICAL graph. Keyed by
-# (session id, corpus analyzed-plan semanticHash, params); the cached
-# value is a lineage-cut snapshot, so reuse returns the same rows the
-# fresh build would. ``units``, when passed, MUST be the materialized
-# with_unit_vector(corpus) per its parameter contract below — it is
-# derived state, so it does not enter the key.
-_NN_DESCENT_MEMO: dict = {}
+# NOTE: an earlier revision memoized nn_descent per (session,
+# semanticHash, params). Removed: semanticHash is a PLAN hash, not a
+# data hash, so in-place table changes silently returned a stale
+# graph, and bench min-of-N re-runs measured the cache hit rather
+# than the declared build. Build-once/search-many amortization is the
+# job of the explicit persisted index API (knn_graph_index_write /
+# knn_graph_index_search) — every in-session call now builds.
 
 
 def nn_descent(
@@ -796,18 +793,6 @@ def nn_descent(
     from pyspark.sql import Window
 
     rev_cap = k if rev_cap is None else rev_cap
-    memo_key = None
-    if init_edges is None:
-        try:
-            memo_key = (
-                id(corpus.sparkSession._jsparkSession),
-                corpus.semanticHash(),
-                id_col, vec_col, k, rounds, rev_cap, round_dp,
-            )
-        except Exception:
-            memo_key = None
-        if memo_key is not None and memo_key in _NN_DESCENT_MEMO:
-            return _NN_DESCENT_MEMO[memo_key]
     if units is None:
         # callers that already materialized (id, __unit) — e.g.
         # knn_graph_index_write, which persists the same frame as the
@@ -879,19 +864,12 @@ def nn_descent(
         edges = scored0.withColumn("rnk", F.row_number().over(w_top)).filter(
             F.col("rnk") <= k
         )
-    out = edges.select(
+    return edges.select(
         F.col("src").alias(id_col),
         F.col("dst").alias("nbr_id"),
         "cosine",
         "rnk",
     )
-    if memo_key is not None:
-        if rounds == 0:
-            # the >0-rounds path is already a checkpointed snapshot;
-            # cut lineage here too so the memo never re-executes
-            out = out.localCheckpoint(eager=True)
-        _NN_DESCENT_MEMO[memo_key] = out
-    return out
 
 
 def quantize_int8(
@@ -1737,14 +1715,23 @@ def hamming_topk(
     this is the shortlist stage: feed the survivors to exact cosine
     (sq8_rescore_topk's pattern) for the final ranking.
 
-    ``max_queries`` makes the small-query-side contract STRUCTURAL — a
-    limit node on the build side, the bound the plan audit verifies.
+    ``max_queries`` makes the small-query-side contract STRUCTURAL —
+    the broadcast side is a counted snapshot of at most ``max_queries``
+    rows (guaranteed by the guard below, which raises before any join
+    is built on a larger frame).
     It is a guard, not a sampler: a query frame exceeding the cap
     raises ValueError (silently truncating would drop a
     nondeterministic subset of queries — the r7 advisor finding)
-    rather than returning incomplete results.
+    rather than returning incomplete results. The guard counts a
+    SNAPSHOT of the query frame and joins that same snapshot (r8
+    advisor finding): counting one evaluation of a nondeterministic
+    plan and joining another could pass the guard yet exceed the cap
+    — and the snapshot also avoids executing the query plan twice.
     """
-    n_q = queries.limit(max_queries + 1).count()
+    q_snap = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col)
+    ).localCheckpoint(eager=True)
+    n_q = q_snap.count()
     if n_q > max_queries:
         raise ValueError(
             f"hamming_topk: query frame exceeds max_queries="
@@ -1756,11 +1743,11 @@ def hamming_topk(
         F.col(id_col), lo.alias("__lo"), hi.alias("__hi")
     )
     qlo, qhi = sign_code_words(F.col(vec_col))
-    qc = queries.select(
-        F.col(query_id_col).alias("__qid"),
+    qc = q_snap.select(
+        F.col("__qid"),
         qlo.alias("__qlo"),
         qhi.alias("__qhi"),
-    ).limit(max_queries)
+    )
     scored = codes.join(
         F.broadcast(qc), F.col(id_col) != F.col("__qid")
     ).select(

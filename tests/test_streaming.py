@@ -336,6 +336,54 @@ class TestStateEviction:
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+class TestAutoEvictResolution:
+    def test_watermark_detected_via_plan_node_tree(self, spark):
+        """_has_event_time_watermark walks the analyzed plan tree —
+        true only for an actual EventTimeWatermark node, not for a
+        column/literal that happens to mention watermarks."""
+        from tastytrade_sdk_spark.streaming.signal_engine import (
+            _has_event_time_watermark,
+        )
+
+        schema = "symbol string, time timestamp, close double"
+        src = tempfile.mkdtemp(prefix="wmdetect_src_")
+        try:
+            spark.createDataFrame([], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            assert not _has_event_time_watermark(stream)
+            assert _has_event_time_watermark(
+                stream.withWatermark("time", "30 minutes")
+            )
+            # a decoy string column must not trip the detector (the
+            # r8 toString-substring form would have matched it)
+            decoy = stream.withColumn(
+                "note", F.lit("EventTimeWatermark")
+            )
+            assert not _has_event_time_watermark(decoy)
+            # batch frames have no watermark by construction
+            assert not _has_event_time_watermark(
+                spark.createDataFrame([], schema)
+            )
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    def test_auto_horizon_derives_from_candle_interval(self):
+        from tastytrade_sdk_spark.streaming.signal_engine import (
+            DEFAULT_EVICT_IDLE_MS,
+            _auto_evict_horizon_ms,
+        )
+
+        assert _auto_evict_horizon_ms(False, "5m") is None
+        assert _auto_evict_horizon_ms(True, None) == DEFAULT_EVICT_IDLE_MS
+        # intraday: 50 intervals sit under a week -> 7-day floor
+        assert _auto_evict_horizon_ms(True, "5m") == DEFAULT_EVICT_IDLE_MS
+        # daily: 50 candles = 50 days, wider than the week
+        assert _auto_evict_horizon_ms(True, "1d") == 50 * 86_400_000
+        assert _auto_evict_horizon_ms(True, "1w") == 350 * 86_400_000
+
+
 class TestStreamingOps:
     def test_streaming_ohlcv_and_latest(self, spark):
         from tastytrade_sdk_spark.streaming.streams import (
