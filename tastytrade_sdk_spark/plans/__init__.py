@@ -29,68 +29,76 @@ ORACLE_SQL.update(KERNEL_ORACLE_SQL)
 QUERIES.update(DOMAIN_QUERIES)
 ORACLE_SQL.update(DOMAIN_ORACLE_SQL)
 
-# The driver-sampled window: one representative query per major family.
-# 24 LLM-pipeline + 18 core/TPC-H/indicator + 4 kernel + 4 domain = 50.
+# The driver-sampled window, ROTATED per round (r8 judge item 1):
+# rounds 1-8 attested 107 distinct queries; this r9 window is drawn
+# ENTIRELY from the 120 names never sampled by any prior round
+# (CORRECTNESS_r01..r08 union), so every slot converts a
+# self-attested query into a driver-attested one. Families per the
+# r8 verdict ask: TPC-H widening, indicator widening, streamed-index
+# lifecycles, substr, BPE, mixtures, calibration audits, graph ANN,
+# sketch stores.
 _SAMPLE_WINDOW = [
-    # LLM dedup family
-    "dedup_exact_text",
-    "url_canonical_dedup",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "dedup_clusters",
-    "simhash_fingerprints",
-    "ngram_jaccard_pairs",
-    "embedding_near_dup_pairs",
-    "semdedup_keep",
-    "winnowing_dedup_clusters",
-    "exact_substring_spans",
-    # ANN / similarity family
-    "knn_cosine_topk",
-    "ann_ivf_cosine",
-    "ann_lsh_cosine",
-    "pq_adc_search",
-    "ann_hamming_topk",
-    # retrieval family
-    "bm25_index_search",
-    "hybrid_search_rrf",
-    "mmr_rerank_topk",
-    # quality / text-analysis family
-    "gopher_quality_filter",
-    "langid_heuristic",
-    "tokenizer_fertility_per_lang",
-    # packing / mixtures family
-    "pack_sequences",
-    "nfd_pack_bins",
-    # streaming sketch stores
-    "hll_store_replay",
-    "heavy_hitter_tokens",
-    # kernels (applyInPandas surfaces, never driver-sampled before)
-    "strategy_classification",
-    "signal_detection",
-    "lifo_entry_credit",
-    "backtest_entry_enrichment",
-    # domain plans
-    "strategy_net_greeks",
-    "campaign_summary",
-    "position_summary",
-    "merge_prefer_streamer",
-    # core/TPC-H/indicator continuity picks (driver-green 7 rounds)
-    "pricing_summary",
-    "nation_revenue",
-    "shipping_priority_top10",
-    "supplier_weighted_price",
-    "latest_event_per_user",
-    "keep_last_upsert",
-    "ohlcv_hourly",
-    "asof_entry_price_skewsafe",
-    "gap_fill_hourly",
-    "hull_ma_hourly",
-    "macd_daily",
-    "prior_day_value",
-    "session_gated_activity",
-    "viewers_without_purchase",
-    "kmv_distinct_users",
-    "cdc_final_state",
+    # TPC-H widening (12)
+    "min_cost_supplier_per_part",
+    "important_stock_shares",
+    "idle_customer_balances",
+    "returned_item_report",
+    "nation_market_share",
+    "promo_revenue_monthly",
+    "customer_order_distribution",
+    "top_supplier_quarter",
+    "volume_shipping_pair",
+    "product_margin_by_nation",
+    "sole_late_supplier_blame",
+    "excess_stock_suppliers",
+    # kernel + domain widening (5)
+    "strategy_leg_conservation",
+    "strategy_max_profit_loss",
+    "positions_latest_quote_join",
+    "account_order_fills",
+    "trade_chain_rollforward",
+    # indicator widening (6)
+    "atr_daily",
+    "rolling_beta_daily",
+    "obv_daily",
+    "donchian_daily",
+    "keltner_daily",
+    "autocorr_daily",
+    # streamed/persisted index lifecycles (5)
+    "bm25_index_stream_search",
+    "ivf_index_stream_search",
+    "ivf_index_compact_search",
+    "ivf_index_append_search",
+    "ivf_index_search",
+    # exact-substring family (3)
+    "sa_substring_spans",
+    "cross_snapshot_substring_spans",
+    "exact_substring_scrub",
+    # BPE tokenization (3)
+    "bpe_encode_vocab",
+    "bpe_merge_candidates",
+    "bpe_token_stats",
+    # data mixtures / sampling (4)
+    "doremi_domain_weights",
+    "unimax_language_budget",
+    "temperature_resample_manifest",
+    "weighted_doc_sample",
+    # dedup/ANN calibration audits (4)
+    "minhash_estimate_error",
+    "lsh_dedup_eval",
+    "ann_recall_curve",
+    "retrieval_eval_metrics",
+    # graph ANN (3)
+    "nn_descent_knn_graph",
+    "graph_ann_search",
+    "knn_graph_index_search",
+    # incremental sketch/band stores (4)
+    "mg_store_replay",
+    "band_store_replay",
+    "decayed_topk_replay",
+    "store_change_feed",
+    # multimodal gate (1)
+    "multimodal_alignment_filter",
 ]
 
 assert len(_SAMPLE_WINDOW) == 50, len(_SAMPLE_WINDOW)

@@ -490,3 +490,240 @@ def test_reconnect_preserves_subscription_position(spark):
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestLoopbackSocketIngest:
+    """S1 live-socket path: a stdlib-TCP loopback server speaking the
+    DXLink JSON frame protocol (reference sockets.py:150-312 —
+    handshake order, channel demux, COMPACT FEED_DATA, queue-full
+    drop-with-warning), a client that drains into the file-backend
+    feed bus, and the existing Spark pipeline consuming live-socket
+    data end-to-end."""
+
+    SCRIPT = [
+        ("Quote", "Quote", ["AAPL", 1000, 189.5, 189.6, 100, 200]),
+        ("Quote", "Quote", ["MSFT", 1000, 400.1, 400.3, 50, 75]),
+        ("Trade", "Trade", ["AAPL", 1001, 189.55, 1_000_000, 10]),
+        # candle fields: symbol, epoch-ms time, flags, o, h, l, c, v
+        ("Candle", "Candle", ["SPX{=5m}", 1_000_000, 0, 1.0, 2.0, 0.5, 1.5, 10]),
+        ("Candle", "Candle", ["SPX{=5m}", 2_000_000, 0, 1.5, 2.5, 1.0, 2.0, 20]),
+        ("Candle", "Candle", ["SPX{=5m}", 3_000_000, 0, 2.0, 3.0, 1.5, 2.5, 30]),
+    ]
+
+    def _connect(self, server, bus, **kw):
+        from tastytrade_sdk_spark.sources.socket_source import (
+            DXLinkSocketClient,
+        )
+
+        client = DXLinkSocketClient(
+            "127.0.0.1", server.port, token="tok", bus_path=bus, **kw
+        )
+        client.connect(timeout=5.0)
+        return client
+
+    def test_handshake_acks_in_reference_order(self):
+        import tempfile
+
+        from tastytrade_sdk_spark.sources.socket_source import (
+            LoopbackFeedServer,
+        )
+
+        server = LoopbackFeedServer(self.SCRIPT)
+        bus = tempfile.mkdtemp(prefix="sockbus_")
+        try:
+            client = self._connect(server, bus)
+            types = [m["type"] for m in client.control_acks]
+            # SETUP ack, then AUTH_STATE, then one CHANNEL_OPENED per
+            # requested channel (the handshake gates on each in order)
+            assert types[0] == "SETUP"
+            assert types[1] == "AUTH_STATE"
+            assert types.count("CHANNEL_OPENED") == 4
+            client.close()
+        finally:
+            server.close()
+            shutil.rmtree(bus, ignore_errors=True)
+
+    def test_unauthorized_token_fails_handshake(self):
+        import tempfile
+
+        from tastytrade_sdk_spark.sources.socket_source import (
+            DXLinkSocketClient,
+            LoopbackFeedServer,
+        )
+
+        server = LoopbackFeedServer(self.SCRIPT)
+        bus = tempfile.mkdtemp(prefix="sockbus_")
+        try:
+            client = DXLinkSocketClient(
+                "127.0.0.1", server.port, token="", bus_path=bus
+            )
+            with pytest.raises(TimeoutError, match="AUTH_STATE"):
+                client.connect(timeout=0.5)
+            client.close()
+        finally:
+            server.close()
+            shutil.rmtree(bus, ignore_errors=True)
+
+    def test_socket_to_spark_pipeline_end_to_end(self, spark):
+        """Subscribed symbols' COMPACT frames land on the bus with
+        per-channel offsets, and decode_compact over feed_bus_stream
+        yields the typed rows — the full S1+S2 path on live-socket
+        data. Unsubscribed symbols (MSFT) never arrive."""
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from tastytrade_sdk_spark.sources.compact import decode_compact
+        from tastytrade_sdk_spark.sources.socket_source import (
+            LoopbackFeedServer,
+        )
+
+        server = LoopbackFeedServer(self.SCRIPT)
+        bus = tempfile.mkdtemp(prefix="sockbus_")
+        try:
+            client = self._connect(server, bus)
+            client.subscribe("Quote", add=["AAPL"])
+            client.subscribe("Trade", add=["AAPL"])
+            n = client.drain_to_bus(min_events=2, timeout=5.0)
+            assert n == 2  # AAPL quote + trade; MSFT filtered server-side
+
+            stream = feed_bus_stream(spark, bus, channels=["Quote"])
+            quote_schema = T.StructType([
+                T.StructField("eventSymbol", T.StringType()),
+                T.StructField("time", T.LongType()),
+                T.StructField("bidPrice", T.DoubleType()),
+                T.StructField("askPrice", T.DoubleType()),
+                T.StructField("bidSize", T.DoubleType()),
+                T.StructField("askSize", T.DoubleType()),
+            ])
+            decoded = decode_compact(
+                stream.withColumn(
+                    "arr",
+                    F.slice(
+                        F.from_json("payload", "array<string>"), 2, 1000000
+                    ),
+                ),
+                "arr",
+                quote_schema,
+                keep_cols=["channel", "offset"],
+            )
+            q = _drain(decoded, "sock_quotes")
+            q.stop()
+            rows = spark.sql(
+                "select * from sock_quotes where not _corrupt"
+            ).collect()
+            assert len(rows) == 1
+            r = rows[0]
+            assert (r["eventSymbol"], r["bidPrice"], r["askPrice"]) == (
+                "AAPL", 189.5, 189.6,
+            )
+            assert r["channel"] == "Quote" and r["offset"] == 0
+        finally:
+            client.close()
+            server.close()
+            shutil.rmtree(bus, ignore_errors=True)
+
+    def test_candle_fromtime_backfill_cut(self):
+        """A candle subscription with fromTime replays only the
+        snapshot at/after the cut (sockets.py:452-531 semantics)."""
+        import tempfile
+
+        from tastytrade_sdk_spark.sources.socket_source import (
+            LoopbackFeedServer,
+        )
+
+        server = LoopbackFeedServer(self.SCRIPT)
+        bus = tempfile.mkdtemp(prefix="sockbus_")
+        try:
+            client = self._connect(server, bus)
+            client.subscribe(
+                "Candle",
+                add=[{"symbol": "SPX{=5m}", "fromTime": 2_000_000}],
+            )
+            n = client.drain_to_bus(min_events=2, timeout=5.0)
+            assert n == 2  # candle at 1_000_000 cut by fromTime
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(bus, format="parquet").to_table()
+            payloads = [json.loads(p) for p in tbl.column("payload").to_pylist()]
+            # payload is the flat COMPACT array: [type, symbol, time, ...]
+            times = sorted(int(p[2]) for p in payloads)
+            assert times == [2_000_000, 3_000_000]
+        finally:
+            client.close()
+            server.close()
+            shutil.rmtree(bus, ignore_errors=True)
+
+    def test_queue_full_drops_with_warning_not_crash(self, caplog):
+        """The reference's QueueFull policy (sockets.py:211-217): a
+        full channel queue drops the frame with a warning; the
+        listener and the other channels keep going."""
+        import logging
+        import tempfile
+        import time as _time
+
+        from tastytrade_sdk_spark.sources.socket_source import (
+            LoopbackFeedServer,
+        )
+
+        server = LoopbackFeedServer(self.SCRIPT)
+        bus = tempfile.mkdtemp(prefix="sockbus_")
+        try:
+            client = self._connect(server, bus, queue_maxsize=1)
+            with caplog.at_level(
+                logging.WARNING,
+                logger="tastytrade_sdk_spark.sources.socket_source",
+            ):
+                # 3 candles into a 1-slot queue: 2 dropped
+                client.subscribe("Candle", add=["SPX{=5m}"])
+                deadline = _time.monotonic() + 5.0
+                while (
+                    client.dropped_counts.get(9, 0) < 2
+                    and _time.monotonic() < deadline
+                ):
+                    _time.sleep(0.02)
+            assert client.dropped_counts.get(9, 0) == 2
+            assert any(
+                "dropping message" in r.message for r in caplog.records
+            )
+            # the surviving frame still drains
+            assert client.drain_to_bus(min_events=1, timeout=2.0) == 1
+        finally:
+            client.close()
+            server.close()
+            shutil.rmtree(bus, ignore_errors=True)
+
+    def test_drop_reconnect_resumes_offsets_from_bus(self):
+        """An injected socket drop sets the client's drop latch (the
+        ReconnectSignal seam); a new connect re-handshakes and the
+        next drained batch CONTINUES each channel's offset sequence
+        past the bus's committed maxima — the resume='sink' contract
+        on live-socket data."""
+        import tempfile
+
+        from tastytrade_sdk_spark.sources.socket_source import (
+            LoopbackFeedServer,
+        )
+
+        server = LoopbackFeedServer(self.SCRIPT)
+        bus = tempfile.mkdtemp(prefix="sockbus_")
+        try:
+            client = self._connect(server, bus)
+            client.subscribe("Quote", add=["AAPL", "MSFT"])
+            assert client.drain_to_bus(min_events=2, timeout=5.0) == 2
+            server.inject_drop()
+            assert client.connection_dropped.wait(5.0)
+            # reconnect: fresh socket, same bus -> offsets resume
+            client.connect(timeout=5.0)
+            client.subscribe("Quote", add=["AAPL", "MSFT"])
+            assert client.drain_to_bus(min_events=2, timeout=5.0) == 2
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(bus, format="parquet").to_table()
+            offs = sorted(tbl.column("offset").to_pylist())
+            # 4 quote envelopes, offsets 0..3 with NO restart to 0
+            assert offs == [0, 1, 2, 3]
+        finally:
+            client.close()
+            server.close()
+            shutil.rmtree(bus, ignore_errors=True)
