@@ -1,0 +1,1019 @@
+"""Quality / text-analysis queries: Gopher/C4/CCNet filters, language ID, repetition stats, LM scoring, PII scrub, per-language rollups.
+
+Split from plans/llm_queries.py (r9); shared helpers live in plans/_llm_base.py and the registry aggregation point stays plans/llm_queries.py.
+"""
+
+from __future__ import annotations
+
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.llmops import textops
+from tastytrade_sdk_spark.llmops.dedup import (
+    default_coeffs,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from tastytrade_sdk_spark.llmops.multimodal import attach_payload_meta
+from tastytrade_sdk_spark.llmops.similarity import brute_force_topk, lsh_topk
+from tastytrade_sdk_spark.sources.tables import load_table
+
+from tastytrade_sdk_spark.plans._llm_base import (  # noqa: F401
+    _LM_SCORE_SQL,
+    _MINHASH_CTE,
+    _QUALITY_SQL,
+    _SPLIT_BUCKET_SQL,
+    _TOKS_CTE,
+    _TOKS_SQL,
+    _band_rows_sql,
+    _lang_score_sql,
+    _q,
+    _tokenized_docs,
+)
+
+@_q(
+    "text_quality_stats",
+    _TOKS_CTE
+    + r"""
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           length(text) AS n_chars,
+           round(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(list_filter(t, x -> list_contains(
+                   ['the','a','and','of','to','in','is','on','for','with'], x)))
+                 / greatest(len(t), 1), 6) AS stopword_ratio,
+           round(0.4 * least(len(t) / 100.0, 1.0)
+                 + 0.3 * (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))
+                          / greatest(length(text), 1))
+                 + 0.3 * (len(list_filter(t, x -> list_contains(
+                     ['the','a','and','of','to','in','is','on','for','with'], x)))
+                          / greatest(len(t), 1)), 6) AS quality
+    FROM toks
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length/punct/stopword recipe)."""
+    docs = _tokenized_docs(spark, sf_dir)
+    toks = F.col("__toks")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(textops.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(textops.stopword_ratio(toks), 6).alias("stopword_ratio"),
+        F.round(textops.quality_score(toks, "text"), 6).alias("quality"),
+    )
+
+@_q(
+    "langid_heuristic",
+    _TOKS_CTE
+    + f"""
+    , scored AS (
+      SELECT doc_id,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr
+      FROM toks
+    )
+    SELECT doc_id, s_de, s_en, s_es, s_fr,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram(-ish) language ID: stopword-profile argmax, alphabetical
+    tie-break, 'und' when nothing matches."""
+    docs = _tokenized_docs(spark, sf_dir)
+    toks = F.col("__toks")
+    scores = textops.langid_scores(toks)
+    return docs.select(
+        "doc_id",
+        scores["de"].alias("s_de"),
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["fr"].alias("s_fr"),
+        textops.predicted_lang(toks).alias("predicted_lang"),
+    )
+
+@_q(
+    "corpus_language_cube",
+    _TOKS_CTE
+    + """
+    , base AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             CASE WHEN len(list_filter(t, x -> list_contains(
+                    ['the','and','of','to','is','in','that','it'], x))) > 0
+                  THEN 'en' ELSE 'other' END AS lang_class,
+             CASE WHEN len(t) >= 100 THEN 'long'
+                  WHEN len(t) >= 30 THEN 'mid' ELSE 'short' END AS len_class
+      FROM toks
+    )
+    SELECT lang_class, len_class,
+           count(*) AS n_docs,
+           round(avg(n_tokens), 6) AS avg_tokens
+    FROM base GROUP BY CUBE(lang_class, len_class)
+    """,
+)
+def corpus_language_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition CUBE: (language-class x length-class) counts
+    with subtotal and grand-total rows — the grouping-sets shape every
+    corpus report needs, as one pass (partial aggregation per grouping
+    set, no separate jobs)."""
+    docs = _tokenized_docs(spark, sf_dir)
+    t = F.col("__toks")
+    en_hits = F.size(
+        F.filter(
+            t,
+            lambda x: x.isin("the", "and", "of", "to", "is", "in", "that", "it"),
+        )
+    )
+    base = docs.select(
+        F.size(t).alias("n_tokens"),
+        F.when(en_hits > 0, "en").otherwise("other").alias("lang_class"),
+        F.when(F.size(t) >= 100, "long")
+        .when(F.size(t) >= 30, "mid")
+        .otherwise("short")
+        .alias("len_class"),
+    )
+    return base.cube("lang_class", "len_class").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+    )
+
+@_q(
+    "repetition_stats",
+    _TOKS_CTE
+    + """
+    , sh AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [] END AS tg
+      FROM toks
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           round(1.0 - len(list_distinct(t)) / greatest(len(t), 1), 6)
+             AS dup_token_ratio,
+           round(list_max(list_prepend(0,
+                 list_transform(list_distinct(t),
+                                d -> len(list_filter(t, x -> x = d)))))
+                 / greatest(len(t), 1), 6) AS top_token_ratio,
+           round(1.0 - len(list_distinct(tg)) / greatest(len(tg), 1), 6)
+             AS dup_trigram_ratio
+    FROM sh
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc: duplicate-token ratio,
+    most-frequent-token share, duplicate word-trigram ratio — the
+    within-document repetition filters a pretraining pipeline applies
+    before training. Pure expressions over the token barrier (doc
+    length is bounded, so the O(n x distinct) scan stays JVM-side)."""
+    from tastytrade_sdk_spark.llmops.textops import shingles_expr
+
+    docs = _tokenized_docs(spark, sf_dir)
+    t = F.col("__toks")
+    tg = shingles_expr(t, 3)
+    nt = F.greatest(F.size(t), F.lit(1))
+    top = F.array_max(
+        F.concat(
+            F.array(F.lit(0)),
+            F.transform(
+                F.array_distinct(t),
+                lambda d: F.size(F.filter(t, lambda x: x == d)),
+            ),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.round(1.0 - F.size(F.array_distinct(t)) / nt, 6).alias(
+            "dup_token_ratio"
+        ),
+        F.round(top / nt, 6).alias("top_token_ratio"),
+        F.round(
+            1.0 - F.size(F.array_distinct(tg)) / F.greatest(F.size(tg), F.lit(1)),
+            6,
+        ).alias("dup_trigram_ratio"),
+    )
+
+def _pipeline_oracle_sql() -> str:
+    """The end-to-end manifest assembled from the individually-proven
+    oracle fragments: MinHash->LSH->closure canonicals, quality +
+    percentile threshold, hash split, langid — one SQL."""
+    base = (
+        _MINHASH_CTE
+        + f"""
+    , banded AS ({_band_rows_sql()})
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), eg AS (
+      SELECT doc_a AS n, doc_b AS m FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS n, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.n, r.lbl FROM reach r JOIN eg e ON e.m = r.n
+    ), comp AS (
+      SELECT n AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY n
+    ), tq AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality FROM toks
+    ), nn AS (SELECT count(*) AS nd FROM tq),
+    vals AS (SELECT quality, count(*) AS c FROM tq GROUP BY quality),
+    cums AS (SELECT quality, sum(c) OVER (ORDER BY quality) AS cum FROM vals),
+    thr AS (SELECT min(quality) AS threshold FROM cums, nn
+            WHERE cum >= ceil(0.25 * nd)),
+    sp AS (SELECT doc_id,
+                  CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train'
+                       WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents),
+    lang AS (
+      SELECT doc_id,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS lang
+      FROM (SELECT doc_id,
+                   {_lang_score_sql('de')} AS s_de,
+                   {_lang_score_sql('en')} AS s_en,
+                   {_lang_score_sql('es')} AS s_es,
+                   {_lang_score_sql('fr')} AS s_fr
+            FROM toks)
+    )
+    SELECT d.doc_id, sp.split, lang.lang, tq.quality,
+           comp.cluster_id = d.doc_id AS is_canonical,
+           (sp.split = 'train' AND comp.cluster_id = d.doc_id
+            AND tq.quality >= th.threshold AND lang.lang != 'und') AS keep
+    FROM documents d
+    JOIN sp ON sp.doc_id = d.doc_id
+    JOIN lang ON lang.doc_id = d.doc_id
+    JOIN tq ON tq.doc_id = d.doc_id
+    JOIN comp ON comp.doc_id = d.doc_id
+    CROSS JOIN thr th
+    """
+    )
+    return base.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
+
+@_q("corpus_filter_pipeline", _pipeline_oracle_sql())
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship END-TO-END training-corpus manifest: near-dup
+    canonicalization x quality percentile gate x language ID x hash
+    split, composed from the individual operators into one keep/drop
+    decision per document — the pipeline a 100 TB corpus actually runs
+    before training. The oracle assembles the same decision from the
+    individually-proven SQL fragments.
+
+    BUILD-TIME EXECUTION, BY DESIGN: constructing this query runs the
+    pipeline. That is forced, not chosen — the dedup verdict needs
+    connected components, whose driver loop (llmops/cluster.py) must
+    execute jobs before the final plan even exists — so the builder
+    leans into it: the independent signal chain materializes eagerly
+    at the same time, and the returned frame is a SNAPSHOT (narrow
+    frame checkpointed, threshold collected and spliced as a literal).
+    Re-executing the returned DataFrame re-reads that snapshot; it
+    does NOT re-derive the percentile from refreshed source data —
+    callers wanting a fresh manifest rebuild the query, which is the
+    declared-query contract (build then execute once). Anything that
+    merely needs the schema therefore pays the pipeline; run such
+    sweeps at tiny SF (tests/test_output_types.py does).
+
+    Plan shape: split/lang/quality are ALL narrow per-doc expressions,
+    so they project in ONE pass over the token barrier (no join per
+    signal — the r3 form joined four branches that each re-derived the
+    same rows); the narrow frame is lineage-cut with an EAGER
+    localCheckpoint because two consumers need it (the percentile
+    threshold agg and the final manifest) — localCheckpoint blocks are
+    ContextCleaner-collectable when the frame is GC'd, unlike a bare
+    persist() which would pin corpus-sized cache in the shared
+    session. The dedup verdict joins back as the SUBGRAPH-BOUNDED
+    non-canonical id set (only an edge-touched doc can be
+    non-canonical), so the manifest side never shuffles for it — AQE
+    broadcasts the tiny side; the LSH token pass is shared with the
+    signal pass via tokens_col.
+
+    Wall-clock shape: the signal chain (narrow checkpoint + threshold
+    scalar) and the dedup chain (LSH pairs -> connected components)
+    share NO lineage below the token pass, so the dedup chain runs on
+    a helper thread. Under the default FIFO scheduler the two job
+    waves interleave at STAGE granularity (each wave has serial
+    driver-side gaps — checkpoint barriers, the components loop — that
+    the other wave's stages fill); the result is timing-independent
+    either way. Serially these two chains were ~45% + ~55% of the
+    query; overlapped, the wall is max(chain) + the final join. If the
+    main-thread chain fails, the builder JOINS the helper before
+    re-raising, so a failed build never leaks orphan jobs into the
+    shared session's next query."""
+    import threading
+
+    from tastytrade_sdk_spark.llmops.cluster import connected_components
+    from tastytrade_sdk_spark.llmops.pipeline import (
+        quality_threshold,
+        split_col,
+    )
+    from tastytrade_sdk_spark.llmops.textops import (
+        predicted_lang,
+        quality_score,
+    )
+
+    # ONE token pass serves both chains: the regex-split is the
+    # heaviest shared fragment, and without the lineage cut each
+    # chain re-derives it (the r5 form paid it twice — once under the
+    # signal projection, once under the MinHash pass)
+    toked = _tokenized_docs(spark, sf_dir).localCheckpoint(eager=True)
+
+    holder: dict = {}
+
+    def _dedup_chain():
+        try:
+            holder["comp"] = connected_components(
+                lsh_candidate_pairs(toked, k=16, bands=4, tokens_col="__toks")
+            )
+        except BaseException as e:  # surfaced on join() below
+            holder["err"] = e
+
+    th = threading.Thread(target=_dedup_chain, daemon=True)
+    th.start()
+
+    try:
+        narrow = toked.select(
+            "doc_id",
+            split_col("doc_id").alias("split"),
+            predicted_lang(F.col("__toks")).alias("lang"),
+            F.round(quality_score(F.col("__toks"), F.col("text")), 6).alias(
+                "quality"
+            ),
+        ).localCheckpoint(eager=True)
+        threshold = quality_threshold(
+            narrow.select("doc_id", "quality"), 0.25
+        ).collect()[0]["threshold"]
+    finally:
+        # ALWAYS drain the helper: if the signal chain raised, letting
+        # the dedup thread keep submitting jobs would leak a running
+        # job wave into whatever the shared session executes next
+        th.join()
+    if "err" in holder:
+        raise holder["err"]
+    comp_t = holder["comp"]
+    noncanon = (
+        comp_t.filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id", F.lit(True).alias("__nc"))
+    )
+    out = narrow.join(noncanon, "doc_id", "left")
+    is_canon = F.coalesce(~F.col("__nc"), F.lit(True))
+    keep = (
+        (F.col("split") == "train")
+        & is_canon
+        & (F.col("quality") >= F.lit(threshold))
+        & (F.col("lang") != "und")
+    )
+    return out.select(
+        "doc_id",
+        "split",
+        "lang",
+        "quality",
+        is_canon.alias("is_canonical"),
+        keep.alias("keep"),
+    )
+
+@_q(
+    "quality_percentile_filter",
+    _TOKS_CTE
+    + f"""
+    , tq AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM toks),
+    n AS (SELECT count(*) AS nd FROM tq),
+    vals AS (SELECT quality, count(*) AS c FROM tq GROUP BY quality),
+    cums AS (SELECT quality, sum(c) OVER (ORDER BY quality) AS cum FROM vals),
+    thr AS (SELECT min(quality) AS threshold FROM cums, n
+            WHERE cum >= ceil(0.25 * nd))
+    SELECT t.doc_id, t.quality, th.threshold
+    FROM tq t, thr th WHERE t.quality >= th.threshold
+    """,
+)
+def quality_percentile_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-quartile quality gate: threshold = k-th smallest rounded
+    quality (k = ceil(0.25 n)) — exact, interpolation-free, and the
+    global sort touches only the bounded distinct-score domain."""
+    from tastytrade_sdk_spark.llmops.pipeline import quality_percentile_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_percentile_filter(docs, pct=0.25)
+
+@_q(
+    "quality_threshold_sweep",
+    _TOKS_CTE
+    + f"""
+    , tq AS (
+      SELECT doc_id, len(t) AS n_tokens, {_QUALITY_SQL} AS quality FROM toks
+    ),
+    tot AS (SELECT count(*) AS nd, sum(len(t)) AS ntok FROM toks),
+    thr AS (
+      SELECT CAST(v AS DOUBLE) AS threshold
+      FROM (VALUES (0.2), (0.3), (0.4), (0.5)) t(v)
+    )
+    SELECT thr.threshold,
+           CAST(count(CASE WHEN quality >= thr.threshold THEN 1 END) AS BIGINT)
+             AS kept_docs,
+           CAST(coalesce(sum(CASE WHEN quality >= thr.threshold
+                                  THEN n_tokens END), 0) AS BIGINT)
+             AS kept_tokens,
+           floor(CAST(coalesce(sum(CASE WHEN quality >= thr.threshold
+                                        THEN n_tokens END), 0) AS BIGINT)
+                 * 1.0 / tot.ntok * 1000000 + 0.5) / 1000000 + 0.0
+             AS token_share
+    FROM tq CROSS JOIN thr CROSS JOIN tot
+    GROUP BY thr.threshold, tot.ntok
+    """,
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-gate CALIBRATION CURVE: kept docs and kept tokens
+    at each candidate threshold — the sweep run before committing a
+    filter cut at corpus scale (what fraction of training tokens does
+    threshold t cost?). ONE scoring pass serves every threshold point
+    (the recall-curve recipe): per-doc (quality, n_tokens) cross-joins
+    the 4-row threshold grid; counts and token sums are exact
+    integers, the share divides identical exact integers and
+    floor-rounds."""
+    from tastytrade_sdk_spark.llmops.textops import quality_score
+
+    toked = _tokenized_docs(spark, sf_dir)
+    t = F.col("__toks")
+    tq = toked.select(
+        F.size(t).alias("n_tokens"),
+        F.round(quality_score(t, F.col("text")), 6).alias("quality"),
+    )
+    tot = tq.agg(F.sum("n_tokens").alias("__ntok"))
+    thr = spark.createDataFrame(
+        [(0.2,), (0.3,), (0.4,), (0.5,)], "threshold double"
+    )
+    kept_tokens = F.coalesce(
+        F.sum(F.when(F.col("quality") >= F.col("threshold"), F.col("n_tokens"))),
+        F.lit(0),
+    ).cast("long")
+    return (
+        tq.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("threshold", "__ntok")
+        .agg(
+            F.count(
+                F.when(F.col("quality") >= F.col("threshold"), F.lit(1))
+            ).alias("kept_docs"),
+            kept_tokens.alias("kept_tokens"),
+        )
+        .select(
+            "threshold",
+            "kept_docs",
+            "kept_tokens",
+            (
+                F.floor(
+                    F.col("kept_tokens") * F.lit(1.0) / F.col("__ntok") * 1e6
+                    + 0.5
+                )
+                / 1e6
+                + 0.0
+            ).alias("token_share"),
+        )
+    )
+
+def _pii_oracle_sql() -> str:
+    from tastytrade_sdk_spark.llmops.pii import PII_PATTERNS, duck_replacement
+
+    # same deterministic augmentation + same ordered replace chain;
+    # counts taken against the progressively-redacted text on both
+    # engines so overlapping spans resolve identically (replacement
+    # backrefs re-emit the boundary guards: $1 Spark-side, \\1 here)
+    cnt_cols, cur = [], "aug"
+    for name, pat, rep in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        cnt_cols.append(
+            f"len(regexp_extract_all({cur}, '{p}')) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{p}', '{duck_replacement(rep)}', 'g')"
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' reach user' || doc_id || '@mail.example.com'
+                  || CASE WHEN doc_id % 2 = 0 THEN ' tel 555-'
+                       || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+                  || CASE WHEN doc_id % 3 = 0 THEN ' id 123-45-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0 THEN ' host 192.168.'
+                       || (doc_id % 256)::VARCHAR || '.1' ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0 THEN ' card 4111111111111'
+                       || lpad((doc_id % 1000)::VARCHAR, 3, '0') ELSE '' END
+               AS aug
+      FROM documents
+    )
+    SELECT doc_id, {", ".join(cnt_cols)},
+           md5({cur}) AS redacted_hash
+    FROM aug
+    """
+
+@_q("pii_scrub", _pii_oracle_sql())
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over a deterministically-augmented corpus
+    (synthetic docs carry no organic PII, so each doc is salted with
+    doc_id-derived email/phone/SSN/IP/card spans — both engines build
+    the same augmented text). Output: per-type counts + md5 of the
+    fully-redacted text, so the engines must agree on every replaced
+    span, not just the totals. Pure regexp expressions, scan-bound,
+    no shuffle (SURVEY §2 extensions; no reference counterpart — a
+    corpus scrub pass)."""
+    from tastytrade_sdk_spark.llmops.pii import pii_counts, redact_pii
+
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+
+    def _pad(expr, n):
+        return F.lpad(expr.cast("string"), n, "0")
+
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), did.cast("string"), F.lit("@mail.example.com"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" tel 555-"), _pad(did % 1000, 3),
+                     F.lit("-"), _pad(did % 10000, 4)),
+        ).otherwise(""),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" id 123-45-"), _pad(did % 10000, 4)),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" host 192.168."), (did % 256).cast("string"),
+                     F.lit(".1")),
+        ).otherwise(""),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" card 4111111111111"), _pad(did % 1000, 3)),
+        ).otherwise(""),
+    )
+    target = spark.sparkContext.defaultParallelism
+    base = docs.select("doc_id", aug.alias("__aug")).repartition(target)
+    counts = pii_counts(F.col("__aug"))
+    return base.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        F.md5(redact_pii(F.col("__aug"))).alias("redacted_hash"),
+    )
+
+@_q("lm_doc_logprob", _LM_SCORE_SQL)
+def lm_doc_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style corpus quality scoring, fully relational:
+    train an add-0.5 bigram LM on the standard 80% hash split, score
+    EVERY document (held-out included) by mean bigram log-probability.
+    Training counts are explode+groupBy with map-side combine; scoring
+    is a bigram-keyed hash join + one doc agg (llmops/lm.py scale
+    notes). Reference has no LM stage — training-data extension."""
+    from tastytrade_sdk_spark.llmops.lm import score_docs_bigram_lm, train_bigram_lm
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bc, cx, v = train_bigram_lm(docs)
+    return score_docs_bigram_lm(docs, bc, cx, v)
+
+@_q(
+    "ccnet_ppl_buckets",
+    f"""
+    WITH scored AS (
+      SELECT * FROM ({_LM_SCORE_SQL})
+    ), lng AS (
+      SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logprob
+      FROM scored s JOIN documents d USING (doc_id)
+    ), rk AS (
+      SELECT doc_id, lang, n_bigrams, avg_logprob,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY avg_logprob DESC NULLS LAST, doc_id ASC)
+               AS INTEGER) AS ppl_rank,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM lng
+    )
+    SELECT doc_id, lang, n_bigrams, avg_logprob, ppl_rank,
+           CASE WHEN avg_logprob IS NULL THEN 'tail'
+                WHEN ppl_rank * 3 <= n_lang THEN 'head'
+                WHEN ppl_rank * 3 <= 2 * n_lang THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM rk
+    """,
+)
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al.): per language,
+    rank documents by LM score (higher avg bigram log-prob = lower
+    perplexity) and cut head/middle/tail at the INTEGER tercile
+    boundaries rank*3 <= n and rank*3 <= 2n — both engines cut at the
+    identical document; unscorable docs (no bigrams) land in tail
+    explicitly. One window shuffle keyed on lang on top of the shared
+    LM-scoring pipeline (lm_doc_logprob), whose plan-shape notes live
+    in llmops/lm.py. Skew note: a dominant language makes a hot window
+    partition — at lake scale the rank becomes a two-pass computation
+    (per-partition counts + offset merge), same shape as
+    training_shuffle_order's hash-sharded enumeration."""
+    from pyspark.sql import Window
+
+    from tastytrade_sdk_spark.llmops.lm import (
+        score_docs_bigram_lm,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bc, cx, v = train_bigram_lm(docs)
+    scored = score_docs_bigram_lm(docs, bc, cx, v)
+    lng = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("lang")
+    rk = lng.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "avg_logprob",
+        F.row_number().over(w).alias("ppl_rank"),
+        F.count(F.lit(1)).over(wc).alias("n_lang"),
+    )
+    return rk.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "avg_logprob",
+        "ppl_rank",
+        F.when(F.col("avg_logprob").isNull(), F.lit("tail"))
+        .when(F.col("ppl_rank") * 3 <= F.col("n_lang"), F.lit("head"))
+        .when(F.col("ppl_rank") * 3 <= 2 * F.col("n_lang"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+@_q(
+    "quality_deciles",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents
+    ), q AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality FROM toks
+    )
+    SELECT doc_id, quality,
+           ntile(10) OVER (ORDER BY quality, doc_id) AS decile
+    FROM q
+    """,
+)
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality deciles (the bucketing a curriculum/mixture
+    policy consumes): ntile over the deterministic (quality, doc_id)
+    total order. A single global sort — at lake scale the same
+    assignment comes from the percentile-threshold route
+    (quality_percentile_filter) without total ordering; ntile is the
+    exact small-corpus form."""
+    from tastytrade_sdk_spark.llmops.textops import quality_score
+
+    docs = _tokenized_docs(spark, sf_dir)
+    q = docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("__toks"), F.col("text")), 6).alias("quality"),
+    )
+    w = Window.orderBy("quality", "doc_id")
+    return q.select("doc_id", "quality", F.ntile(10).over(w).alias("decile"))
+
+_SOURCE_ROLLUP_ORACLE = r"""
+    WITH toks AS (
+      SELECT text, lang, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), q AS (
+      SELECT source, lang, md5(text) AS h,
+             0.4 * least(len(t) / 100.0, 1.0)
+             + 0.3 * (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))
+                      / greatest(length(text), 1))
+             + 0.3 * (len(list_filter(t, x -> list_contains(
+                 ['the','a','and','of','to','in','is','on','for','with'], x)))
+                      / greatest(len(t), 1)) AS q
+      FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+           round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6) AS dup_rate,
+           round(avg(q), 6) AS avg_quality,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           ((1.0 - count(DISTINCT h) * 1.0 / count(*)) <= 0.5
+            AND avg(q) >= 0.3) AS keep
+    FROM q GROUP BY source
+"""
+
+@_q("source_quality_rollup", _SOURCE_ROLLUP_ORACLE)
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style source-level health gate: per source, doc
+    count, exact-dup rate, language diversity, mean quality, and a
+    keep/drop decision. One source-keyed aggregation; the DISTINCT
+    aggregates plan as partial aggs on (source,hash)/(source,lang) so
+    the shuffle carries near-distinct counts, not the corpus."""
+    from tastytrade_sdk_spark.llmops.pipeline import source_rollup
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "source", "lang", "text",
+            textops.tokens_expr(F.col("text")).alias("__toks"),
+        )
+        # projection barrier: tokens computed once
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return source_rollup(
+        docs, textops.quality_score(F.col("__toks"), F.col("text"))
+    )
+
+_NGRAM_TOPK_ORACLE = f"""
+    WITH toks AS (
+      SELECT lang, {_TOKS_SQL} AS t FROM documents
+    ), sh AS (
+      SELECT lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+      FROM toks, unnest(generate_series(1, greatest(len(t)-2, 0))) AS g(i)
+    ), counts AS (
+      SELECT lang, ngram, CAST(count(*) AS BIGINT) AS freq
+      FROM sh GROUP BY lang, ngram
+    ), ranked AS (
+      SELECT lang, ngram, freq,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY freq DESC, ngram ASC
+             ) AS INT) AS rank
+      FROM counts
+    )
+    SELECT lang, ngram, freq, rank FROM ranked WHERE rank <= 10
+"""
+
+@_q("ngram_topk_per_lang", _NGRAM_TOPK_ORACLE)
+def ngram_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inspection statistic: the 10 most frequent 3-gram
+    shingles per language (deterministic ngram-asc tiebreak). Explode
+    -> one (lang, ngram) count agg with map-side partials -> top-k
+    window over the already-aggregated frequency table."""
+    from tastytrade_sdk_spark.llmops.pipeline import ngram_topk_per_group
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return ngram_topk_per_group(docs, group_col="lang", n=3, k=10)
+
+_VOCAB_OOV_ORACLE = (
+    _TOKS_CTE
+    + """
+    , tok AS (
+      SELECT doc_id,
+             unnest(CASE WHEN t IS NULL OR len(t) = 0
+                         THEN [NULL::VARCHAR] ELSE t END)
+               AS token
+      FROM toks
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM tok WHERE token IS NOT NULL GROUP BY token
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token,
+               row_number() OVER (ORDER BY freq DESC, token ASC) AS r
+        FROM counts
+      ) WHERE r <= 1000
+    ), scored AS (
+      SELECT k.doc_id, k.token, v.token IS NOT NULL AS in_vocab
+      FROM tok k LEFT JOIN vocab v ON v.token = k.token
+    )
+    SELECT doc_id,
+           CAST(count(token) AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN token IS NOT NULL AND NOT in_vocab
+                           THEN 1 END) AS BIGINT) AS n_oov,
+           CASE WHEN count(token) > 0
+                THEN round(count(CASE WHEN token IS NOT NULL AND NOT in_vocab
+                                      THEN 1 END) * 1.0 / count(token), 6)
+           END AS oov_rate
+    FROM scored GROUP BY doc_id
+    """
+)
+
+@_q("vocab_oov_rate", _VOCAB_OOV_ORACLE)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage report: top-1000-token corpus vocabulary
+    (deterministic freq/token tiebreak via the salted two-phase top-k)
+    broadcast into a per-document out-of-vocabulary rate — the
+    coverage check run before committing a tokenizer to a new corpus
+    slice. Zero-token docs report n_tokens 0 with NULL rate."""
+    from tastytrade_sdk_spark.llmops.pipeline import vocab_oov_stats
+
+    toked = _tokenized_docs(spark, sf_dir)
+    return vocab_oov_stats(toked, tokens_col="__toks", vocab_size=1000)
+
+_STOPWORD_LIST_SQL = (
+    "['the','a','and','of','to','in','is','on','for','with']"
+)
+
+@_q(
+    "gopher_quality_filter",
+    _TOKS_CTE
+    + rf"""
+    , meas AS (
+      SELECT doc_id,
+             len(t) AS n_words_raw,
+             round(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                   / greatest(len(t), 1), 6) AS mean_word_len,
+             round((len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\.\.\.')))
+                   / greatest(len(t), 1), 6) AS symbol_ratio,
+             round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                   / greatest(len(t), 1), 6) AS alpha_word_ratio,
+             len(list_distinct(list_filter(
+                 t, x -> list_contains({_STOPWORD_LIST_SQL}, x))))
+               AS stop_hits
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_words_raw AS BIGINT) AS n_words,
+           mean_word_len, symbol_ratio, alpha_word_ratio,
+           CAST(stop_hits AS BIGINT) AS n_stopword_hits,
+           n_words_raw BETWEEN 50 AND 100000 AS pass_word_count,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS pass_mean_word_len,
+           symbol_ratio <= 0.1 AS pass_symbol_ratio,
+           alpha_word_ratio >= 0.8 AS pass_alpha_words,
+           stop_hits >= 2 AS pass_stopwords,
+           (n_words_raw BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_ratio <= 0.1
+             AND alpha_word_ratio >= 0.8
+             AND stop_hits >= 2 AS keep
+    FROM meas
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. Table A1): word
+    count, mean word length, symbol ratio, alphabetic-word ratio,
+    stopword evidence — per-rule flags + the conjunction, all narrow
+    JVM expressions fused into the corpus scan
+    (llmops/textops.gopher_flags)."""
+    docs = _tokenized_docs(spark, sf_dir)
+    flags = textops.gopher_flags(F.col("__toks"), F.col("text"))
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in flags.items()]
+    )
+
+@_q(
+    "c4_line_filters",
+    _TOKS_CTE
+    + r"""
+    , fix AS (
+      SELECT doc_id,
+             CASE WHEN len(t) > 0 THEN
+               array_to_string(list_transform(
+                 range(0, ((len(t) - 1) // 10) + 1),
+                 i -> (CASE WHEN (doc_id + i) % 7 = 0
+                            THEN 'javascript ' ELSE '' END
+                       || array_to_string(list_slice(
+                            t, i * 10 + 1,
+                            i * 10 + CASE WHEN (doc_id + i) % 5 = 0
+                                          THEN 3 ELSE 10 END), ' ')
+                       || CASE WHEN (doc_id + i) % 3 <> 0
+                               THEN '.' ELSE '' END)
+               ), chr(10))
+             ELSE '' END
+             || CASE WHEN doc_id % 37 = 0
+                     THEN chr(10) || 'see { config } block' ELSE '' END
+             || CASE WHEN doc_id % 41 = 0
+                     THEN chr(10) || 'Lorem ipsum dolor sit amet.'
+                     ELSE '' END AS text2
+      FROM toks
+    ),
+    cleaned AS (
+      SELECT doc_id, text2,
+             list_transform(
+               string_split(text2, chr(10)),
+               l -> regexp_replace(l, '^[ \t\r]+|[ \t\r]+$', '', 'g')
+             ) AS lines
+      FROM fix
+    ),
+    flags AS (
+      SELECT doc_id,
+             len(lines) AS n_lines,
+             list_filter(lines, l ->
+               len(list_filter(string_split_regex(l, '[ \t\r]+'),
+                               x -> x <> '')) >= 5
+               AND regexp_matches(l, '[.!?"]$')
+               AND NOT contains(lower(l), 'javascript')) AS kept,
+             (contains(text2, '{') OR contains(text2, '}')) AS drop_brace,
+             contains(lower(text2), 'lorem ipsum') AS drop_lorem
+      FROM cleaned
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           drop_brace, drop_lorem,
+           (NOT drop_brace AND NOT drop_lorem AND len(kept) >= 3) AS keep,
+           CASE WHEN NOT drop_brace AND NOT drop_lorem AND len(kept) >= 3
+                THEN array_to_string(kept, chr(10)) END AS cleaned_text
+    FROM flags
+    """,
+)
+def c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. §2.2: terminal-
+    punctuation lines, 5-word line floor, javascript-line drop, curly-
+    brace / lorem-ipsum page drops, 3-retained-line page floor) —
+    llmops/textops.c4_line_flags, pure array/regexp expressions fused
+    into the corpus scan. The synthetic corpus is single-line word
+    soup, so the [Q] first builds a deterministic line-structured
+    fixture from the token array (10-token lines; every (d+i)%3!=0
+    line gets terminal punctuation, %5 lines are cut short, %7 lines
+    get a javascript token, doc%37/doc%41 pages get brace / lorem
+    lines) — both engines construct the identical fixture, then the
+    oracle replays the filter rules verbatim."""
+    docs = _tokenized_docs(spark, sf_dir)
+    toks, d = F.col("__toks"), F.col("doc_id")
+    n = F.size(toks)
+
+    def line(i: Column) -> Column:
+        width = F.when((d + i) % 5 == 0, F.lit(3)).otherwise(F.lit(10))
+        body = F.concat_ws(
+            " ", F.slice(toks, i * 10 + 1, width)
+        )
+        body = F.concat(
+            F.when((d + i) % 7 == 0, F.lit("javascript ")).otherwise(F.lit("")),
+            body,
+            F.when((d + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        )
+        return body
+
+    lines = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"), F.floor((n - 1) / 10).cast("long")
+            ),
+            line,
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fixture = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(d % 37 == 0, F.lit("\nsee { config } block")).otherwise(F.lit("")),
+        F.when(d % 41 == 0, F.lit("\nLorem ipsum dolor sit amet.")).otherwise(
+            F.lit("")
+        ),
+    )
+    flags = textops.c4_line_flags(fixture)
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in flags.items()]
+    )
+
+@_q(
+    "hashed_classifier_scores",
+    _TOKS_CTE
+    + """
+    , feats AS (
+      SELECT doc_id,
+             t || list_transform(
+               generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1]) AS f
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(f) AS BIGINT) AS n_feats,
+           CAST(coalesce(list_sum(list_transform(f, x ->
+             ('0x' || substring(md5('qw-v1:w:' || CAST(
+                ('0x' || substring(md5('qw-v1:' || x), 1, 8))::BIGINT % 1024
+              AS VARCHAR)), 1, 8))::BIGINT % 16 - 8
+           )), 0) AS BIGINT) AS clf_score,
+           coalesce(list_sum(list_transform(f, x ->
+             ('0x' || substring(md5('qw-v1:w:' || CAST(
+                ('0x' || substring(md5('qw-v1:' || x), 1, 8))::BIGINT % 1024
+              AS VARCHAR)), 1, 8))::BIGINT % 16 - 8
+           )), 0) > 0 AS keep
+    FROM feats
+    """,
+)
+def hashed_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style hashed linear classifier inference over the
+    corpus (placeholder weight table, real hashing/scoring machinery
+    — see llmops/pipeline.hashed_linear_scores): unigram+bigram
+    features, 1024 buckets, exact integer scores, keep = score > 0."""
+    from tastytrade_sdk_spark.llmops.pipeline import hashed_linear_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return hashed_linear_scores(docs, "doc_id", "text", n_buckets=1024)

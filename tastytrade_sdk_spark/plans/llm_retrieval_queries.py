@@ -1,0 +1,823 @@
+"""Retrieval queries: BM25 (+persisted/streamed index), RM3, hybrid RRF, MMR rerank, RAG chunking, IR eval metrics, PageRank.
+
+Split from plans/llm_queries.py (r9); shared helpers live in plans/_llm_base.py and the registry aggregation point stays plans/llm_queries.py.
+"""
+
+from __future__ import annotations
+
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tastytrade_sdk_spark.llmops import textops
+from tastytrade_sdk_spark.llmops.dedup import (
+    default_coeffs,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from tastytrade_sdk_spark.llmops.multimodal import attach_payload_meta
+from tastytrade_sdk_spark.llmops.similarity import brute_force_topk, lsh_topk
+from tastytrade_sdk_spark.sources.tables import load_table
+
+from tastytrade_sdk_spark.plans._llm_base import (  # noqa: F401
+    _H32,
+    _RAG_CHUNK,
+    _SQ8_QUANT_CTE,
+    _TOKS_CTE,
+    _ivf_routing_ctes,
+    _q,
+    _tokenized_docs,
+)
+
+@_q(
+    "tfidf_top_terms",
+    _TOKS_CTE
+    + """
+    , tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS nd FROM documents)
+    SELECT doc_id, term, tf, df,
+           round(tf * ln(nd / df), 6) AS tfidf,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY round(tf * ln(nd / df), 6) DESC, term) AS rnk
+    FROM tf JOIN dfq USING (term) CROSS JOIN n
+    QUALIFY rnk <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per doc by tf * ln(N/df) — token explode,
+    two aggregates, broadcast corpus size, per-doc top-k window."""
+    from tastytrade_sdk_spark.llmops.pipeline import tfidf_top_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_top_terms(docs, top_k=3)
+
+def _idcg_literal(k: int = 5) -> str:
+    """IDCG@k for binary relevance with k relevant docs — a constant,
+    computed ONCE in Python from the same rounded terms both engines
+    sum, and spliced into both sides as a literal."""
+    total = 0.0
+    import math
+
+    for i in range(1, k + 1):
+        total += round(1.0 / math.log2(i + 1), 6)
+    return repr(round(total, 6))
+
+def _retrieval_eval_oracle_sql(n_lists: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """Replay of the IR-metrics harness: IVF top-k (shared routing +
+    cosine tail semantics), brute-force truth, per-query MRR and
+    binary-relevance nDCG@k with decimal-summed DCG terms."""
+    idcg = _idcg_literal(k)
+    return f"""
+    WITH {_ivf_routing_ctes(n_lists, nprobe)},
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM qprobe p JOIN asg a ON a.list_id = p.list_id
+      WHERE a.vec_id != p.query_id
+    ),
+    flat AS (
+      SELECT cand.query_id, cand.vec_id,
+             unnest(qe.embedding)::DOUBLE AS a, unnest(ce.embedding)::DOUBLE AS b
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.vec_id
+    ),
+    s AS (
+      SELECT query_id, vec_id, sum(a*b) AS dot,
+             sqrt(sum(a*a)) AS na, sqrt(sum(b*b)) AS nb
+      FROM flat GROUP BY 1, 2
+    ),
+    approx AS (
+      SELECT query_id, vec_id, rnk FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(dot/(na*nb), 6) DESC, vec_id) AS rnk
+        FROM s) WHERE rnk <= {k}
+    ),
+    tf AS (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             unnest(q.embedding)::DOUBLE AS a, unnest(e.embedding)::DOUBLE AS b
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < 10 AND e.vec_id != q.vec_id
+    ),
+    ts AS (
+      SELECT query_id, vec_id,
+             round(sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))), 6) AS cosine
+      FROM tf GROUP BY 1, 2
+    ),
+    truthc AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id) AS rnk
+        FROM ts) WHERE rnk <= {k}
+    ),
+    j AS (
+      SELECT a.query_id, a.rnk,
+             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM approx a
+      LEFT JOIN truthc t ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+    )
+    SELECT query_id,
+           CAST(sum(rel) AS BIGINT) AS n_relevant,
+           round(coalesce(CAST(1 AS DOUBLE)
+                 / min(CASE WHEN rel = 1 THEN rnk END), 0.0), 6) AS mrr,
+           round(CAST(sum(CAST(round(rel / log2(rnk + 1), 6)
+                               AS DECIMAL(20,6))) AS DOUBLE)
+                 / {idcg}, 6) AS ndcg
+    FROM j GROUP BY query_id
+    """
+
+@_q("retrieval_eval_metrics", _retrieval_eval_oracle_sql())
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IR evaluation harness an ANN/retrieval deployment reports:
+    per-query MRR and binary-relevance nDCG@5 of the IVF search
+    against brute-force truth (recall is the sibling [Q]
+    ann_recall_curve). DCG terms round before a DECIMAL sum (order-
+    independent), IDCG is a Python-computed constant spliced into
+    BOTH engines, and MRR is 1/min-relevant-rank — every float site
+    shared with the oracle."""
+    from tastytrade_sdk_spark.llmops.similarity import (
+        axis_centroids,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_topk(
+        emb, queries, k=5, n_lists=16, nprobe=4,
+        centroids=axis_centroids(16, 64),
+    ).select("query_id", "vec_id", "rnk")
+    truth = brute_force_topk(emb, queries, k=5).select(
+        F.col("query_id").alias("__tq"),
+        F.col("vec_id").alias("__tv"),
+        F.lit(1).alias("__hit"),
+    )
+    j = approx.join(
+        F.broadcast(truth),
+        (F.col("query_id") == F.col("__tq")) & (F.col("vec_id") == F.col("__tv")),
+        "left",
+    ).select(
+        "query_id", "rnk", F.coalesce(F.col("__hit"), F.lit(0)).alias("rel")
+    )
+    idcg = float(_idcg_literal(5))
+    dcg_term = F.round(F.col("rel") / F.log2(F.col("rnk") + 1), 6).cast(
+        "decimal(20,6)"
+    )
+    return j.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_relevant"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0)
+                / F.min(F.when(F.col("rel") == 1, F.col("rnk"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(F.sum(dcg_term).cast("double") / F.lit(idcg), 6).alias("ndcg"),
+    )
+
+_CHUNK_ORACLE = (
+    _TOKS_CTE
+    + """
+    , c AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), ch AS (
+      SELECT doc_id,
+             i AS chunk_idx,
+             CAST(i * 48 AS BIGINT) AS start_tok,
+             CAST(least(i * 48 + 64, n) AS BIGINT) AS end_tok,
+             t
+      FROM c, unnest(generate_series(
+               0, greatest(0, CAST(ceil((n - 64) / 48.0) AS INT)))) AS g(i)
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           start_tok,
+           end_tok,
+           CAST(end_tok - start_tok AS INT) AS chunk_tokens,
+           md5(array_to_string(
+               list_slice(t, CAST(start_tok + 1 AS INT), CAST(end_tok AS INT)),
+               ' ')) AS chunk_hash
+    FROM ch
+    """
+)
+
+@_q("rag_chunk_documents", _CHUNK_ORACLE)
+def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context-window chunking: 64-token chunks at stride 48 (16
+    tokens of overlap) with exact offsets and a per-chunk content
+    hash. Pure narrow projection (sequence + explode + slice), zero
+    shuffle — scan-bound at any scale."""
+    from tastytrade_sdk_spark.llmops.pipeline import chunk_documents
+
+    toked = _tokenized_docs(spark, sf_dir)
+    return chunk_documents(
+        toked, tokens_col="__toks", chunk_size=64, stride=48
+    )
+
+# single source for the RAG [Q]'s shape — the oracle generator and
+# the Spark query both read THESE (a drifted literal pair would only
+# surface as an opaque gate failure)
+_RAG_DIM = 16
+
+_RAG_K = 3
+
+def _rag_retrieval_oracle(dim: int = _RAG_DIM, k: int = _RAG_K) -> str:
+    """Replay of the composed chunk -> hash-embed -> retrieve
+    pipeline: 32/32 chunk geometry (rag_chunk_documents' oracle
+    shape), exact integer hash embeddings (order-free bigint sums),
+    exact bigint dot products — no float anywhere."""
+    h32_parts = [_H32.format(s=f"t || '#{j}'") for j in range(dim)]
+    emb_cols = ", ".join(
+        "CAST(list_sum(list_transform(ctoks, t -> "
+        f"({h32_parts[j]} % 1000 - 500))) AS BIGINT) AS e{j}"
+        for j in range(dim)
+    )
+    dot = " + ".join(f"q.e{j} * c.e{j}" for j in range(dim))
+    return (
+        _TOKS_CTE
+        + f"""
+    , c0 AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ),
+    ch AS (
+      SELECT doc_id, i AS chunk_idx,
+             list_slice(t, CAST(i * {_RAG_CHUNK} + 1 AS INT),
+                        CAST(least(i * {_RAG_CHUNK} + {_RAG_CHUNK}, n) AS INT)) AS ctoks
+      FROM c0, unnest(generate_series(
+               0, greatest(0, CAST(ceil((n - {_RAG_CHUNK}) / {_RAG_CHUNK}.0) AS INT)))) AS g(i)
+    ),
+    emb AS (
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, {emb_cols}
+      FROM ch
+    ),
+    q AS (SELECT * FROM emb WHERE doc_id < 3),
+    c AS (SELECT * FROM emb WHERE doc_id >= 3),
+    p AS (
+      SELECT q.doc_id AS query_doc, q.chunk_idx AS query_chunk,
+             c.doc_id, c.chunk_idx,
+             CAST({dot} AS BIGINT) AS dot
+      FROM q, c
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_doc, query_chunk
+               ORDER BY dot DESC, doc_id, chunk_idx) AS rnk
+      FROM p
+    )
+    SELECT query_doc, query_chunk, doc_id, chunk_idx, dot,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {k}
+    """
+    )
+
+@_q("rag_chunk_retrieval", _rag_retrieval_oracle())
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG pipeline end-to-end: chunk the corpus (32-token windows),
+    hash-embed every chunk (llmops/pipeline.hash_embedding — the
+    deterministic encoder stand-in, exact integer components), and
+    retrieve top-3 corpus chunks per query chunk (query docs =
+    doc_id < 3) by EXACT bigint dot product. The query side is tiny
+    and broadcast (bounded by localCheckpoint); scoring is integer
+    arithmetic end to end, so both engines agree bit-for-bit. At lake
+    scale the brute-force tail swaps for the IVF/PQ/LSH index paths
+    over the same chunk-embedding table — this [Q] pins the composed
+    pipeline's semantics."""
+    from tastytrade_sdk_spark.llmops.pipeline import (
+        chunk_documents,
+        hash_embedding,
+    )
+
+    toked = _tokenized_docs(spark, sf_dir)
+    chunks = chunk_documents(
+        toked,
+        tokens_col="__toks",
+        chunk_size=_RAG_CHUNK,
+        stride=_RAG_CHUNK,
+        emit_tokens=True,
+    )
+    emb = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        hash_embedding(F.col("chunk_toks"), _RAG_DIM).alias("__e"),
+    )
+    queries = (
+        emb.filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("query_doc"),
+            F.col("chunk_idx").alias("query_chunk"),
+            F.col("__e").alias("__qe"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    corpus = emb.filter(F.col("doc_id") >= 3)
+    dot = F.aggregate(
+        F.zip_with(F.col("__qe"), F.col("__e"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_doc", "query_chunk", "doc_id", "chunk_idx", dot.alias("dot")
+    )
+    w = Window.partitionBy("query_doc", "query_chunk").orderBy(
+        F.col("dot").desc(), F.col("doc_id"), F.col("chunk_idx")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RAG_K)
+        .select(
+            "query_doc",
+            "query_chunk",
+            "doc_id",
+            "chunk_idx",
+            "dot",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+def _pagerank_oracle(n_iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled all-integer PageRank replay: same floor divisions,
+    same exact bigint sums, same synthetic (doc_id*31 + k*7 + 1) % N
+    edge construction as the Spark side — bit-identical by
+    construction (no float summation anywhere)."""
+    base = f"(({scale} * 3) // (20 * (SELECT n FROM nn)))"
+    parts = [
+        f"""nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    e AS (
+      SELECT doc_id AS src,
+             (doc_id * 31 + k * 7 + 1) % (SELECT n FROM nn) AS dst
+      FROM documents, unnest([1, 2, 3]) AS t(k)
+      WHERE (doc_id * 31 + k * 7 + 1) % (SELECT n FROM nn) <> doc_id
+    ),
+    deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src
+    ),
+    r0 AS (
+      SELECT doc_id, {scale} // (SELECT n FROM nn) AS r FROM documents
+    )"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""c{i} AS (
+      SELECT e.dst AS doc_id,
+             CAST(sum(r{i - 1}.r // deg.outdeg) AS BIGINT) AS s
+      FROM r{i - 1}
+      JOIN e ON e.src = r{i - 1}.doc_id
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT d.doc_id,
+             {base} + (17 * COALESCE(c{i}.s, 0)) // 20 AS r
+      FROM documents d LEFT JOIN c{i} ON c{i}.doc_id = d.doc_id
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT doc_id, CAST(r AS BIGINT) AS rank_scaled,
+           round(r / {float(scale)!r}, 6) AS pagerank
+    FROM r{n_iters}
+    """
+    )
+
+@_q("pagerank_fixed", _pagerank_oracle())
+def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over a deterministic synthetic link
+    graph (3 out-links per doc: (id*31 + k*7 + 1) % N, self-loops
+    dropped) — the web-corpus quality weight, in scaled-integer
+    arithmetic (llmops/cluster.pagerank_scaled: every division is a
+    floor div, in-flows are exact bigint sums, so both engines are
+    bit-identical; 3 unrolled iterations, 3 key-partitioned shuffles
+    each, no driver loop)."""
+    from tastytrade_sdk_spark.llmops.cluster import pagerank_scaled
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    glob = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    with_k = docs.crossJoin(F.broadcast(glob)).select(
+        "doc_id",
+        "__n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+    )
+    edges = with_k.select(
+        F.col("doc_id").alias("src"),
+        (
+            (F.col("doc_id") * 31 + F.col("k") * 7 + 1) % F.col("__n")
+        ).alias("dst"),
+    ).filter(F.col("dst") != F.col("src"))
+    return pagerank_scaled(docs, edges, id_col="doc_id")
+
+# BM25 CTE chain (through the ranked relation `rk`) shared by the
+# in-memory, persisted-index, and hybrid-fusion oracles
+_BM25_CTES = (
+    _TOKS_CTE
+    + r"""
+    , post AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      GROUP BY term, doc_id
+    ),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             round(avg(dl), 6) AS avgdl
+      FROM dl
+    ),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id, term
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks WHERE doc_id < 5)
+    ),
+    probed AS (
+      SELECT p.* FROM post p WHERE p.term IN (SELECT term FROM qt)
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM probed GROUP BY term
+    ),
+    scored AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(round(
+               round(ln((g.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+               * round(p.tf * (1.2 + 1.0)
+                       / (p.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * d.dl / g.avgdl)), 6),
+               6) AS DECIMAL(20,6)) AS s
+      FROM qt q
+      JOIN probed p ON p.term = q.term
+      JOIN dfreq f ON f.term = q.term
+      JOIN dl d ON d.doc_id = p.doc_id
+      CROSS JOIN g
+      WHERE p.doc_id <> q.query_id
+    ),
+    agg AS (
+      SELECT query_id, doc_id, sum(s) AS sd
+      FROM scored GROUP BY query_id, doc_id
+    ),
+    rk AS (
+      SELECT query_id, doc_id, sd,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sd DESC, doc_id) AS r
+      FROM agg
+    )
+    """
+)
+
+_BM25_ORACLE = (
+    _BM25_CTES
+    + """
+    SELECT query_id, CAST(r AS BIGINT) AS rank, doc_id,
+           CAST(sd AS DOUBLE) AS bm25
+    FROM rk WHERE r <= 5
+    """
+)
+
+@_q("bm25_more_like_this", _BM25_ORACLE)
+def bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 more-like-this top-5 per query doc
+    (doc_id < 5) over an inverted postings table
+    (llmops/retrieval.bm25_topk) — the sparse twin of the dense-ANN
+    paths. Query terms broadcast; document frequency computed only
+    over the probed posting lists; decimal partial-score sum (order-
+    independent), double at the result boundary."""
+    from tastytrade_sdk_spark.llmops.retrieval import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, docs.filter(F.col("doc_id") < 5), k=5)
+
+_BM25_RM3_ORACLE = (
+    _BM25_CTES
+    + """
+    , fb AS (
+      SELECT query_id, doc_id FROM rk WHERE r <= 10
+    ),
+    exp0 AS (
+      SELECT f.query_id, p.term, CAST(sum(p.tf) AS BIGINT) AS w
+      FROM fb f
+      JOIN post p ON p.doc_id = f.doc_id
+      LEFT JOIN qt ON qt.query_id = f.query_id AND qt.term = p.term
+      WHERE qt.term IS NULL
+      GROUP BY 1, 2
+    ),
+    exp1 AS (
+      SELECT query_id, term FROM (
+        SELECT query_id, term,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY w DESC, term) AS er
+        FROM exp0
+      ) WHERE er <= 5
+    ),
+    qt2 AS (
+      SELECT query_id, term FROM qt
+      UNION
+      SELECT query_id, term FROM exp1
+    ),
+    probed2 AS (
+      SELECT p.* FROM post p WHERE p.term IN (SELECT term FROM qt2)
+    ),
+    dfreq2 AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM probed2 GROUP BY term
+    ),
+    scored2 AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(round(
+               round(ln((g.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+               * round(p.tf * (1.2 + 1.0)
+                       / (p.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * d.dl / g.avgdl)), 6),
+               6) AS DECIMAL(20,6)) AS s
+      FROM qt2 q
+      JOIN probed2 p ON p.term = q.term
+      JOIN dfreq2 f ON f.term = q.term
+      JOIN dl d ON d.doc_id = p.doc_id
+      CROSS JOIN g
+      WHERE p.doc_id <> q.query_id
+    ),
+    agg2 AS (
+      SELECT query_id, doc_id, sum(s) AS sd FROM scored2 GROUP BY 1, 2
+    ),
+    rk2 AS (
+      SELECT query_id, doc_id, sd,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sd DESC, doc_id) AS r
+      FROM agg2
+    )
+    SELECT query_id, CAST(r AS BIGINT) AS rank, doc_id,
+           CAST(sd AS DOUBLE) AS bm25
+    FROM rk2 WHERE r <= 5
+    """
+)
+
+@_q("bm25_rm3_search", _BM25_RM3_ORACLE)
+def bm25_rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with RM3-style pseudo-relevance feedback: top-10 feedback
+    docs -> 5 heaviest new terms by feedback term frequency -> rescore
+    with the expanded term set (llmops/retrieval.bm25_rm3_topk). Two
+    bounded probe passes over one shared postings build."""
+    from tastytrade_sdk_spark.llmops.retrieval import bm25_rm3_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_rm3_topk(
+        docs, docs.filter(F.col("doc_id") < 5), k=5, fb_k=10, n_exp=5
+    )
+
+_HYBRID_RRF_ORACLE = (
+    _BM25_CTES
+    + """
+    , lex AS (
+      SELECT query_id, doc_id, CAST(r AS BIGINT) AS rnk
+      FROM rk WHERE r <= 10
+    ),
+    dq AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < 5
+    ),
+    dfl AS (
+      SELECT p.query_id, p.vec_id,
+             unnest(p.qe)::DOUBLE AS a, unnest(p.e)::DOUBLE AS b
+      FROM (SELECT dq.query_id, e.vec_id, dq.qe, e.embedding AS e
+            FROM dq, embeddings e WHERE e.vec_id != dq.query_id) p
+    ),
+    ds AS (
+      SELECT query_id, vec_id, sum(a*b) AS dot,
+             sqrt(sum(a*a)) AS na, sqrt(sum(b*b)) AS nb
+      FROM dfl GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT query_id, vec_id AS doc_id, rnk
+      FROM (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(dot/(na*nb), 6) DESC, vec_id) AS rnk
+            FROM ds)
+      WHERE rnk <= 10
+    ),
+    tagged AS (
+      SELECT query_id, doc_id, 'lex' AS side, rnk FROM lex
+      UNION ALL
+      SELECT query_id, doc_id, 'dense' AS side, rnk FROM dense
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             sum(CAST(round(CAST(1 AS DOUBLE) / (60 + rnk), 6)
+                      AS DECIMAL(20,6))) AS s,
+             max(CASE WHEN side = 'lex' THEN rnk END) AS lex_rank,
+             max(CASE WHEN side = 'dense' THEN rnk END) AS dense_rank
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT query_id, doc_id, CAST(s AS DOUBLE) AS rrf_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY s DESC, doc_id) AS BIGINT) AS fused_rank,
+             lex_rank, dense_rank
+      FROM fused
+    ) WHERE fused_rank <= 5
+    """
+)
+
+@_q("hybrid_search_rrf", _HYBRID_RRF_ORACLE)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — BM25 lexical ⊕ dense cosine ANN fused with
+    reciprocal-rank fusion (the production RAG retrieval stack): each
+    retriever returns its own top-10 per query (doc ids and vec ids
+    share the synthetic id domain), and llmops/retrieval.rrf_fuse
+    combines them with 1/(60+rank) decimal-summed scores. Both
+    retrievers and the fusion replay exactly in the oracle, so the
+    fused ranking itself hash-matches. At 100 TB the two sides are the
+    already-proven bounded searches (probed posting lists / blocked
+    matmul or IVF routing); fusion touches only their top-N outputs."""
+    from tastytrade_sdk_spark.llmops.retrieval import bm25_topk, rrf_fuse
+    from tastytrade_sdk_spark.llmops.similarity import brute_force_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = bm25_topk(docs, docs.filter(F.col("doc_id") < 5), k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    dense = brute_force_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=10,
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rnk").alias("rank"),
+    )
+    return rrf_fuse({"lex": lex, "dense": dense}, k_rrf=60, topk=5)
+
+@_q("bm25_index_search", _BM25_ORACLE)
+def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a PERSISTED inverted index: postings land as a
+    term-bucket-partitioned parquet table (llmops/retrieval.
+    bm25_index_write — the lexical twin of ivf_index_write) and the
+    search reads ONLY the probed bucket directories (partition-pruning
+    assertion in tests/test_retrieval.py). Half the corpus is indexed
+    at build, the other half arrives via bm25_index_append (live df,
+    exact integer stats sidecar — append == one-shot build by test),
+    so this row exercises the whole index LIFECYCLE; scoring is the
+    identical shared tail, hence the shared bm25_more_like_this
+    oracle."""
+    import shutil
+    import tempfile
+
+    from tastytrade_sdk_spark.llmops.retrieval import (
+        bm25_index_append,
+        bm25_index_topk,
+        bm25_index_write,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    queries = docs.filter(F.col("doc_id") < 5)
+    tmp = tempfile.mkdtemp(prefix="bm25_index_")
+    try:
+        bm25_index_write(
+            docs.filter(F.col("doc_id") % 2 == 0), f"{tmp}/index"
+        )
+        bm25_index_append(
+            docs.filter(F.col("doc_id") % 2 == 1), f"{tmp}/index"
+        )
+        out = bm25_index_topk(
+            spark, f"{tmp}/index", queries, k=5
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+@_q("bm25_index_stream_search", _BM25_ORACLE)
+def bm25_index_stream_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED BM25 index end-to-end (the lexical twin of
+    ivf_index_stream_search): three document micro-batches fold
+    through the exact foreachBatch body the writeStream sink runs
+    (retrieval.bm25_index_stream_batch — (epoch, bucket)-partitioned
+    postings, per-epoch exact integer stats rows), epoch 1 is REPLAYED
+    (idempotent dynamic overwrite — convergence is the point), and the
+    search reads the streamed layout: probed buckets only, avgdl from
+    the summed per-epoch integer stats. Scoring is the shared exact
+    tail, so the in-memory oracle replays it — a replay divergence or
+    a stats drift fails the gate."""
+    import shutil
+    import tempfile
+
+    from tastytrade_sdk_spark.llmops.retrieval import (
+        bm25_index_stream_batch,
+        bm25_index_topk,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    queries = docs.filter(F.col("doc_id") < 5)
+    tmp = tempfile.mkdtemp(prefix="bm25_stream_")
+    try:
+        for ep in range(3):
+            bm25_index_stream_batch(
+                docs.filter(F.col("doc_id") % 3 == ep), f"{tmp}/index", ep
+            )
+        # crash/restart: epoch 1 folds in AGAIN and must converge
+        bm25_index_stream_batch(
+            docs.filter(F.col("doc_id") % 3 == 1), f"{tmp}/index", 1
+        )
+        out = bm25_index_topk(
+            spark, f"{tmp}/index", queries, k=5
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+def _mmr_oracle_sql(pool: int = 12, k: int = 5, ln: int = 7, lc: int = 3) -> str:
+    """Unrolled-greedy MMR replay: k-1 selection rounds as CTE stages
+    (the oracle twin of mmr_rerank's declarative unroll). All-integer
+    scores — exact equality, ties by vec_id."""
+    sql = (
+        _SQ8_QUANT_CTE
+        + f"""
+    , qs AS (SELECT vec_id AS query_id, qvec AS qq FROM q8 WHERE vec_id < 8),
+    relf AS (
+      SELECT query_id, c.vec_id, unnest(c.qvec) AS x, unnest(qs.qq) AS y
+      FROM q8 c, qs WHERE c.vec_id != qs.query_id
+    ), rel AS (
+      SELECT query_id, vec_id, CAST(sum(x*y) AS BIGINT) AS rel8
+      FROM relf GROUP BY 1, 2
+    ), cand AS (
+      SELECT query_id, vec_id, rel8 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rel8 DESC, vec_id) AS rn FROM rel) WHERE rn <= {pool}
+    ), simf AS (
+      SELECT ca.query_id, ca.vec_id AS a, cb.vec_id AS b,
+             unnest(qa.qvec) AS x, unnest(qb.qvec) AS y
+      FROM cand ca
+      JOIN cand cb ON cb.query_id = ca.query_id AND cb.vec_id != ca.vec_id
+      JOIN q8 qa ON qa.vec_id = ca.vec_id
+      JOIN q8 qb ON qb.vec_id = cb.vec_id
+    ), sims AS (
+      SELECT query_id, a, b, CAST(sum(x*y) AS BIGINT) AS sim8
+      FROM simf GROUP BY 1, 2, 3
+    ), sel1 AS (
+      SELECT query_id, vec_id, rel8, 1 AS mmr_rank,
+             {ln}*rel8 AS mmr_score
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel8 DESC, vec_id) AS rn FROM cand) WHERE rn = 1
+    )"""
+    )
+    for r in range(2, k + 1):
+        sql += f"""
+    , ms{r} AS (
+      SELECT c.query_id, c.vec_id, c.rel8, max(s.sim8) AS maxsim
+      FROM cand c
+      JOIN sims s ON s.query_id = c.query_id AND s.a = c.vec_id
+      JOIN sel{r-1} p ON p.query_id = s.query_id AND p.vec_id = s.b
+      WHERE NOT EXISTS (SELECT 1 FROM sel{r-1} z
+                        WHERE z.query_id = c.query_id AND z.vec_id = c.vec_id)
+      GROUP BY 1, 2, 3
+    ), pick{r} AS (
+      SELECT query_id, vec_id, rel8, {r} AS mmr_rank, score AS mmr_score
+      FROM (SELECT query_id, vec_id, rel8,
+                   {ln}*rel8 - {lc}*maxsim AS score,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY {ln}*rel8 - {lc}*maxsim DESC, vec_id) AS rn
+            FROM ms{r}) WHERE rn = 1
+    ), sel{r} AS (SELECT * FROM sel{r-1} UNION ALL SELECT * FROM pick{r})"""
+    sql += f"""
+    SELECT query_id, vec_id, rel8, mmr_rank,
+           CAST(mmr_score AS BIGINT) AS mmr_score
+    FROM sel{k}
+    """
+    return sql
+
+@_q("mmr_rerank_topk", _mmr_oracle_sql())
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (Carbonell & Goldstein 1998) — the
+    retrieval post-processing step between ANN shortlist and final
+    context assembly: from each query's 12 most-relevant int8
+    candidates, greedily pick 5 maximizing 0.7·rel − 0.3·max-sim-to-
+    selected (λ scaled to 7/3 integer weights; every score is an
+    exact BIGINT so both engines agree on every argmax). Relevance is
+    the bounded-broadcast brute-force pass; the selection rounds run
+    on |queries|·pool rows only — corpus-size-independent after the
+    shortlist, like sq8_rescore_topk's second stage."""
+    from tastytrade_sdk_spark.llmops.similarity import (
+        mmr_rerank,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    c8 = quantize_int8(emb).select("vec_id", "qvec")
+    q8 = c8.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    out = mmr_rerank(c8, q8, pool=12, k=5, lam_num=7, lam_comp=3)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "rel8",
+        "mmr_rank",
+        F.col("mmr_score").cast("long").alias("mmr_score"),
+    )

@@ -741,12 +741,64 @@ def jaccard_audit_demo(spark, sf_dir: str, mult: int) -> None:
               flush=True)
 
 
+def bands_demo(spark, sf_dir: str, mult: int) -> None:
+    """r9 (r8 verdict item 5): which term binds the MinHash audit at
+    scale — LSH candidate ENUMERATION or the audit itself — measured
+    across band settings at the same k where possible:
+
+    - (k=16, bands=4, rows=4): the declared setting, s* ~ 0.71
+    - (k=16, bands=8, rows=2): more bands / fewer rows per band,
+      s* ~ 0.35 — catches lower-similarity dups, enumerates more
+    - (k=32, bands=8, rows=4): more bands at the SAME rows-per-band
+      (same per-band collision probability s^4, union over 2x bands),
+      s* ~ 0.59 — the 'more bands at comparable threshold' form the
+      minhash_estimate_error docstring hints at
+
+    For each: enumeration wall-clock, candidate count, and
+    precision/recall against the exact-Jaccard>=0.5 truth set (computed
+    once, shared). If candidate count moves with wall-clock while the
+    audit-side constants stay flat, enumeration is the binding term."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.llmops.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    truth = (
+        ngram_jaccard_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.count()
+    for k, bands in ((16, 4), (16, 8), (32, 8)):
+        t0 = _t.perf_counter()
+        cand = lsh_candidate_pairs(docs, k=k, bands=bands).localCheckpoint(
+            eager=True
+        )
+        n_cand = cand.count()
+        enum_sec = round(_t.perf_counter() - t0, 2)
+        n_hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi").count()
+        print(json.dumps({
+            "demo": "lsh_band_settings", "mult": mult,
+            "k": k, "bands": bands, "rows_per_band": k // bands,
+            "enum_sec": enum_sec, "n_candidates": n_cand,
+            "n_truth": n_truth,
+            "precision": round(n_hit / n_cand, 4) if n_cand else None,
+            "recall": round(n_hit / n_truth, 4) if n_truth else None,
+        }), flush=True)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--bucketing", "--skew", "--zorder",
                          "--semdedup-scaled", "--bloom", "--sa",
                          "--skipping", "--negatives", "--hotkey",
-                         "--winnowhot", "--jaccard-audit")
+                         "--winnowhot", "--jaccard-audit", "--bands")
             and not a.startswith("--only=")]
     probe = PROBE
     for a in sys.argv[1:]:
@@ -803,6 +855,8 @@ def main() -> None:
             winnowhot_demo(spark, BASE)
         if "--jaccard-audit" in sys.argv:
             jaccard_audit_demo(spark, sf_dir, mult)
+        if "--bands" in sys.argv:
+            bands_demo(spark, sf_dir, mult)
 
 
 if __name__ == "__main__":
