@@ -757,7 +757,15 @@ def bands_demo(spark, sf_dir: str, mult: int) -> None:
     For each: enumeration wall-clock, candidate count, and
     precision/recall against the exact-Jaccard>=0.5 truth set (computed
     once, shared). If candidate count moves with wall-clock while the
-    audit-side constants stay flat, enumeration is the binding term."""
+    audit-side constants stay flat, enumeration is the binding term.
+
+    Enumeration is timed on the FULL replica (that IS the binding-term
+    question); precision/recall come from a deterministic DOC-sampled
+    sub-corpus (xxhash64(doc_id) % S == 0, S = mult/10) because the
+    exact-Jaccard truth join is quadratic in duplicate-class size by
+    construction — the very reason the declared audits sample. The
+    sub-corpus is identical across settings, so the deltas compare
+    fairly."""
     import time as _t
 
     from pyspark.sql import functions as F
@@ -769,26 +777,34 @@ def bands_demo(spark, sf_dir: str, mult: int) -> None:
     from tastytrade_sdk_spark.sources.tables import load_table
 
     docs = load_table(spark, "documents", sf_dir)
+    sample_mod = max(1, mult // 10)
+    keep = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(sample_mod)) == 0
+    docs_s = docs.filter(keep) if sample_mod > 1 else docs
     truth = (
-        ngram_jaccard_pairs(docs, threshold=0.5)
+        ngram_jaccard_pairs(docs_s, threshold=0.5)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
     n_truth = truth.count()
     for k, bands in ((16, 4), (16, 8), (32, 8)):
         t0 = _t.perf_counter()
-        cand = lsh_candidate_pairs(docs, k=k, bands=bands).localCheckpoint(
+        lsh_candidate_pairs(docs, k=k, bands=bands).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        enum_sec = round(_t.perf_counter() - t0, 2)
+        n_cand_full = lsh_candidate_pairs(docs, k=k, bands=bands).count()
+        cand_s = lsh_candidate_pairs(docs_s, k=k, bands=bands).localCheckpoint(
             eager=True
         )
-        n_cand = cand.count()
-        enum_sec = round(_t.perf_counter() - t0, 2)
-        n_hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi").count()
+        n_cand_s = cand_s.count()
+        n_hit = cand_s.join(truth, ["doc_a", "doc_b"], "left_semi").count()
         print(json.dumps({
             "demo": "lsh_band_settings", "mult": mult,
             "k": k, "bands": bands, "rows_per_band": k // bands,
-            "enum_sec": enum_sec, "n_candidates": n_cand,
-            "n_truth": n_truth,
-            "precision": round(n_hit / n_cand, 4) if n_cand else None,
+            "enum_sec_full": enum_sec, "n_candidates_full": n_cand_full,
+            "doc_sample_mod": sample_mod,
+            "n_candidates_sampled": n_cand_s, "n_truth_sampled": n_truth,
+            "precision": round(n_hit / n_cand_s, 4) if n_cand_s else None,
             "recall": round(n_hit / n_truth, 4) if n_truth else None,
         }), flush=True)
 
