@@ -120,15 +120,23 @@ class LoopbackFeedServer:
     ``inject_drop()`` severs live client connections mid-stream — the
     reference's simulate_failure hook — so reconnection tests can
     drive the drop/reconnect/resume loop over a real socket.
+
+    ``batch=True`` coalesces a replay's events per (channel, type)
+    into ONE FEED_DATA frame whose flat array carries N back-to-back
+    events — the reference feed's actual COMPACT framing
+    (handlers.py:156-203 chunks by field count); the client and
+    decode_compact must handle it without per-event frames.
     """
 
     def __init__(
         self,
         script: Sequence[tuple[str, str, list[Any]]],
         live_script: Sequence[tuple[str, str, list[Any]]] = (),
+        batch: bool = False,
     ) -> None:
         self.script = list(script)
         self.live_script = list(live_script)
+        self.batch = batch
         self.srv = socket.create_server(("127.0.0.1", 0))
         self.port = self.srv.getsockname()[1]
         self._conns: list[socket.socket] = []
@@ -227,16 +235,27 @@ class LoopbackFeedServer:
     ) -> None:
         """Scripted snapshot for one channel's current symbol set —
         candle fromTime cuts rows strictly before the requested
-        backfill start (the reference's snapshot-then-live replay)."""
+        backfill start (the reference's snapshot-then-live replay).
+        With ``batch=True``, all surviving events of one type go out
+        as ONE FEED_DATA frame with a back-to-back flat array."""
+        per_type: dict[str, list[Any]] = {}
         for ch_name, etype, fields in self.script:
             if CHANNELS[ch_name] != channel or fields[0] not in subs:
                 continue
             ft = from_times.get(fields[0])
             if ft is not None and etype == "Candle" and fields[1] < ft:
                 continue
+            if self.batch:
+                per_type.setdefault(etype, []).extend(fields)
+            else:
+                _send_frame(conn, {
+                    "type": "FEED_DATA", "channel": channel,
+                    "data": [etype, list(fields)],
+                })
+        for etype, flat in per_type.items():
             _send_frame(conn, {
                 "type": "FEED_DATA", "channel": channel,
-                "data": [etype, list(fields)],
+                "data": [etype, flat],
             })
 
     def _replay_live(

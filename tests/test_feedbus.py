@@ -727,3 +727,60 @@ class TestLoopbackSocketIngest:
             client.close()
             server.close()
             shutil.rmtree(bus, ignore_errors=True)
+
+    def test_multi_event_compact_frame_chunks_through_decode(self, spark):
+        """The reference feed packs N events of one type back-to-back
+        in a single FEED_DATA flat array (handlers.py:156-203 chunks
+        by field count). batch=True serves that framing; one envelope
+        must decode into N typed rows via decode_compact's chunking."""
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from tastytrade_sdk_spark.sources.compact import decode_compact
+        from tastytrade_sdk_spark.sources.socket_source import (
+            LoopbackFeedServer,
+        )
+
+        server = LoopbackFeedServer(self.SCRIPT, batch=True)
+        bus = tempfile.mkdtemp(prefix="sockbus_")
+        try:
+            client = self._connect(server, bus)
+            client.subscribe("Candle", add=["SPX{=5m}"])
+            # 3 candles, ONE frame -> one envelope
+            assert client.drain_to_bus(min_events=1, timeout=5.0) == 1
+            candle_schema = T.StructType([
+                T.StructField("eventSymbol", T.StringType()),
+                T.StructField("time", T.LongType()),
+                T.StructField("eventFlags", T.IntegerType()),
+                T.StructField("open", T.DoubleType()),
+                T.StructField("high", T.DoubleType()),
+                T.StructField("low", T.DoubleType()),
+                T.StructField("close", T.DoubleType()),
+                T.StructField("volume", T.DoubleType()),
+            ])
+            stream = feed_bus_stream(spark, bus, channels=["Candle"])
+            decoded = decode_compact(
+                stream.withColumn(
+                    "arr",
+                    F.slice(
+                        F.from_json("payload", "array<string>"), 2, 1000000
+                    ),
+                ),
+                "arr",
+                candle_schema,
+                keep_cols=["offset"],
+            )
+            q = _drain(decoded, "sock_candles_batched")
+            q.stop()
+            rows = spark.sql(
+                "select * from sock_candles_batched where not _corrupt "
+                "order by time"
+            ).collect()
+            assert [r["time"] for r in rows] == [1_000_000, 2_000_000, 3_000_000]
+            assert [r["close"] for r in rows] == [1.5, 2.0, 2.5]
+            assert all(r["offset"] == 0 for r in rows)  # one envelope
+        finally:
+            client.close()
+            server.close()
+            shutil.rmtree(bus, ignore_errors=True)
