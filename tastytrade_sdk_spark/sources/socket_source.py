@@ -346,6 +346,12 @@ class DXLinkSocketClient:
     # -- connection lifecycle -------------------------------------------------
 
     def connect(self, timeout: float = 5.0) -> None:
+        # reconnect without leaking a prior socket; wait for the old
+        # listener to exit so its drop-latch set() can't race the
+        # clear() below onto the fresh connection
+        self.close()
+        if self._listener is not None and self._listener.is_alive():
+            self._listener.join(timeout=2.0)
         self.connection_dropped.clear()
         self._acks["setup"].clear()
         self._acks["authorized"].clear()
@@ -434,7 +440,13 @@ class DXLinkSocketClient:
         reader = _LineReader(self._sock)
         try:
             while True:
-                line = reader.readline()
+                try:
+                    line = reader.readline()
+                except (TimeoutError, socket.timeout):
+                    # recv timeout is a liveness poll, not a drop: an
+                    # idle but healthy connection (no keepalives in the
+                    # test double) must not trip the drop latch
+                    continue
                 if line is None:
                     break
                 try:

@@ -784,3 +784,29 @@ class TestLoopbackSocketIngest:
             client.close()
             server.close()
             shutil.rmtree(bus, ignore_errors=True)
+
+    def test_idle_connection_does_not_trip_drop_latch(self):
+        """A recv timeout on a healthy-but-quiet connection is a
+        liveness poll, not a drop: the listener must keep running and
+        the connection must still serve subscriptions after an idle
+        period longer than the socket timeout."""
+        import tempfile
+        import time as _time
+
+        from tastytrade_sdk_spark.sources.socket_source import (
+            LoopbackFeedServer,
+        )
+
+        server = LoopbackFeedServer(self.SCRIPT)
+        bus = tempfile.mkdtemp(prefix="sockbus_")
+        try:
+            client = self._connect(server, bus)
+            client._sock.settimeout(0.5)
+            _time.sleep(1.5)  # several recv timeouts fire
+            assert not client.connection_dropped.is_set()
+            client.subscribe("Quote", add=["AAPL"])
+            assert client.drain_to_bus(min_events=1, timeout=5.0) == 1
+        finally:
+            client.close()
+            server.close()
+            shutil.rmtree(bus, ignore_errors=True)
