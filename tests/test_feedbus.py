@@ -810,3 +810,80 @@ class TestLoopbackSocketIngest:
             client.close()
             server.close()
             shutil.rmtree(bus, ignore_errors=True)
+
+    def test_full_stack_live_stream_across_socket_drop(self, spark):
+        """Capstone S1 flow: a RUNNING Spark streaming query consumes
+        the bus while the socket drops and reconnects underneath it.
+        The reconnect re-subscription redelivers the snapshot (fresh
+        offsets — the reference's at-least-once re-handshake), the
+        stream absorbs it, and the decoded frame converges to exactly
+        the scripted events under the (symbol, time) upsert key."""
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from tastytrade_sdk_spark.sources.compact import decode_compact
+        from tastytrade_sdk_spark.sources.socket_source import (
+            LoopbackFeedServer,
+        )
+
+        server = LoopbackFeedServer(self.SCRIPT)
+        bus = tempfile.mkdtemp(prefix="sockbus_")
+        client = None
+        q = None
+        try:
+            client = self._connect(server, bus)
+            client.subscribe("Quote", add=["AAPL"])
+            assert client.drain_to_bus(min_events=1, timeout=5.0) == 1
+
+            quote_schema = T.StructType([
+                T.StructField("eventSymbol", T.StringType()),
+                T.StructField("time", T.LongType()),
+                T.StructField("bidPrice", T.DoubleType()),
+                T.StructField("askPrice", T.DoubleType()),
+                T.StructField("bidSize", T.DoubleType()),
+                T.StructField("askSize", T.DoubleType()),
+            ])
+            decoded = decode_compact(
+                feed_bus_stream(spark, bus, channels=["Quote"]).withColumn(
+                    "arr",
+                    F.slice(
+                        F.from_json("payload", "array<string>"), 2, 1000000
+                    ),
+                ),
+                "arr",
+                quote_schema,
+                keep_cols=["offset"],
+            )
+            q = _drain(decoded, "sock_fullstack")
+            assert spark.sql(
+                "select count(*) c from sock_fullstack where not _corrupt"
+            ).collect()[0]["c"] == 1
+
+            # drop the socket under the RUNNING query, reconnect,
+            # re-subscribe: the snapshot redelivers at a fresh offset
+            server.inject_drop()
+            assert client.connection_dropped.wait(5.0)
+            client.connect(timeout=5.0)
+            client.subscribe("Quote", add=["AAPL"])
+            assert client.drain_to_bus(min_events=1, timeout=5.0) == 1
+            q.processAllAvailable()
+
+            rows = spark.sql(
+                "select offset, eventSymbol, time, bidPrice "
+                "from sock_fullstack where not _corrupt"
+            ).collect()
+            # at-least-once on the wire: two envelopes, contiguous
+            # offsets, no restart to 0
+            assert sorted(r["offset"] for r in rows) == [0, 1]
+            # exactly-once semantics under the upsert key
+            assert {
+                (r["eventSymbol"], r["time"], r["bidPrice"]) for r in rows
+            } == {("AAPL", 1000, 189.5)}
+        finally:
+            if q is not None:
+                q.stop()
+            if client is not None:
+                client.close()
+            server.close()
+            shutil.rmtree(bus, ignore_errors=True)
