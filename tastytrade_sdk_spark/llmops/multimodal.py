@@ -123,6 +123,83 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
+def fake_resize_bytes(
+    payload: bytes, w: int, h: int, target_w: int, target_h: int
+) -> bytes:
+    """Deterministic fake resizer (CLEARLY MARKED FAKE): stride-sample
+    the raw bytes by the pixel-count reduction ratio, so the output
+    length is the exact integer ceil(len / stride) with
+    stride = max(1, (w*h) // (target_w*target_h)) — a pure function
+    both engines can compute, standing in for a real interpolating
+    resample until PIL/opencv exists in the environment."""
+    if payload is None:
+        return b""
+    stride = max(1, (int(w) * int(h)) // (int(target_w) * int(target_h)))
+    return bytes(payload[::stride])
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    target_w: int = 16,
+    target_h: int = 16,
+    resizer=None,
+) -> DataFrame:
+    """mapInPandas image RESIZE over Arrow batches of binary payloads —
+    the distributed plumbing for the decode→resize→re-encode stage of
+    a multimodal curation pipeline (one scan → one MapInPandas, no
+    shuffle; payloads never leave their partition).
+
+    ``resizer`` is the same seam as ``extract_features``'s decoder: a
+    ``(bytes, w, h, target_w, target_h) -> bytes`` callable (PIL's
+    ``Image.resize`` + re-encode in production) drops in without
+    changing the plan or schema; the default is the deterministic fake
+    above, whose output LENGTH is exact-integer oracle-able.
+
+    Returns (id, out_w, out_h, stride, n_bytes_out, payload_resized).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("stride", T.IntegerType()),
+            T.StructField("n_bytes_out", T.LongType()),
+            T.StructField("payload_resized", T.BinaryType()),
+        ]
+    )
+    do_resize = resizer if resizer is not None else fake_resize_bytes
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                do_resize(p, w, h, target_w, target_h)
+                for p, w, h in zip(
+                    pdf[payload_col], pdf[w_col], pdf[h_col]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "out_w": target_w,
+                    "out_h": target_h,
+                    "stride": [
+                        max(1, (int(w) * int(h)) // (target_w * target_h))
+                        for w, h in zip(pdf[w_col], pdf[h_col])
+                    ],
+                    "n_bytes_out": [len(b) for b in out],
+                    "payload_resized": out,
+                }
+            )
+
+    return df.select(id_col, payload_col, w_col, h_col).mapInPandas(
+        kernel, out_schema
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     payload_col: str = "payload",

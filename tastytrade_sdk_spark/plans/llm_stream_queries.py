@@ -262,6 +262,52 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.content_hash").alias("content_hash"),
     )
 
+_RESIZE_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             CAST(16 + n_chars % 32 AS INTEGER) AS w,
+             CAST(16 + (n_chars * 7) % 32 AS INTEGER) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS out_w,
+           CAST(16 AS INTEGER) AS out_h,
+           CAST(greatest(1, (w * h) // 256) AS INTEGER) AS stride,
+           CAST(
+             (n_bytes + greatest(1, (w * h) // 256) - 1)
+             // greatest(1, (w * h) // 256) AS BIGINT
+           ) AS n_bytes_out
+    FROM dims
+"""
+
+
+@_q("multimodal_resize_meta", _RESIZE_ORACLE)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal RESIZE plumbing (the decode→resize→re-encode curation
+    stage): synthetic (w, h) dims derive deterministically from
+    n_chars, the binary payload rides through resize_images'
+    mapInPandas kernel (one scan → one MapInPandas, payloads never
+    shuffle), and the oracle replays the exact integer output-length
+    law of the declared fake resizer — ceil(n_bytes / stride), stride
+    = max(1, w·h / 256). The real-resizer seam (PIL drop-in without a
+    plan change) is conformance-tested in tests/test_llmops.py; the
+    kernel's actual emitted byte-length is what this [Q] checks, so a
+    kernel that truncated or double-sampled payloads would hash-fail."""
+    from tastytrade_sdk_spark.llmops.multimodal import resize_images
+
+    docs = load_table(spark, "documents", sf_dir)
+    payload = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (F.lit(16) + F.col("n_chars") % 32).cast("int").alias("w"),
+        (F.lit(16) + (F.col("n_chars") * 7) % 32).cast("int").alias("h"),
+    )
+    return resize_images(
+        payload, target_w=16, target_h=16
+    ).select("doc_id", "out_w", "out_h", "stride", "n_bytes_out")
+
+
 _HEAVY_HITTER_ORACLE = f"""
     WITH toks AS (
       SELECT {_TOKS_SQL} AS t FROM documents

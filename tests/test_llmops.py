@@ -318,6 +318,63 @@ class TestMultimodalDecoderSeam:
         )
 
 
+class TestMultimodalResize:
+    """r9: resize_images — the decode→resize→re-encode plumbing; same
+    seam contract as the feature decoder (swap PIL in, plan and schema
+    unchanged) and an exact output-length law for the fake resizer."""
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [
+                (i, bytearray(bytes([i % 251]) * (100 + 7 * i)),
+                 16 + i % 32, 16 + (i * 7) % 32)
+                for i in range(20)
+            ],
+            "doc_id long, payload binary, w int, h int",
+        )
+
+    def test_fake_resize_length_law(self):
+        from tastytrade_sdk_spark.llmops.multimodal import fake_resize_bytes
+
+        for n, w, h in [(1, 16, 16), (100, 47, 31), (5000, 16, 16), (0, 32, 32)]:
+            out = fake_resize_bytes(bytes(n), w, h, 16, 16)
+            stride = max(1, (w * h) // 256)
+            assert len(out) == (n + stride - 1) // stride if n else len(out) == 0
+        assert fake_resize_bytes(None, 16, 16, 16, 16) == b""
+
+    def test_kernel_matches_length_law_and_prunes(self, spark):
+        from tastytrade_sdk_spark.llmops.multimodal import resize_images
+
+        df = self._frame(spark)
+        out = resize_images(df, target_w=16, target_h=16)
+        for r in out.collect():
+            stride = max(1, ((16 + r["doc_id"] % 32)
+                             * (16 + (r["doc_id"] * 7) % 32)) // 256)
+            n_in = 100 + 7 * r["doc_id"]
+            assert r["stride"] == stride
+            assert r["n_bytes_out"] == (n_in + stride - 1) // stride
+            assert len(r["payload_resized"]) == r["n_bytes_out"]
+            assert (r["out_w"], r["out_h"]) == (16, 16)
+
+    def test_resizer_seam_is_drop_in(self, spark):
+        from tastytrade_sdk_spark.llmops.multimodal import resize_images
+
+        fake = resize_images(self._frame(spark))
+
+        def real_shaped_resizer(p, w, h, tw, th):
+            # stand-in for PIL decode+resize+re-encode: different
+            # bytes, same (bytes, dims) -> bytes contract
+            return bytes(reversed(bytes(p)))[: max(1, tw * th // 8)]
+
+        other = resize_images(self._frame(spark), resizer=real_shaped_resizer)
+        assert fake.schema == other.schema
+        ops_f = TestMultimodalDecoderSeam._ops(fake)
+        ops_o = TestMultimodalDecoderSeam._ops(other)
+        assert ops_f == ops_o
+        assert any("MapInPandas" in o for o in ops_f)
+        assert not any("Exchange" in o for o in ops_f)
+
+
 def test_ivf_topk_recall_on_real_embeddings(spark):
     from tastytrade_sdk_spark.llmops.similarity import ivf_topk
     from tastytrade_sdk_spark.sources.tables import load_table
