@@ -282,15 +282,19 @@ def main() -> None:
         pass
 
 
-def oracle_timings(names: list[str], rerun_budget: float = 90.0) -> dict[str, float]:
+def oracle_timings(names: list[str], rerun_budget: float = 300.0) -> dict[str, float]:
     """Per-query DuckDB wall-clock for every oracled query.
 
-    Stall defense must challenge BOTH tails: a fast query whose single
-    run stalled would report 20-60s (making Spark look unfairly good),
-    so first runs under 2s get a confirming re-run, and first runs
-    over 15s — the stall signature — get one too, under a cumulative
-    re-run budget so the heavy-oracle tail cannot blow the bench's
-    wall-clock cap."""
+    The stall defense is SYMMETRIC with the Spark side (r9): every
+    query gets min-of-2 while a cumulative re-run budget lasts — the
+    old fast/slow-tail-only policy left the 2-15s middle on single
+    runs, and the committed records show the oracle total swinging
+    225-408s across same-code runs on this stall-prone host, which
+    made the headline ratio mostly a measurement of WHICH phase the
+    host stalled in. Min-of-2 for both engines keeps the comparison
+    honest in both directions (it typically LOWERS the oracle total,
+    i.e. it does not flatter the Spark ratio). Past the budget, the
+    old tail-only policy applies."""
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -311,7 +315,7 @@ def oracle_timings(names: list[str], rerun_budget: float = 90.0) -> dict[str, fl
         if _over_budget():
             out[name] = round(best, 3)
             continue
-        if best < 2.0 or (best >= 15.0 and rerun_spent < rerun_budget):
+        if rerun_spent < rerun_budget or best < 2.0 or best >= 15.0:
             t0 = time.perf_counter()
             con.sql(oracles[name]).fetchall()
             t = time.perf_counter() - t0
@@ -367,23 +371,30 @@ def streaming_throughput(spark) -> float:
             "event_id", (F.col("event_id") + F.lit(i * n)).cast("long")
         ).write.mode("append").parquet(src)
     n = n * n_rep
-    stream = spark.readStream.schema(schema).parquet(src)
-    candles = streaming_ohlcv(
-        stream, symbol_col="event_type", time_col="ts", price_col="value",
-        size_col="value", interval="5 minutes", watermark="30 minutes",
-        order_col="event_id",
-    )
-    t0 = time.perf_counter()
-    q = (
-        candles.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("bench_stream_out")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    wall = time.perf_counter() - t0
-    return round(n / wall, 1)
+    # max-of-2: the same 20-60s host stalls the query loop defends
+    # against can land inside a replay and halve-or-worse the measured
+    # rate (observed: 263k -> 77k events/s with zero code change); for
+    # a THROUGHPUT metric the stall-resistant statistic is the max
+    best_eps = 0.0
+    for attempt in range(2):
+        stream = spark.readStream.schema(schema).parquet(src)
+        candles = streaming_ohlcv(
+            stream, symbol_col="event_type", time_col="ts",
+            price_col="value", size_col="value", interval="5 minutes",
+            watermark="30 minutes", order_col="event_id",
+        )
+        t0 = time.perf_counter()
+        q = (
+            candles.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(f"bench_stream_out_{attempt}")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        wall = time.perf_counter() - t0
+        best_eps = max(best_eps, round(n / wall, 1))
+    return best_eps
 
 
 if __name__ == "__main__":
