@@ -193,7 +193,12 @@ def main() -> None:
             t = timed(name)
             rescue_spent += t
             if t > 2.0 * best:
-                best = t
+                # unreproduced: the outlier is out, but the confirming
+                # run may ITSELF be a stall — buy one more and take the
+                # min of the two confirmations, never the raw single
+                t2 = timed(name)
+                rescue_spent += t2
+                best = min(t, t2)
         timings[name] = round(best, 3)
 
     streaming_eps = streaming_throughput(spark)
