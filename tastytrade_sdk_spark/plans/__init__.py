@@ -31,75 +31,76 @@ QUERIES.update(DOMAIN_QUERIES)
 ORACLE_SQL.update(DOMAIN_ORACLE_SQL)
 
 # The driver-sampled window, ROTATED per round (r8 judge item 1):
-# rounds 1-8 attested 107 distinct queries; this r9 window is drawn
-# ENTIRELY from the 120 names never sampled by any prior round
-# (CORRECTNESS_r01..r08 union), so every slot converts a
-# self-attested query into a driver-attested one. Families per the
-# r8 verdict ask: TPC-H widening, indicator widening, streamed-index
-# lifecycles, substr, BPE, mixtures, calibration audits, graph ANN,
-# sketch stores.
+# rounds 1-9 attested 157 distinct queries, leaving 71 never sampled.
+# This r10 window takes 45 of those 71 (5 TPC-H stragglers, all 7
+# remaining domain queries, 33 LLM-pipeline queries spanning dedup /
+# ANN / retrieval / quality / mixtures / chunking / multimodal, plus
+# the new search-only graph-index [Q]) — the maximum the rotation
+# guard's family floors allow, since only 5 core names remain
+# unattested and the floor requires 10 core slots; the other 5 core
+# slots are cheap already-attested re-confirmations. 26 LLM names
+# remain for r11, at which point rotation is complete.
 _SAMPLE_WINDOW = [
-    # TPC-H widening (12)
-    "min_cost_supplier_per_part",
-    "important_stock_shares",
-    "idle_customer_balances",
-    "returned_item_report",
-    "nation_market_share",
-    "promo_revenue_monthly",
-    "customer_order_distribution",
-    "top_supplier_quarter",
-    "volume_shipping_pair",
-    "product_margin_by_nation",
-    "sole_late_supplier_blame",
-    "excess_stock_suppliers",
-    # kernel + domain widening (5)
-    "strategy_leg_conservation",
-    "strategy_max_profit_loss",
-    "positions_latest_quote_join",
-    "account_order_fills",
-    "trade_chain_rollforward",
-    # indicator widening (6)
-    "atr_daily",
-    "rolling_beta_daily",
-    "obv_daily",
-    "donchian_daily",
-    "keltner_daily",
-    "autocorr_daily",
-    # streamed/persisted index lifecycles (5)
-    "bm25_index_stream_search",
-    "ivf_index_stream_search",
-    "ivf_index_compact_search",
-    "ivf_index_append_search",
-    "ivf_index_search",
-    # exact-substring family (3)
-    "sa_substring_spans",
-    "cross_snapshot_substring_spans",
-    "exact_substring_scrub",
-    # BPE tokenization (3)
-    "bpe_encode_vocab",
-    "bpe_merge_candidates",
-    "bpe_token_stats",
-    # data mixtures / sampling (4)
-    "doremi_domain_weights",
-    "unimax_language_budget",
-    "temperature_resample_manifest",
-    "weighted_doc_sample",
-    # dedup/ANN calibration audits (4)
-    "minhash_estimate_error",
-    "lsh_dedup_eval",
-    "ann_recall_curve",
-    "retrieval_eval_metrics",
-    # graph ANN (3)
-    "nn_descent_knn_graph",
-    "graph_ann_search",
-    "knn_graph_index_search",
-    # incremental sketch/band stores (4)
-    "mg_store_replay",
-    "band_store_replay",
-    "decayed_topk_replay",
-    "store_change_feed",
-    # multimodal gate (1)
-    "multimodal_alignment_filter",
+    # TPC-H stragglers — the last 5 never-attested core queries
+    "large_volume_customers",
+    "brand_size_disjunct_revenue",
+    "small_quantity_revenue",
+    "forecast_revenue_change",
+    "shipmode_priority_counts",
+    # core re-confirmations (already attested; fill the 10-core floor)
+    "pricing_summary",
+    "latest_event_per_user",
+    "interval_floor_5m",
+    "top3_values_per_user",
+    "weekday_order_counts",
+    # domain remainder (7)
+    "props_json_parse",
+    "channel_pattern_filter",
+    "strategy_health_alerts",
+    "rollup_order_revenue",
+    "session_window_activity",
+    "sliding_window_counts",
+    "salted_skew_aggregate",
+    # dedup remainder (11)
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "cdc_chunk_dedup",
+    "cross_snapshot_dedup",
+    "dedup_tier_policy",
+    "semdedup_keep_scaled",
+    "d4_curation",
+    "contamination_check",
+    "contamination_near_dup",
+    "dedup_normalized_text",
+    "kmeans_lloyd_step",
+    # ANN remainder + the new search-only graph [Q] (7)
+    "ivf_pq_search",
+    "pq_encode_codes",
+    "ann_hamming_rescore",
+    "sq8_rescore_topk",
+    "random_projection_16",
+    "dim_truncation_recall",
+    "knn_graph_search_only",
+    # retrieval remainder (3)
+    "bm25_rm3_search",
+    "rag_chunk_retrieval",
+    "pagerank_fixed",
+    # quality remainder — incl. the r10 binned-prefix rework (8)
+    "pii_scrub",
+    "ccnet_ppl_buckets",
+    "quality_deciles",
+    "c4_line_filters",
+    "lm_doc_logprob",
+    "quality_percentile_filter",
+    "quality_threshold_sweep",
+    "corpus_filter_pipeline",
+    # mixtures (2)
+    "dsir_importance_weights",
+    "stratified_sample_perlang",
+    # chunking (1)
+    "doc_chunking",
+    # multimodal resize plumbing (1)
+    "multimodal_resize_meta",
 ]
 
 assert len(_SAMPLE_WINDOW) == 50, len(_SAMPLE_WINDOW)
