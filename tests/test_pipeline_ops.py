@@ -888,3 +888,115 @@ class TestHashEmbedding:
         assert df.select(
             hash_embedding(F.col("t"), 3).alias("e")
         ).collect()[0].e == [0, 0, 0]
+
+
+class TestScaleSafeRanking:
+    """r10: the quality-gate family's single-partition windows were
+    replaced by a two-level binned prefix (quality_threshold) and a
+    distributed global row number + ntile closed form (quality_deciles).
+    These tests pin the replacements to the exact semantics of the
+    global-window forms they replaced."""
+
+    def test_global_row_number_matches_global_window(self, spark):
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from tastytrade_sdk_spark.operators.scale import global_row_number
+
+        rng = random.Random(7)
+        # heavy ties: only 5 distinct values over 400 rows, so the
+        # range partitioner must split same-value runs by the id
+        # tiebreaker to stay balanced
+        rows = [(i, rng.choice([0.1, 0.2, 0.2, 0.3, 0.9])) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, quality double")
+        got = {
+            r.doc_id: r["__rn"]
+            for r in global_row_number(
+                df, ["quality", "doc_id"], num_partitions=7
+            ).collect()
+        }
+        w = Window.orderBy("quality", "doc_id")
+        want = {
+            r.doc_id: r.rn
+            for r in df.select(
+                "doc_id", F.row_number().over(w).alias("rn")
+            ).collect()
+        }
+        assert got == want
+
+    def test_decile_closed_form_matches_ntile(self, spark):
+        """Every n in 1..25 plus a ragged 97: the closed form must
+        reproduce F.ntile(10)'s first-(n%10)-tiles-are-bigger split
+        exactly, including the n<10 degenerate tiles."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        for n in [*range(1, 26), 97]:
+            df = spark.createDataFrame(
+                [(i, float(i % 7)) for i in range(n)],
+                "doc_id long, quality double",
+            )
+            w = Window.orderBy("quality", "doc_id")
+            want = {
+                r.doc_id: r.d
+                for r in df.select(
+                    "doc_id", F.ntile(10).over(w).alias("d")
+                ).collect()
+            }
+            rn = df.select(
+                "doc_id",
+                F.row_number().over(w).cast("long").alias("__r"),
+                F.lit(n).cast("long").alias("__n"),
+            )
+            got = {
+                r.doc_id: r.d
+                for r in rn.withColumn("__base", F.expr("__n div 10"))
+                .withColumn("__rem", F.col("__n") % 10)
+                .withColumn("__big", F.col("__base") + F.lit(1))
+                .withColumn(
+                    "d",
+                    F.when(
+                        F.col("__r") <= F.col("__rem") * F.col("__big"),
+                        F.expr("(__r + __big - 1) div __big"),
+                    )
+                    .otherwise(
+                        F.col("__rem")
+                        + F.expr(
+                            "(__r - __rem * __big + greatest(__base, 1) - 1)"
+                            " div greatest(__base, 1)"
+                        )
+                    )
+                    .cast("int"),
+                )
+                .collect()
+            }
+            assert got == want, f"n={n}"
+
+    def test_quality_threshold_two_level_matches_bruteforce(self, spark):
+        import math
+        import random
+
+        from pyspark.sql import functions as F
+
+        from tastytrade_sdk_spark.llmops.pipeline import quality_threshold
+
+        rng = random.Random(11)
+        # scores clustered inside ONE coarse 3-dp bin (the skew case
+        # the level-2 resolve exists for) plus a spread tail
+        vals = [round(0.123 + rng.random() * 0.001, 6) for _ in range(300)]
+        vals += [round(rng.random(), 6) for _ in range(200)]
+        df = spark.createDataFrame([(v,) for v in vals], "quality double")
+        for pct in (0.1, 0.25, 0.5, 0.9):
+            got = quality_threshold(df, pct).collect()[0].threshold
+            k = math.ceil(pct * len(vals))
+            want = sorted(vals)[k - 1]
+            assert got == want, f"pct={pct}: {got} != {want}"
+
+    def test_quality_threshold_empty_is_null_row(self, spark):
+        from tastytrade_sdk_spark.llmops.pipeline import quality_threshold
+
+        df = spark.createDataFrame([], "quality double")
+        rows = quality_threshold(df, 0.25).collect()
+        assert len(rows) == 1 and rows[0].threshold is None
