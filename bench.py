@@ -298,8 +298,10 @@ def oracle_timings(names: list[str], rerun_budget: float = 300.0) -> dict[str, f
     made the headline ratio mostly a measurement of WHICH phase the
     host stalled in. Min-of-2 for both engines keeps the comparison
     honest in both directions (it typically LOWERS the oracle total,
-    i.e. it does not flatter the Spark ratio). Past the budget, the
-    old tail-only policy applies."""
+    i.e. it does not flatter the Spark ratio). Past the budget, only
+    the cheap-by-definition fast tail (<2s) and — up to a hard 2x
+    budget cap — the stall-suspect slow tail (>=15s) re-run; the
+    global _over_budget backstop still bounds everything."""
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -320,7 +322,16 @@ def oracle_timings(names: list[str], rerun_budget: float = 300.0) -> dict[str, f
         if _over_budget():
             out[name] = round(best, 3)
             continue
-        if rerun_spent < rerun_budget or best < 2.0 or best >= 15.0:
+        # fast tail (<2s) is cheap by definition; the slow tail keeps
+        # its stall challenge only up to a 2x budget cap so a heavy
+        # oracle tail cannot blow the wall-clock bound unboundedly
+        # (r9 advisor: the bare `or best >= 15.0` re-ran past the
+        # budget with only the global _over_budget backstop)
+        if (
+            rerun_spent < rerun_budget
+            or best < 2.0
+            or (best >= 15.0 and rerun_spent < 2 * rerun_budget)
+        ):
             t0 = time.perf_counter()
             con.sql(oracles[name]).fetchall()
             t = time.perf_counter() - t0

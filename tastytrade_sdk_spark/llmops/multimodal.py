@@ -123,6 +123,19 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
+def _stride_of(w, h, target_w: int, target_h: int) -> int:
+    """Pixel-count reduction stride, null-safe: a row with NULL/NaN
+    dimensions gets stride 1 (identity sampling) instead of raising
+    int(None)/int(NaN) inside the executor and failing the whole job —
+    the module's never-crash boundary style (r9 advisor)."""
+    try:
+        if w is None or h is None or w != w or h != h:  # NaN != NaN
+            return 1
+        return max(1, (int(w) * int(h)) // (int(target_w) * int(target_h)))
+    except (TypeError, ValueError):
+        return 1
+
+
 def fake_resize_bytes(
     payload: bytes, w: int, h: int, target_w: int, target_h: int
 ) -> bytes:
@@ -131,11 +144,11 @@ def fake_resize_bytes(
     length is the exact integer ceil(len / stride) with
     stride = max(1, (w*h) // (target_w*target_h)) — a pure function
     both engines can compute, standing in for a real interpolating
-    resample until PIL/opencv exists in the environment."""
+    resample until PIL/opencv exists in the environment. NULL payloads
+    yield b""; NULL dimensions degrade to stride 1 (_stride_of)."""
     if payload is None:
         return b""
-    stride = max(1, (int(w) * int(h)) // (int(target_w) * int(target_h)))
-    return bytes(payload[::stride])
+    return bytes(payload[:: _stride_of(w, h, target_w, target_h)])
 
 
 def resize_images(
@@ -187,7 +200,7 @@ def resize_images(
                     "out_w": target_w,
                     "out_h": target_h,
                     "stride": [
-                        max(1, (int(w) * int(h)) // (target_w * target_h))
+                        _stride_of(w, h, target_w, target_h)
                         for w, h in zip(pdf[w_col], pdf[h_col])
                     ],
                     "n_bytes_out": [len(b) for b in out],

@@ -1740,12 +1740,23 @@ def hamming_topk(
     advisor finding): counting one evaluation of a nondeterministic
     plan and joining another could pass the guard yet exceed the cap
     — and the snapshot also avoids executing the query plan twice.
-    """
-    q_snap = queries.select(
-        F.col(query_id_col).alias("__qid"), F.col(vec_col)
-    ).localCheckpoint(eager=True)
+    The snapshot is BOUNDED to cap+1 rows before materializing (r9
+    advisor): checkpointing the raw frame first would fully
+    materialize an over-cap frame just to reject it; limiting first
+    keeps the guard's own work bounded, and row cap+1 existing is
+    exactly the over-cap proof. The rejected snapshot is unpersisted
+    on the raise path."""
+    q_snap = (
+        queries.select(F.col(query_id_col).alias("__qid"), F.col(vec_col))
+        .limit(max_queries + 1)
+        .localCheckpoint(eager=True)
+    )
     n_q = q_snap.count()
     if n_q > max_queries:
+        try:
+            q_snap.unpersist()
+        except Exception:
+            pass
         raise ValueError(
             f"hamming_topk: query frame exceeds max_queries="
             f"{max_queries}; shard the query side (or raise the cap) "

@@ -3545,8 +3545,15 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (top supplier): the supplier(s) with the
     highest quarterly revenue — the view+subquery original rewritten
-    as one grouped DECIMAL sum and an empty-frame window max (100
-    supplier rows; no second scan of lineitem). The max-equality
+    as one grouped DECIMAL sum, a ONE-ROW max aggregate broadcast
+    back, and an equality filter (r10: the previous empty-frame
+    window max funneled the supplier-keyed agg — which grows with
+    scale factor — through one task; the broadcast-threshold form is
+    the sanctioned bounded-BNLJ pattern and keeps every row partition-
+    local). The per-supplier frame is checkpointed so lineitem scans
+    ONCE (the static plan gets no exchange reuse between the max agg
+    and the join side; a snapshot of the supplier-sized agg is far
+    cheaper than a second pass over the fact table). The max-equality
     match runs on the exact decimal, so ties keep every top supplier
     identically on both engines; the double cast is output-only."""
     li = load_table(spark, "lineitem", sf_dir).filter(
@@ -3555,15 +3562,14 @@ def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = li.groupBy("l_suppkey").agg(
         F.sum(_disc_rev_dec()).alias("__rev")
-    )
-    m = rev.withColumn(
-        "__max", F.max("__rev").over(Window.partitionBy())
-    )
+    ).localCheckpoint(eager=True)
+    mx = rev.agg(F.max("__rev").alias("__max"))
     supp = load_table(spark, "supplier", sf_dir).select(
         "s_suppkey", "s_name"
     )
     return (
-        m.filter(F.col("__rev") == F.col("__max"))
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__max"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             "s_suppkey",

@@ -513,24 +513,51 @@ class DXLinkSocketClient:
                         break
                     etype, flat = msg["data"][0], msg["data"][1]
                     name = CHANNEL_NAMES.get(ch_num, str(ch_num))
-                    off = self._offsets.get(name, -1) + 1
-                    self._offsets[name] = off
-                    # payload = the COMPACT contract downstream of the
-                    # transport: a FLAT string array, [eventType,
-                    # field0, field1, ...] — decode_compact's input
-                    # shape (S2), with the event type at position 1
-                    # for channel-vs-type audits
-                    rows.append((
-                        name,
-                        str(flat[0]) if flat else "",
-                        off,
-                        datetime.now(timezone.utc),
-                        json.dumps(
-                            [etype, *[
-                                "" if x is None else str(x) for x in flat
-                            ]]
-                        ),
-                    ))
+                    # the server batches per (channel, type) across ALL
+                    # subscribed symbols, so one FEED_DATA frame can
+                    # carry several events back-to-back; writing the
+                    # whole frame as one envelope stamped with flat[0]
+                    # misattributes every other event's symbol (the
+                    # feedbus symbol semi-join and the
+                    # (channel, symbol, offset) exactly-once key both
+                    # key on it — r9 advisor). Split by the type's
+                    # field count into ONE ENVELOPE PER EVENT; a
+                    # trailing partial chunk still ships (decode_compact
+                    # routes it to the corrupt column downstream), and
+                    # an UNKNOWN type (no field list — nothing to chunk
+                    # by) ships unsplit with symbol NULL so nothing is
+                    # ever misattributed, merely unfiltered-by-symbol
+                    # until decode.
+                    nf = len(self.event_fields.get(etype, ()))
+                    if nf > 0:
+                        chunks = [
+                            flat[i : i + nf] for i in range(0, len(flat), nf)
+                        ] or [[]]
+                    else:
+                        chunks = [flat]
+                    for chunk in chunks:
+                        off = self._offsets.get(name, -1) + 1
+                        self._offsets[name] = off
+                        # payload = the COMPACT contract downstream of
+                        # the transport: a FLAT string array,
+                        # [eventType, field0, field1, ...] —
+                        # decode_compact's input shape (S2), with the
+                        # event type at position 1 for channel-vs-type
+                        # audits
+                        rows.append((
+                            name,
+                            (str(chunk[0]) if chunk else "")
+                            if nf > 0
+                            else None,
+                            off,
+                            datetime.now(timezone.utc),
+                            json.dumps(
+                                [etype, *[
+                                    "" if x is None else str(x)
+                                    for x in chunk
+                                ]]
+                            ),
+                        ))
             if len(rows) >= min_events or time.monotonic() >= deadline:
                 break
             time.sleep(0.02)

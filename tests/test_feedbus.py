@@ -731,8 +731,12 @@ class TestLoopbackSocketIngest:
     def test_multi_event_compact_frame_chunks_through_decode(self, spark):
         """The reference feed packs N events of one type back-to-back
         in a single FEED_DATA flat array (handlers.py:156-203 chunks
-        by field count). batch=True serves that framing; one envelope
-        must decode into N typed rows via decode_compact's chunking."""
+        by field count). batch=True serves that framing; the transport
+        splits it into ONE ENVELOPE PER EVENT (r9 advisor: a frame-
+        sized envelope stamped symbol=flat[0] misattributes every
+        other event's symbol in the feedbus semi-join and the
+        exactly-once key), and each envelope decodes cleanly via
+        decode_compact."""
         import tempfile
 
         from pyspark.sql import types as T
@@ -747,8 +751,8 @@ class TestLoopbackSocketIngest:
         try:
             client = self._connect(server, bus)
             client.subscribe("Candle", add=["SPX{=5m}"])
-            # 3 candles, ONE frame -> one envelope
-            assert client.drain_to_bus(min_events=1, timeout=5.0) == 1
+            # 3 candles, ONE frame -> split into 3 per-event envelopes
+            assert client.drain_to_bus(min_events=3, timeout=5.0) == 3
             candle_schema = T.StructType([
                 T.StructField("eventSymbol", T.StringType()),
                 T.StructField("time", T.LongType()),
@@ -779,7 +783,54 @@ class TestLoopbackSocketIngest:
             ).collect()
             assert [r["time"] for r in rows] == [1_000_000, 2_000_000, 3_000_000]
             assert [r["close"] for r in rows] == [1.5, 2.0, 2.5]
-            assert all(r["offset"] == 0 for r in rows)  # one envelope
+            # one envelope per event, per-channel monotonic offsets
+            assert sorted(r["offset"] for r in rows) == [0, 1, 2]
+        finally:
+            client.close()
+            server.close()
+            shutil.rmtree(bus, ignore_errors=True)
+
+    def test_multi_symbol_batched_frame_splits_per_event(self):
+        """The server batches per (channel, type) across ALL subscribed
+        symbols; the transport must stamp each event with ITS OWN
+        symbol — the old frame-sized envelope labeled a [AAPL, MSFT]
+        quote batch entirely 'AAPL', silently dropping/keeping whole
+        frames by the wrong key in the subscribed_stream semi-join
+        (r9 advisor, the medium finding)."""
+        import tempfile
+
+        import pyarrow.dataset as ds
+
+        from tastytrade_sdk_spark.sources.socket_source import (
+            LoopbackFeedServer,
+        )
+
+        server = LoopbackFeedServer(self.SCRIPT, batch=True)
+        bus = tempfile.mkdtemp(prefix="sockbus_")
+        try:
+            client = self._connect(server, bus)
+            client.subscribe("Quote", add=["AAPL", "MSFT"])
+            # 2 quotes batched into ONE 12-field frame -> 2 envelopes
+            assert client.drain_to_bus(min_events=2, timeout=5.0) == 2
+            tbl = ds.dataset(bus, format="parquet").to_table()
+            by_symbol = dict(
+                zip(
+                    tbl.column("symbol").to_pylist(),
+                    tbl.column("payload").to_pylist(),
+                )
+            )
+            assert set(by_symbol) == {"AAPL", "MSFT"}
+            import json as _json
+
+            aapl = _json.loads(by_symbol["AAPL"])
+            msft = _json.loads(by_symbol["MSFT"])
+            # each payload = [eventType, *ONE event's fields]
+            assert aapl == ["Quote", "AAPL", "1000", "189.5", "189.6",
+                            "100", "200"]
+            assert msft == ["Quote", "MSFT", "1000", "400.1", "400.3",
+                            "50", "75"]
+            offs = sorted(tbl.column("offset").to_pylist())
+            assert offs == [0, 1]
         finally:
             client.close()
             server.close()

@@ -12,8 +12,12 @@ facts Catalyst should have gotten right, and flags the smells the
                    (smj > 0 is reported for eyeballing, not judged —
                    shingle/label-propagation joins are legitimately
                    sort-merge because both sides scale with the data)
-- smells         : cartesian products and row-at-a-time PythonUDF
-                   (BatchEvalPython) in the plan
+- smells         : cartesian products, row-at-a-time PythonUDF
+                   (BatchEvalPython), unbounded BNLJ build sides, and
+                   (r10) unpartitioned Window operators whose input is
+                   not bounded by construction — the whole-corpus-
+                   through-one-task shape the r9 judge caught in
+                   quality_deciles
 
 Usage: python tools/audit_plans.py [sf_dir] [query ...]
 Writes a markdown table to stdout (redirect to PLANS.md to snapshot).
@@ -105,6 +109,33 @@ def _modulus_keyed_agg(nodes, idx, text) -> bool:
     blob = " ".join(subtree) + " " + text
     return all(
         re.search(rf"pmod\([^)]*,\s*\d+\)[^)]*\)?\s+AS\s+{re.escape(k)}#", blob)
+        # the remainder spelling of the same bound: a key defined as
+        # `(<expr> % <int literal>) AS k#` has at most 2*lit-1 values
+        # (the training_shuffle hash-shard pattern)
+        or re.search(rf"%\s*\d+\)\s+AS\s+{re.escape(k)}#", blob)
+        for k in keys
+    )
+
+
+def _pid_keyed_agg(nodes, idx, text) -> bool:
+    """A grouped aggregate keyed on SPARK_PARTITION_ID() has at most
+    <partition count> output rows — bounded by a config constant, not
+    data (the global_row_number offsets pattern)."""
+    m = re.match(r"\w+\(keys?=\[([^\]]*)\]", text)
+    if not m or not m.group(1).strip():
+        return False
+    keys = [k.strip().split("#")[0] for k in m.group(1).split(",")]
+    depth = nodes[idx][0]
+    subtree = []
+    for j in range(idx + 1, len(nodes)):
+        if nodes[j][0] <= depth:
+            break
+        subtree.append(nodes[j][1])
+    blob = " ".join(subtree) + " " + text
+    return all(
+        re.search(
+            rf"SPARK_PARTITION_ID\(\)\s+AS\s+{re.escape(k)}#", blob
+        )
         for k in keys
     )
 
@@ -113,7 +144,9 @@ def _subtree_bounded(nodes, idx) -> bool:
     depth, text, _ = nodes[idx]
     if _BOUNDING.match(text):
         return True
-    if re.match(r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(", text) and _modulus_keyed_agg(nodes, idx, text):
+    if re.match(r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(", text) and (
+        _modulus_keyed_agg(nodes, idx, text) or _pid_keyed_agg(nodes, idx, text)
+    ):
         return True
     kids = _children(nodes, idx)
     if _BINARY.match(text):
@@ -144,9 +177,108 @@ def unbounded_bnljs(df) -> list[str]:
     return bad
 
 
+# --- unpartitioned-window classification ------------------------------------
+#
+# A Window with no PARTITION BY moves its whole input through ONE task
+# (WindowExec logs "No Partition Defined ... serious performance
+# degradation") — fine iff the input is bounded by construction, a
+# scale-killer otherwise (the r9 quality_deciles finding: a global
+# ntile over the corpus). Detection: a physical Window node prints
+# `Window [exprs], [order]` when unpartitioned and
+# `Window [exprs], [partition], [order]` when partitioned — count the
+# top-level bracket groups — and the input subtree is then classified
+# with the same boundedness walk the BNLJ gate uses (no-key aggs,
+# literal relations, limits, pmod- or SPARK_PARTITION_ID-keyed aggs).
+#
+# Sites the walk cannot prove but a human has: per-query allowlist of
+# (max count, reason). Adjudicated in the r9 verdict ("the other 8 are
+# provably bounded") + the r10 binned-prefix rework. A query whose
+# flagged count EXCEEDS its allowance still smells, so an allowlisted
+# query can't silently grow a new global window.
+
+UNPART_WINDOW_ALLOW: dict[str, tuple[int, str]] = {
+    "quality_percentile_filter": (
+        2,
+        "two-level binned prefix (r10): level-1 frame is the coarse "
+        "3-dp bin count (~1001 rows for ratio-valued scores), level-2 "
+        "is the distinct 6-dp scores inside the ONE straddling bin "
+        "(<=1001 rows) — both bounded by rounding quanta, not data",
+    ),
+    "nfd_pack_bins": (
+        1,
+        "oversize-doc remainder: the global window orders only docs "
+        "LONGER than the whole per-bin token budget (declared rare; "
+        "each gets a dedicated bin) — the packed majority goes "
+        "through the size-class prefix, not this window",
+    ),
+    "split_distribution_drift": (
+        1,
+        "frame = per-language split counts; the lang column is an "
+        "ISO-code domain (dozens of values), not corpus-sized",
+    ),
+    "unimax_language_budget": (
+        4,
+        "UniMax waterfilling iterates over per-language aggregates "
+        "(2 rounds x 2 windows); frames are language-domain-sized",
+    ),
+}
+
+
+def _top_groups(text: str) -> list[str]:
+    """Top-level [...] groups of a plan-node argument string."""
+    groups: list[str] = []
+    depth = 0
+    cur: list[str] | None = None
+    for ch in text:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and cur is not None:
+                groups.append("".join(cur))
+                cur = None
+                continue
+        if cur is not None:
+            cur.append(ch)
+    return groups
+
+
+def unpartitioned_windows(df) -> list[str]:
+    """Input-subtree texts of every physical Window node that has NO
+    partition spec AND whose input is not bounded by construction
+    (empty == every global window in the plan is over a frame bounded
+    independent of data size)."""
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    nodes = _parse_tree(plan)
+    bad = []
+    for i, (_, text, _) in enumerate(nodes):
+        if not text.startswith("Window "):
+            continue
+        groups = _top_groups(text[len("Window "):])
+        if len(groups) >= 3:
+            continue  # partitioned, with order
+        # 2-group windows are ambiguous: `Window [exprs], [spec]` is
+        # EITHER unpartitioned-with-order OR partitioned-without-order
+        # (both print two groups). An order spec always carries a sort
+        # direction; a partition spec never does.
+        spec = groups[1] if len(groups) >= 2 else ""
+        if spec.strip() and not re.search(r"\b(ASC|DESC)\b", spec):
+            continue  # partition-only window: no global funnel
+        kids = _children(nodes, i)
+        if kids and all(_subtree_bounded(nodes, k) for k in kids):
+            continue
+        bad.append((nodes[kids[0]][1] if kids else text)[:120])
+    return bad
+
+
 def audit(name: str, df) -> dict:
     p = plan_string(df)
     bad_bnlj = unbounded_bnljs(df)
+    unpart = unpartitioned_windows(df)
+    allow, _reason = UNPART_WINDOW_ALLOW.get(name, (0, ""))
     scans = re.findall(r"Scan parquet", p)
     read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     widest = max((len(s.split(",")) for s in read_schemas), default=0)
@@ -166,6 +298,8 @@ def audit(name: str, df) -> dict:
         smells.append(f"row-udf x{py_udf}")
     if bad_bnlj:
         smells.append(f"unbounded-bnlj x{len(bad_bnlj)}")
+    if len(unpart) > allow:
+        smells.append(f"global-window x{len(unpart)}(allow {allow})")
     return {
         "name": name,
         "scans": len(scans),
@@ -177,6 +311,8 @@ def audit(name: str, df) -> dict:
         "smj": smj,
         # nb = all BNLJ build sides bounded by construction
         "bnlj": f"{bnlj}b" if bnlj and not bad_bnlj else bnlj,
+        # unproven global windows; Na = within the audited allowlist
+        "gwin": f"{len(unpart)}a" if unpart and allow else len(unpart),
         "arrow_py": arrow,
         "smells": ",".join(smells) or "-",
     }
@@ -196,7 +332,7 @@ def main() -> None:
             rows.append({"name": name, "smells": f"ERROR {e}"})
     cols = [
         "name", "scans", "widest_read", "pushed", "exchanges",
-        "aqe_reads", "bhj", "smj", "bnlj", "arrow_py", "smells",
+        "aqe_reads", "bhj", "smj", "bnlj", "gwin", "arrow_py", "smells",
     ]
     print("| " + " | ".join(cols) + " |")
     print("|" + "---|" * len(cols))
