@@ -421,10 +421,15 @@ def quality_percentile_filter(
     from tastytrade_sdk_spark.llmops.textops import quality_score
 
     toks = tokens_expr(F.col(text_col))
+    # checkpoint the NARROW (id, quality) projection: the tokenize +
+    # score expression is the dominant cost and is consumed twice
+    # (threshold derivation AND the final gate) — without the lineage
+    # cut both consumers re-run the full text pass (measured 2x wall
+    # at the 100x probe, r10)
     scored = docs.select(
         F.col(id_col),
         F.round(quality_score(toks, F.col(text_col)), round_dp).alias("quality"),
-    )
+    ).localCheckpoint(eager=True)
     thr = quality_threshold(scored, pct)
     return (
         scored.crossJoin(F.broadcast(thr))
