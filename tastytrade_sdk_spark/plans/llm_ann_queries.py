@@ -505,15 +505,31 @@ def _graph_fixture_index(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), "ttsdk_graph_fixture", key, "index"
     )
     if readable_store_path(index) is None:
+        # build under a process-unique dir, then one atomic rename into
+        # place: two concurrent builders (e.g. a correctness gate and a
+        # bench in separate processes) would otherwise race inside
+        # knn_graph_index_write's shared .__tmp staging dir. Losing the
+        # rename race just means another process installed the (byte-
+        # identical, deterministic) index first — use theirs.
+        import shutil
+
         os.makedirs(os.path.dirname(index), exist_ok=True)
+        staging = f"{index}.__build-{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
         knn_graph_index_write(
             load_table(spark, "embeddings", sf_dir),
-            index,
+            staging,
             axis_centroids(16, 64),
             k=4,
             rounds=2,
             rev_cap=4,
         )
+        try:
+            os.rename(staging, index)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+            if readable_store_path(index) is None:
+                raise
     return index
 
 @_q("knn_graph_search_only", _graph_search_oracle_sql())

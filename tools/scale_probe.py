@@ -95,6 +95,11 @@ PROBE = [
     "bpe_encode_vocab",
     "store_change_feed",
     "rag_chunk_retrieval",
+    # r10: the binned-prefix quality gates and the search-only graph
+    # tail (the flat-at-100x claim should stay measured every round)
+    "quality_percentile_filter",
+    "quality_deciles",
+    "knn_graph_search_only",
 ]
 
 
