@@ -227,3 +227,83 @@ def test_duplicate_spans_match_bruteforce(spark, docs, L):
         for r in duplicate_spans(df, min_len=L).collect()
     )
     assert got == _brute_spans(texts, L)
+
+
+# --- r10: the scale-safe ranking machinery -----------------------------------
+#
+# quality_threshold's two-level binned prefix and global_row_number's
+# range-partition + offset reconstruction replaced single-partition
+# windows this round; both carry exact-equivalence obligations (the
+# k-th smallest rounded value; the total (cols, id) order) that a
+# binning/offset bug would violate only on adversarial distributions —
+# hypothesis hunts those.
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scores=st.lists(
+        st.one_of(
+            # hot-bin cluster: many values inside one 3-dp coarse bin
+            st.floats(min_value=0.123, max_value=0.1239),
+            # full-range spread, incl. the 0.0/1.0 bin edges
+            st.sampled_from([0.0, 1.0]),
+            st.floats(min_value=0.0, max_value=1.0),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    pct=st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+)
+def test_quality_threshold_binned_prefix_is_exact_kth(spark, scores, pct):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.llmops.pipeline import quality_threshold
+
+    rounded = [round(s, 6) for s in scores]
+    df = spark.createDataFrame([(v,) for v in rounded], "quality double")
+    df = df.select(F.round("quality", 6).alias("quality"))
+    got = quality_threshold(df, pct).collect()[0].threshold
+    k = math.ceil(pct * len(rounded))
+    want = sorted(round(v, 6) for v in rounded)[k - 1]
+    assert got == want
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        # tiny value domain forces heavy ties: the range partitioner
+        # must split same-value runs by the id tiebreaker
+        st.integers(min_value=0, max_value=3),
+        min_size=1,
+        max_size=150,
+    ),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_global_row_number_is_total_order_enumeration(spark, vals, parts):
+    from tastytrade_sdk_spark.operators.scale import global_row_number
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double")
+    out = {
+        r["doc_id"]: r["__rn"]
+        for r in global_row_number(
+            df, ["quality", "doc_id"], num_partitions=parts
+        ).collect()
+    }
+    want = {
+        doc_id: rn
+        for rn, (quality, doc_id) in enumerate(
+            sorted((q, i) for i, q in rows), start=1
+        )
+    }
+    assert out == want
