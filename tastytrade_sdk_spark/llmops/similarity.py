@@ -105,11 +105,18 @@ def brute_force_topk(
     k: int = 5,
     round_dp: int = 6,
     exclude_label_col: str | None = None,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Exact cosine top-k per query, as one blocked matmul.
 
     The query set is small by construction -> collected to a (q, d)
-    matrix and broadcast. Each corpus partition scores its Arrow batch
+    matrix and broadcast. ``max_queries`` makes that contract
+    STRUCTURAL (r10, the hamming_topk guard applied to the collect
+    path too): the collect is bounded to cap+1 rows, and a frame
+    exceeding the cap raises instead of silently pulling an unbounded
+    matrix onto the driver — shard the query side (or use the
+    LSH/IVF/graph paths, whose query handling is distributed) above
+    the cap. Each corpus partition scores its Arrow batch
     against all queries with a single BLAS matmul and emits only its
     LOCAL top-k per query; the global window then reduces
     n_batches*k candidates per query. The corpus is never shuffled and
@@ -133,7 +140,13 @@ def brute_force_topk(
     qcols = [query_id_col, vec_col] + (
         [exclude_label_col] if exclude_label_col else []
     )
-    qrows = queries.select(*qcols).collect()
+    qrows = queries.select(*qcols).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk: query frame exceeds max_queries="
+            f"{max_queries}; shard the query side (or raise the cap) "
+            "instead of relying on an unbounded driver collect"
+        )
     qids = [r[0] for r in qrows]
     qmat = _unit_rows(_as_matrix([r[1] for r in qrows]))
     qlabels = [r[2] for r in qrows] if exclude_label_col else None

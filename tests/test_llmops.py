@@ -1866,3 +1866,22 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert cont.get((1, 2)) == 1.0  # every excerpt shingle is in body
     assert (1, 2) not in jac
     assert all(3 not in p for p in cont)
+
+
+def test_brute_force_topk_query_cap_is_structural(spark):
+    """r10: the 'query side is small by construction' contract is now
+    a guard, matching hamming_topk — an over-cap frame raises before
+    any unbounded driver collect, an at-cap frame still works."""
+    import pytest
+
+    from tastytrade_sdk_spark.llmops.similarity import brute_force_topk
+    from tastytrade_sdk_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.limit(12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        brute_force_topk(emb, queries, k=3, max_queries=11)
+    out = brute_force_topk(emb, queries, k=3, max_queries=12)
+    assert out.select("query_id").distinct().count() == 12
