@@ -938,3 +938,56 @@ class TestLoopbackSocketIngest:
                 client.close()
             server.close()
             shutil.rmtree(bus, ignore_errors=True)
+
+
+def test_drain_splits_trailing_partial_chunk_and_unknown_type(tmp_path):
+    """Unit-level contract of the r10 per-event split, without a
+    socket: a frame whose flat array is not a multiple of the type's
+    field count ships the full chunks as their own envelopes PLUS the
+    trailing partial as one envelope (decode_compact routes it to the
+    corrupt column downstream); an unknown event type (no field list)
+    ships unsplit with symbol NULL — never misattributed."""
+    import json as _json
+
+    import pyarrow.dataset as ds
+
+    from tastytrade_sdk_spark.sources.socket_source import (
+        CHANNELS,
+        DXLinkSocketClient,
+    )
+
+    client = DXLinkSocketClient(
+        "127.0.0.1", 1, token="tok", bus_path=str(tmp_path / "bus")
+    )
+    ch = CHANNELS["Trade"]  # Trade has 5 fields
+    import queue as _q
+
+    client.queues = {ch: _q.Queue()}
+    # 1 full Trade (5 fields) + a 3-field partial tail
+    client.queues[ch].put(
+        {"type": "FEED_DATA", "channel": ch,
+         "data": ["Trade", ["AAPL", 1, 2.0, 3, 4, "MSFT", 9, 9.5]]}
+    )
+    # unknown type: no field list registered
+    client.queues[ch].put(
+        {"type": "FEED_DATA", "channel": ch,
+         "data": ["Mystery", ["X", 1, 2]]}
+    )
+    assert client.drain_to_bus(min_events=3, timeout=1.0) == 3
+    tbl = ds.dataset(str(tmp_path / "bus"), format="parquet").to_table()
+    rows = sorted(
+        zip(
+            tbl.column("offset").to_pylist(),
+            tbl.column("symbol").to_pylist(),
+            tbl.column("payload").to_pylist(),
+        )
+    )
+    assert [r[0] for r in rows] == [0, 1, 2]
+    assert rows[0][1] == "AAPL"
+    assert _json.loads(rows[0][2]) == ["Trade", "AAPL", "1", "2.0", "3", "4"]
+    # trailing partial: its own envelope, symbol = its first field
+    assert rows[1][1] == "MSFT"
+    assert _json.loads(rows[1][2]) == ["Trade", "MSFT", "9", "9.5"]
+    # unknown type: unsplit, symbol NULL
+    assert rows[2][1] is None
+    assert _json.loads(rows[2][2]) == ["Mystery", "X", "1", "2"]
