@@ -38,8 +38,20 @@ ORACLE_SQL.update(DOMAIN_ORACLE_SQL)
 # the new search-only graph-index [Q]) — the maximum the rotation
 # guard's family floors allow, since only 5 core names remain
 # unattested and the floor requires 10 core slots; the other 5 core
-# slots are cheap already-attested re-confirmations. 26 LLM names
-# remain for r11, at which point rotation is complete.
+# slots are cheap already-attested re-confirmations. 27 names remain
+# for r11, at which point rotation is complete (assuming the driver
+# attests this window; recompute as registry minus the union of
+# CORRECTNESS_r*.json keys): ngram_containment_pairs,
+# corpus_snapshot_diff, dup_shingle_fraction, prototypes_prune,
+# frequent_span_removal, segment_dedup_rebuild, soft_dedup_weights,
+# dedup_best_canonical, embedding_quantize_int8, similar_docs_topk,
+# hard_negatives_topk, doc_embedding_pool, rendezvous_reshard,
+# tfidf_top_terms, rag_chunk_documents, bm25_more_like_this,
+# corpus_language_cube, repetition_stats, source_quality_rollup,
+# ngram_topk_per_lang, vocab_oov_rate, hashed_classifier_scores,
+# mixture_sample_manifest, split_distribution_drift,
+# training_shuffle_order, length_bucketed_batches,
+# span_corruption_plan.
 _SAMPLE_WINDOW = [
     # TPC-H stragglers — the last 5 never-attested core queries
     "large_volume_customers",
