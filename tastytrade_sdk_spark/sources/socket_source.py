@@ -526,8 +526,17 @@ class DXLinkSocketClient:
                     # routes it to the corrupt column downstream), and
                     # an UNKNOWN type (no field list — nothing to chunk
                     # by) ships unsplit with symbol NULL so nothing is
-                    # ever misattributed, merely unfiltered-by-symbol
-                    # until decode.
+                    # ever misattributed. NOTE the downstream contract
+                    # (r10 advisor): a NULL symbol matches NO
+                    # subscription — feedbus.subscribed's
+                    # left-semi join drops these envelopes, which is
+                    # the intended semantics (an unattributable event
+                    # cannot belong to any symbol subscription). The
+                    # audit path for unknown types is the RAW bus
+                    # (pre-filter), where decode_compact routes them
+                    # to the corrupt column; pinned by
+                    # tests/test_feedbus.py::
+                    # test_unknown_type_null_symbol_contract.
                     nf = len(self.event_fields.get(etype, ()))
                     if nf > 0:
                         chunks = [

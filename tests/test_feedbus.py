@@ -991,3 +991,28 @@ def test_drain_splits_trailing_partial_chunk_and_unknown_type(tmp_path):
     # unknown type: unsplit, symbol NULL
     assert rows[2][1] is None
     assert _json.loads(rows[2][2]) == ["Mystery", "X", "1", "2"]
+
+
+def test_unknown_type_null_symbol_contract(spark, tmp_path):
+    """Pins the r10-advisor-adjudicated contract for unknown-type
+    envelopes (symbol NULL): they SURVIVE on the raw bus — the audit
+    surface, where decode_compact's corrupt-column path sees them —
+    but are DROPPED by subscribed()'s symbol semi-join, because a
+    NULL symbol matches no subscription. Subscription filtering is BY
+    SYMBOL; an event that cannot be attributed to a symbol belongs to
+    no subscription, so the drop is semantics, not an accident."""
+    from tastytrade_sdk_spark.sources.feedbus import subscribed
+
+    bus = spark.createDataFrame(
+        [("AAPL", "known"), (None, "mystery"), ("MSFT", "known")],
+        "symbol string, kind string",
+    )
+    subs = spark.createDataFrame([("AAPL",), (None,)], "symbol string")
+
+    kept = subscribed(bus, subs).collect()
+    assert [r["symbol"] for r in kept] == ["AAPL"], (
+        "NULL symbol must match no subscription — even a NULL row in "
+        "the subscriptions frame"
+    )
+    # the raw (pre-filter) bus is where unknown types remain auditable
+    assert bus.filter("symbol IS NULL").count() == 1

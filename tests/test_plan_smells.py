@@ -148,3 +148,35 @@ def test_global_window_detector_catches_real_funnel(spark):
         F.sum("n").over(Window.orderBy("n")).alias("s")
     )
     assert unpartitioned_windows(one_row) == []
+
+
+def test_modulus_bound_requires_small_literal(spark):
+    """Negative control for the r10 advisor finding: a grouping key
+    defined as `<expr> % <huge literal>` is NOT accepted as bounded —
+    the literal IS the row bound the pattern certifies, so only
+    literals <= MOD_LITERAL_CAP count. The same plan with `% 100`
+    stays bounded (the fixed-shard pattern the rule exists for)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from audit_plans import MOD_LITERAL_CAP, unpartitioned_windows
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def shard_window(mod: int):
+        agg = docs.groupBy(
+            (F.hash("doc_id") % mod).alias("shard")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        return agg.select(
+            F.sum("n").over(Window.orderBy("shard")).alias("cum")
+        )
+
+    assert unpartitioned_windows(shard_window(1_000_000_000)), (
+        "corpus-scale modulus accepted as a bound"
+    )
+    assert unpartitioned_windows(shard_window(100)) == []
+    assert MOD_LITERAL_CAP <= 10_000

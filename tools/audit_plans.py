@@ -91,11 +91,21 @@ def _children(nodes, idx):
     return [i for i, (_, _, p) in enumerate(nodes) if p == idx]
 
 
+# A modulus literal only proves boundedness when it is SMALL: the
+# pmod/% patterns certify "at most <literal> key values", so a key
+# like pmod(hash(x), 1000000000) is a corpus-sized domain wearing a
+# bounded spelling (r10 advisor). Shard counts in this engine are all
+# <= a few thousand; anything above this cap is treated as unbounded.
+MOD_LITERAL_CAP = 10_000
+
+
 def _modulus_keyed_agg(nodes, idx, text) -> bool:
     """A grouped aggregate whose every grouping key is defined as
-    pmod(..., <int literal>) somewhere in its subtree has at most
+    pmod(..., <small int literal>) somewhere in its subtree has at most
     (product of the literals) output rows — bounded by construction
-    (the blocked-matmul / fixed-shard pattern)."""
+    (the blocked-matmul / fixed-shard pattern). The literal must be
+    <= MOD_LITERAL_CAP to count: the bound a modulus proves IS the
+    literal, and a billion-row "bound" is no bound at all."""
     m = re.match(r"\w+\(keys?=\[([^\]]*)\]", text)
     if not m or not m.group(1).strip():
         return False
@@ -107,14 +117,21 @@ def _modulus_keyed_agg(nodes, idx, text) -> bool:
             break
         subtree.append(nodes[j][1])
     blob = " ".join(subtree) + " " + text
-    return all(
-        re.search(rf"pmod\([^)]*,\s*\d+\)[^)]*\)?\s+AS\s+{re.escape(k)}#", blob)
-        # the remainder spelling of the same bound: a key defined as
-        # `(<expr> % <int literal>) AS k#` has at most 2*lit-1 values
-        # (the training_shuffle hash-shard pattern)
-        or re.search(rf"%\s*\d+\)\s+AS\s+{re.escape(k)}#", blob)
-        for k in keys
-    )
+
+    def _capped_mod_key(k: str) -> bool:
+        for pat in (
+            rf"pmod\([^)]*,\s*(\d+)\)[^)]*\)?\s+AS\s+{re.escape(k)}#",
+            # the remainder spelling of the same bound: a key defined
+            # as `(<expr> % <int literal>) AS k#` has at most
+            # 2*lit-1 values (the training_shuffle hash-shard pattern)
+            rf"%\s*(\d+)\)\s+AS\s+{re.escape(k)}#",
+        ):
+            for mm in re.finditer(pat, blob):
+                if int(mm.group(1)) <= MOD_LITERAL_CAP:
+                    return True
+        return False
+
+    return all(_capped_mod_key(k) for k in keys)
 
 
 def _pid_keyed_agg(nodes, idx, text) -> bool:
