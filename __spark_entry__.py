@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from tastytrade_sdk_spark.plans import ORACLE_SQL, QUERIES
+from tastytrade_sdk_spark.plans import (
+    ORACLE_BENCH_SPLIT,
+    ORACLE_SQL,
+    QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -65,3 +69,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLE_SQL)
+
+
+def oracle_bench_split() -> dict[str, dict]:
+    """Optional bench-harness contract (NOT part of the driver's
+    correctness gate, which always runs oracle_sql()): per-query
+    {"setup": [sql...], "timed": sql} overrides for search-only [Q]s
+    whose Spark side runs over a pre-built index fixture — the setup
+    materializes the index-equivalent into DuckDB temp tables untimed
+    so both engines are charged only the search tail (r10 advisor).
+    Equivalence of setup+timed vs the full oracle is pinned by
+    tests/test_full_gate.py::test_bench_split_oracles_match_full."""
+    return dict(ORACLE_BENCH_SPLIT)

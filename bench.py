@@ -308,6 +308,13 @@ def oracle_timings(names: list[str], rerun_budget: float = 300.0) -> dict[str, f
     from tastytrade_sdk_spark.sources.tables import TABLE_NAMES
 
     oracles = entrymod.oracle_sql()
+    # search-only [Q]s (r10 advisor, medium): their Spark side runs
+    # over a pre-built index fixture, so the oracle clock must also
+    # exclude index construction — the split's setup statements
+    # materialize the index-equivalent into temp tables UNTIMED and
+    # only the probe+score SQL is timed. Equivalence of setup+timed
+    # vs the full correctness oracle is pinned in tests.
+    splits = getattr(entrymod, "oracle_bench_split", dict)() or {}
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -316,8 +323,13 @@ def oracle_timings(names: list[str], rerun_budget: float = 300.0) -> dict[str, f
     for name in names:
         if name not in oracles:
             continue
+        timed_sql = oracles[name]
+        if name in splits:
+            for setup_sql in splits[name]["setup"]:
+                con.execute(setup_sql)
+            timed_sql = splits[name]["timed"]
         t0 = time.perf_counter()
-        con.sql(oracles[name]).fetchall()
+        con.sql(timed_sql).fetchall()
         best = time.perf_counter() - t0
         if _over_budget():
             out[name] = round(best, 3)
@@ -333,7 +345,7 @@ def oracle_timings(names: list[str], rerun_budget: float = 300.0) -> dict[str, f
             or (best >= 15.0 and rerun_spent < 2 * rerun_budget)
         ):
             t0 = time.perf_counter()
-            con.sql(oracles[name]).fetchall()
+            con.sql(timed_sql).fetchall()
             t = time.perf_counter() - t0
             rerun_spent += t
             best = min(best, t)

@@ -23,6 +23,20 @@ from tastytrade_sdk_spark.plans.kernel_queries import (
 from tastytrade_sdk_spark.plans.llm_queries import LLM_ORACLE_SQL, LLM_QUERIES
 from tastytrade_sdk_spark.plans.queries import ORACLE_SQL, QUERIES
 
+# Bench-side oracle splits for search-only [Q]s (r10 advisor, medium):
+# {name: {"setup": [sql...], "timed": sql}} — the setup materializes
+# the index-equivalent into DuckDB temp tables untimed, mirroring the
+# Spark side's pre-built fixture; only "timed" enters the bench oracle
+# clock. Correctness gates always use ORACLE_SQL (full end-to-end).
+from tastytrade_sdk_spark.plans.llm_ann_queries import (
+    BENCH_ORACLE_SPLIT as _ANN_SPLIT,
+)
+from tastytrade_sdk_spark.plans.llm_retrieval_queries import (
+    BENCH_ORACLE_SPLIT as _RETR_SPLIT,
+)
+
+ORACLE_BENCH_SPLIT: dict[str, dict] = {**_ANN_SPLIT, **_RETR_SPLIT}
+
 QUERIES.update(LLM_QUERIES)
 ORACLE_SQL.update(LLM_ORACLE_SQL)
 QUERIES.update(KERNEL_QUERIES)
@@ -124,4 +138,4 @@ _reordered.update(QUERIES)  # existing keys keep position; rest append
 QUERIES = _reordered
 ORACLE_SQL = {k: ORACLE_SQL[k] for k in QUERIES if k in ORACLE_SQL}
 
-__all__ = ["ORACLE_SQL", "QUERIES"]
+__all__ = ["ORACLE_BENCH_SPLIT", "ORACLE_SQL", "QUERIES"]

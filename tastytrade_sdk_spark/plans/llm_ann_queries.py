@@ -469,68 +469,39 @@ def knn_graph_index_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 def _graph_fixture_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once persisted k-NN graph index for the search-only [Q].
-
-    The index lands under the system temp dir at a path keyed by the
-    REALPATH of ``sf_dir``, a fingerprint of the embeddings parquet
-    (file sizes + mtime_ns — if the corpus is rewritten the key
-    changes and the index rebuilds; this is what makes the cache
-    stale-proof, the r9 memo-removal lesson), and the construction
-    parameters. knn_graph_index_write's atomic tmp-swap protocol means
-    a crashed build never leaves a readable-but-torn index behind."""
-    import hashlib
+    """Build-once persisted k-NN graph index for the search-only [Q],
+    via the hardened repo-local fixture cache (plans/_fixture.py —
+    r10 advisor: repo-local not world-writable tempdir, builder-code
+    version folded into the key so an algorithm edit can never serve a
+    stale index, sorted data walk). knn_graph_index_write's atomic
+    tmp-swap protocol means a crashed build never leaves a
+    readable-but-torn index behind."""
     import os
-    import tempfile
 
+    from tastytrade_sdk_spark.llmops import similarity
     from tastytrade_sdk_spark.llmops.similarity import (
         axis_centroids,
         knn_graph_index_write,
     )
+    from tastytrade_sdk_spark.plans._fixture import fixture_index
     from tastytrade_sdk_spark.streaming.sinks import readable_store_path
 
     emb_path = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
-    parts = []
-    if os.path.isdir(emb_path):
-        for root, _, files in os.walk(emb_path):
-            for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    else:
-        st = os.stat(emb_path)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    key = hashlib.md5(
-        "|".join([emb_path, *parts, "k=4,rounds=2,rev_cap=4,n_lists=16"]).encode()
-    ).hexdigest()
-    index = os.path.join(
-        tempfile.gettempdir(), "ttsdk_graph_fixture", key, "index"
-    )
-    if readable_store_path(index) is None:
-        # build under a process-unique dir, then one atomic rename into
-        # place: two concurrent builders (e.g. a correctness gate and a
-        # bench in separate processes) would otherwise race inside
-        # knn_graph_index_write's shared .__tmp staging dir. Losing the
-        # rename race just means another process installed the (byte-
-        # identical, deterministic) index first — use theirs.
-        import shutil
-
-        os.makedirs(os.path.dirname(index), exist_ok=True)
-        staging = f"{index}.__build-{os.getpid()}"
-        shutil.rmtree(staging, ignore_errors=True)
-        knn_graph_index_write(
+    return fixture_index(
+        "knn_graph",
+        [emb_path],
+        "k=4,rounds=2,rev_cap=4,n_lists=16",
+        [similarity],
+        lambda staging: knn_graph_index_write(
             load_table(spark, "embeddings", sf_dir),
             staging,
             axis_centroids(16, 64),
             k=4,
             rounds=2,
             rev_cap=4,
-        )
-        try:
-            os.rename(staging, index)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
-            if readable_store_path(index) is None:
-                raise
-    return index
+        ),
+        readable_store_path,
+    )
 
 @_q("knn_graph_search_only", _graph_search_oracle_sql())
 def knn_graph_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,6 +534,74 @@ def knn_graph_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         hops=2,
     )
+
+def _graph_split_oracle() -> dict:
+    """Bench-side search-only oracle split for knn_graph_search_only
+    (r10 advisor, medium): the Spark side times search over a
+    pre-built index fixture, so the DuckDB comparison must also be
+    charged only the search tail — the NN-descent graph (the index)
+    and the per-list entry points materialize into temp tables in the
+    UNTIMED setup, mirroring what knn_graph_index_write persists
+    (edges + entry); the timed SQL is query routing -> entry lookup ->
+    two hop expansions over the materialized edges -> exact cosine
+    rescore. The CORRECTNESS oracle remains the full end-to-end SQL
+    (identical results; the gate does not time)."""
+    setup = [
+        # the persisted index: NN-descent edges at the fixpoint
+        f"""CREATE OR REPLACE TEMP TABLE __graph_edges AS
+        {_nn_descent_ctes(4, 2, 4)}
+        SELECT src, dst FROM e2""",
+        # per-list entry points (index/entry in the Spark layout)
+        """CREATE OR REPLACE TEMP TABLE __graph_entry AS
+        WITH asg AS (
+          SELECT vec_id,
+                 array_position(l16, list_max(l16)) - 1 AS list_id
+          FROM (SELECT vec_id,
+                       list_transform(list_slice(embedding, 1, 16),
+                                      x -> x::DOUBLE) AS l16
+                FROM embeddings)
+        )
+        SELECT list_id, min(vec_id) AS node FROM asg GROUP BY list_id""",
+    ]
+    timed = f"""
+    WITH qprobe AS (
+      SELECT vec_id AS query_id, i - 1 AS list_id
+      FROM (
+        SELECT e.vec_id, g.i,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY e.embedding[g.i]::DOUBLE DESC, g.i) AS r
+        FROM embeddings e, unnest(range(1, 17)) AS g(i)
+        WHERE e.vec_id < 10
+      )
+      WHERE r <= 1
+    ),
+    entry AS (
+      SELECT p.query_id, e.node
+      FROM qprobe p JOIN __graph_entry e ON e.list_id = p.list_id
+    ),
+    h0 AS (SELECT query_id, node FROM entry),
+    h1 AS (
+      SELECT p.query_id, e.dst AS node
+      FROM h0 p JOIN __graph_edges e ON e.src = p.node
+    ),
+    h2 AS (
+      SELECT p.query_id, e.dst AS node
+      FROM h1 p JOIN __graph_edges e ON e.src = p.node
+    ),
+    cand AS (
+      SELECT DISTINCT query_id, node AS vec_id
+      FROM (SELECT query_id, node FROM h0
+            UNION ALL SELECT query_id, node FROM h1
+            UNION ALL SELECT query_id, node FROM h2)
+      WHERE node != query_id
+    )
+    {_COS_TOPK_TAIL}
+    """
+    return {"setup": setup, "timed": timed}
+
+BENCH_ORACLE_SPLIT: dict[str, dict] = {
+    "knn_graph_search_only": _graph_split_oracle(),
+}
 
 def _recall_curve_oracle_sql(
     n_lists: int = 16, nprobes: tuple[int, ...] = (1, 2, 4), k: int = 5

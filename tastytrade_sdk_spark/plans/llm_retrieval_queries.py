@@ -24,6 +24,7 @@ from tastytrade_sdk_spark.sources.tables import load_table
 
 from tastytrade_sdk_spark.plans._llm_base import (  # noqa: F401
     _H32,
+    _TOKS_SQL,
     _RAG_CHUNK,
     _SQ8_QUANT_CTE,
     _TOKS_CTE,
@@ -731,6 +732,141 @@ def bm25_index_stream_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+def _bm25_fixture_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted COMPACTED BM25 index for the search-only
+    [Q], via the hardened repo-local fixture cache (plans/_fixture.py:
+    repo-local dir, builder-code version in the key, sorted data
+    walk). The build replays the streamed lifecycle — three epoch
+    micro-batches folded through bm25_index_stream_batch, then
+    bm25_index_compact rewrites the epoch tree into the batch layout —
+    so the fixture is exactly the artifact a long-running indexing
+    stream leaves behind after OPTIMIZE."""
+    import os
+
+    from tastytrade_sdk_spark.llmops import retrieval
+    from tastytrade_sdk_spark.llmops.retrieval import (
+        bm25_index_compact,
+        bm25_index_stream_batch,
+    )
+    from tastytrade_sdk_spark.plans._fixture import fixture_index
+    from tastytrade_sdk_spark.streaming.sinks import readable_store_path
+
+    docs_path = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+
+    def _build(staging: str) -> None:
+        docs = load_table(spark, "documents", sf_dir)
+        for ep in range(3):
+            bm25_index_stream_batch(
+                docs.filter(F.col("doc_id") % 3 == ep), staging, ep
+            )
+        bm25_index_compact(spark, staging)
+
+    return fixture_index(
+        "bm25_compact",
+        [docs_path],
+        "epochs=3,n_buckets=64,compacted",
+        [retrieval],
+        _build,
+        readable_store_path,
+    )
+
+@_q("bm25_index_search_only", _BM25_ORACLE)
+def bm25_index_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEARCH tail of the persisted BM25 index, priced on its own
+    (r10 judge item 4 — the lexical twin of knn_graph_search_only):
+    bm25_index_stream_search bundles 4 micro-batch writes + compaction
+    + search into one number, which hides that the steady-state
+    serving operation — tokenize 5 query docs, hash their terms to
+    buckets, read ONLY those bucket directories, score the shared
+    exact tail — is independent of index-build cost and scan-bounded
+    by the probed postings. This [Q] amortizes the build into a
+    fingerprint-keyed on-disk fixture (rebuilt iff the documents table
+    or the builder code changes) and measures only the search. The
+    oracle is the SAME in-memory SQL as bm25_more_like_this — the
+    compacted index is postings-identical to a fresh build, so the
+    full replay hash-matches; the bench-side split oracle
+    (BENCH_ORACLE_SPLIT) charges DuckDB symmetrically: postings/
+    doclen/stats materialize untimed, only the probe+score is timed."""
+    from tastytrade_sdk_spark.llmops.retrieval import bm25_index_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    queries = docs.filter(F.col("doc_id") < 5)
+    return bm25_index_topk(
+        spark, _bm25_fixture_index(spark, sf_dir), queries, k=5
+    )
+
+# Bench-side search-only oracle split (r10 advisor, medium): the
+# search-only [Q]s time Spark over a pre-built index fixture, so
+# charging DuckDB the full build+search SQL every run would inflate
+# the headline ratio by design asymmetry. The split materializes the
+# index-equivalent (postings + doclen + exact stats) into DuckDB temp
+# tables OUTSIDE the timed region — mirroring the fixture — and times
+# only the probe+score tail. The CORRECTNESS oracle stays the full
+# end-to-end SQL (results are identical by construction; the gate does
+# not time).
+_BM25_SPLIT_QT = f"""
+    WITH qt AS (
+      SELECT DISTINCT doc_id AS query_id, term
+      FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term
+            FROM documents WHERE doc_id < 5)
+    ),
+"""
+
+BENCH_ORACLE_SPLIT: dict[str, dict] = {
+    "bm25_index_search_only": {
+        "setup": [
+            f"""CREATE OR REPLACE TEMP TABLE __bm25_post AS
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+            SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY term, doc_id""",
+            f"""CREATE OR REPLACE TEMP TABLE __bm25_dl AS
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks""",
+            """CREATE OR REPLACE TEMP TABLE __bm25_g AS
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(dl), 6) AS avgdl
+            FROM __bm25_dl""",
+        ],
+        "timed": _BM25_SPLIT_QT
+        + """
+    probed AS (
+      SELECT p.* FROM __bm25_post p WHERE p.term IN (SELECT term FROM qt)
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM probed GROUP BY term
+    ),
+    scored AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(round(
+               round(ln((g.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+               * round(p.tf * (1.2 + 1.0)
+                       / (p.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * d.dl / g.avgdl)), 6),
+               6) AS DECIMAL(20,6)) AS s
+      FROM qt q
+      JOIN probed p ON p.term = q.term
+      JOIN dfreq f ON f.term = q.term
+      JOIN __bm25_dl d ON d.doc_id = p.doc_id
+      CROSS JOIN __bm25_g g
+      WHERE p.doc_id <> q.query_id
+    ),
+    agg AS (
+      SELECT query_id, doc_id, sum(s) AS sd FROM scored GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT query_id, doc_id, sd,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sd DESC, doc_id) AS r
+      FROM agg
+    )
+    SELECT query_id, CAST(r AS BIGINT) AS rank, doc_id,
+           CAST(sd AS DOUBLE) AS bm25
+    FROM rk WHERE r <= 5
+    """,
+    },
+}
 
 def _mmr_oracle_sql(pool: int = 12, k: int = 5, ln: int = 7, lc: int = 3) -> str:
     """Unrolled-greedy MMR replay: k-1 selection rounds as CTE stages

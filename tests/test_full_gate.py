@@ -96,3 +96,36 @@ def test_driver_sample_window_is_rotated_and_representative():
         f"only {n_kernel}+{n_domain} kernel/domain queries in the window"
     )
     assert n_core >= 10, f"only {n_core} core/TPC-H queries in the window"
+
+
+def test_bench_split_oracles_match_full():
+    """Every bench-side search-only oracle split (setup + timed SQL,
+    bench.py oracle_timings) must produce EXACTLY the rows of the full
+    correctness oracle — otherwise the bench would be timing a
+    different query than the gate verifies (r10 advisor, medium).
+    Pure DuckDB, no Spark."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from tastytrade_sdk_spark.sources.tables import TABLE_NAMES
+
+    sf = "/root/testdata/sf0.001"
+    oracles = entry.oracle_sql()
+    splits = entry.oracle_bench_split()
+    assert splits, "search-only [Q]s declare bench splits"
+    for name, sp in splits.items():
+        assert name in oracles, f"{name} split has no correctness oracle"
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+            )
+        full = con.sql(oracles[name]).df()
+        for setup_sql in sp["setup"]:
+            con.execute(setup_sql)
+        timed = con.sql(sp["timed"]).df()
+        cols = sorted(full.columns)
+        assert sorted(timed.columns) == cols, name
+        f = full[cols].sort_values(cols).reset_index(drop=True)
+        g = timed[cols].sort_values(cols).reset_index(drop=True)
+        assert f.equals(g), f"{name}: split oracle drifted from full"
