@@ -7,18 +7,18 @@ per near-dup cluster so the dedup policy ("keep canonical, drop rest")
 is a plain filter. This is the standard MinHash-LSH -> components ->
 keep-one recipe used by large-scale corpus dedup.
 
-Spark form: iterative min-label propagation. Each round is one join of
-the (symmetrized) edge list against current labels plus a min-agg —
-both shuffles keyed on node id — and converges in O(component
-diameter) rounds. Near-dup graphs have tiny, star-ish components, so
-the loop terminates in a handful of rounds; ``max_iters`` bounds the
-pathological chain. Lineage is cut with an eager localCheckpoint per
-round (the loop would otherwise stack O(iters) shuffle stages into one
-plan). At lake scale the same loop upgrades to the alternating
-large-star/small-star algorithm (Kiveris et al., "Connected Components
-in MapReduce"), which converges in O(log n) rounds regardless of
-diameter — the driver loop and per-round shuffle structure stay the
-same shape.
+Spark form, three paths behind one entry point
+(``connected_components``): (1) graphs under a bounded probe run as a
+driver union-find over the Arrow-fetched edge list — one job, exact;
+(2) the distributed default is alternating large-star/small-star
+contraction (Kiveris et al., "Connected Components in MapReduce and
+Beyond"), O(log n) rounds regardless of component diameter, each round
+two groupBy+join phases shuffle-keyed on node id over the EDGE LIST
+only (the corpus never enters the loop); (3) ``algorithm="minlabel"``
+keeps the legacy min-label propagation (one join + min-agg per round,
+O(diameter) rounds, strict non-convergence raise) for star-shaped
+graphs and as the equivalence twin. Lineage is cut per round (the
+loops would otherwise stack O(iters) shuffle stages into one plan).
 """
 
 from __future__ import annotations
@@ -36,6 +36,7 @@ def connected_components(
     max_iters: int = 25,
     strict: bool = True,
     small_graph_edges: int = 1_000_000,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Per-node component label = MIN node id reachable from it.
 
@@ -43,11 +44,22 @@ def connected_components(
     in ``edges`` come back as their own singleton component. Output:
     (id_col, component).
 
-    Convergence is O(component diameter) rounds; if labels are still
-    moving after ``max_iters`` the result would be silently WRONG
-    (one real cluster split across labels), so ``strict`` raises
-    instead — raise max_iters, or switch to the large-star/small-star
-    variant for pathological chain graphs.
+    ``algorithm`` picks the DISTRIBUTED path (the under-bound driver
+    union-find below is exact and always used regardless): ``"auto"``
+    (default, r10 verdict item 3) runs large-star/small-star
+    contraction — O(log n) rounds regardless of component diameter, so
+    the round count can never be the scale driver — reusing the
+    already-checkpointed edge list (the upstream LSH plan is never
+    re-executed per round). ``"minlabel"`` forces the legacy min-label
+    propagation loop, kept for its equivalence tests and for graphs
+    known to be star-shaped already (diameter ≤ 2 converges in 2
+    rounds, one fewer shuffle per round than a contraction round).
+
+    Min-label convergence is O(component diameter) rounds; if labels
+    are still moving after ``max_iters`` the result would be silently
+    WRONG (one real cluster split across labels), so ``strict`` raises
+    instead — raise max_iters, or use the (default) star contraction
+    for pathological chain graphs.
 
     Runtime adaptivity (the AQE pattern, decided from a materialized
     probe, never a guess): the edge list is probed with ONE bounded
@@ -103,6 +115,23 @@ def connected_components(
             out, f"`{id_col}` {id_type}, component {id_type}"
         )
         return _with_isolated(touched, nodes, id_col)
+    if algorithm == "auto" or algorithm == "star":
+        # big-graph default: star contraction off the SAME checkpointed
+        # symmetric edge list (canonicalizing one direction of ``sym``
+        # reads the checkpoint, not the upstream pair plan)
+        e = (
+            sym.filter(F.col("__n") > F.col("__m"))
+            .select(F.col("__n").alias("__u"), F.col("__m").alias("__v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        touched = _star_contract(e, max_iters=max(max_iters, 50))
+        touched = touched.select(
+            F.col("__n").alias(id_col), F.col("__lbl").alias("component")
+        )
+        return _with_isolated(touched, nodes, id_col)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # propagate over EDGE-TOUCHED nodes only: an isolated node can
     # never change label, so iterating it is pure waste — at lake
     # scale this is the difference between shuffling the whole corpus
@@ -186,6 +215,19 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    touched = _star_contract(e, max_iters=max_iters)
+    touched = touched.select(
+        F.col("__n").alias(id_col), F.col("__lbl").alias("component")
+    )
+    return _with_isolated(touched, nodes, id_col)
+
+
+def _star_contract(e: DataFrame, max_iters: int = 50) -> DataFrame:
+    """The alternating large-star/small-star fixpoint loop, shared by
+    connected_components (big-graph ``algorithm='auto'`` path) and
+    connected_components_star. ``e`` must be the canonical edge frame
+    — columns (__u, __v) with __u > __v, distinct, lineage-cut by the
+    caller. Returns edge-touched labels (__n, __lbl)."""
 
     def checksum(df):
         row = df.agg(
@@ -257,13 +299,11 @@ def connected_components_star(
             "data shape"
         )
     roots = e.select(F.col("__v").alias("__n")).distinct()
-    touched = (
+    return (
         e.select(F.col("__u").alias("__n"), F.col("__v").alias("__lbl"))
         .unionByName(roots.select("__n", F.col("__n").alias("__lbl")))
         .distinct()
-        .select(F.col("__n").alias(id_col), F.col("__lbl").alias("component"))
     )
-    return _with_isolated(touched, nodes, id_col)
 
 
 def _with_isolated(

@@ -44,89 +44,92 @@ ORACLE_SQL.update(KERNEL_ORACLE_SQL)
 QUERIES.update(DOMAIN_QUERIES)
 ORACLE_SQL.update(DOMAIN_ORACLE_SQL)
 
+# The round this window was pinned FOR. The rotation guard
+# (tests/test_full_gate.py) computes the attestation ledger as every
+# CORRECTNESS_r{N}.json with N < _WINDOW_ROUND — keyed to the window
+# itself rather than "all but the lexicographically newest file", so
+# a freshly-committed round's results can never silently count toward
+# (or against) the NEXT round's freshness (r10 advisor item 4).
+_WINDOW_ROUND = 11
+
 # The driver-sampled window, ROTATED per round (r8 judge item 1):
-# rounds 1-9 attested 157 distinct queries, leaving 71 never sampled.
-# This r10 window takes 45 of those 71 (5 TPC-H stragglers, all 7
-# remaining domain queries, 33 LLM-pipeline queries spanning dedup /
-# ANN / retrieval / quality / mixtures / chunking / multimodal, plus
-# the new search-only graph-index [Q]) — the maximum the rotation
-# guard's family floors allow, since only 5 core names remain
-# unattested and the floor requires 10 core slots; the other 5 core
-# slots are cheap already-attested re-confirmations. 27 names remain
-# for r11, at which point rotation is complete (assuming the driver
-# attests this window; recompute as registry minus the union of
-# CORRECTNESS_r*.json keys): ngram_containment_pairs,
-# corpus_snapshot_diff, dup_shingle_fraction, prototypes_prune,
-# frequent_span_removal, segment_dedup_rebuild, soft_dedup_weights,
-# dedup_best_canonical, embedding_quantize_int8, similar_docs_topk,
-# hard_negatives_topk, doc_embedding_pool, rendezvous_reshard,
-# tfidf_top_terms, rag_chunk_documents, bm25_more_like_this,
-# corpus_language_cube, repetition_stats, source_quality_rollup,
-# ngram_topk_per_lang, vocab_oov_rate, hashed_classifier_scores,
-# mixture_sample_manifest, split_distribution_drift,
-# training_shuffle_order, length_bucketed_batches,
-# span_corruption_plan.
+# rounds 1-10 attested 202 distinct queries, leaving 28 never sampled
+# (the 27 pinned by r10's comment plus bm25_index_search_only, added
+# after r10's correctness run). This r11 window takes ALL 28 — after
+# the driver attests it, registry − ∪CORRECTNESS_r*.json = ∅ and the
+# rotation has covered every declared query. The 22 filler slots are
+# spent per the r10 verdict (item 2): reworked-after-attestation and
+# never-re-confirmed heavy names, NOT arbitrary core queries —
+# top_supplier_quarter (rewritten r10, attestation stale),
+# asof_entry_price_skewsafe ('auto' default added post-attestation),
+# the as-of + LIFO families (property-tested this round, r10 verdict
+# item 7), corpus_filter_pipeline + dedup_clusters (CC stage rewired
+# to star contraction this round, verdict item 3),
+# knn_graph_search_only (fixture cache rewired post-attestation,
+# commit 0c00ee5), ann_hamming_topk / winnowing_dedup_clusters
+# (verdict-named guard-touched), minhash_estimate_error /
+# quality_deciles (1000x probe targets, verdict item 8), and the two
+# heaviest lifecycle [Q]s — while satisfying the guard's family
+# floors (10 core, 3 kernel/domain, 15 LLM).
 _SAMPLE_WINDOW = [
-    # TPC-H stragglers — the last 5 never-attested core queries
-    "large_volume_customers",
-    "brand_size_disjunct_revenue",
-    "small_quantity_revenue",
-    "forecast_revenue_change",
-    "shipmode_priority_counts",
-    # core re-confirmations (already attested; fill the 10-core floor)
-    "pricing_summary",
-    "latest_event_per_user",
-    "interval_floor_5m",
-    "top3_values_per_user",
-    "weekday_order_counts",
-    # domain remainder (7)
-    "props_json_parse",
-    "channel_pattern_filter",
-    "strategy_health_alerts",
-    "rollup_order_revenue",
-    "session_window_activity",
-    "sliding_window_counts",
-    "salted_skew_aggregate",
-    # dedup remainder (11)
-    "winnowing_fingerprints",
-    "winnowing_overlap_pairs",
-    "cdc_chunk_dedup",
-    "cross_snapshot_dedup",
-    "dedup_tier_policy",
-    "semdedup_keep_scaled",
-    "d4_curation",
-    "contamination_check",
-    "contamination_near_dup",
-    "dedup_normalized_text",
-    "kmeans_lloyd_step",
-    # ANN remainder + the new search-only graph [Q] (7)
-    "ivf_pq_search",
-    "pq_encode_codes",
-    "ann_hamming_rescore",
-    "sq8_rescore_topk",
-    "random_projection_16",
-    "dim_truncation_recall",
-    "knn_graph_search_only",
-    # retrieval remainder (3)
-    "bm25_rm3_search",
-    "rag_chunk_retrieval",
-    "pagerank_fixed",
-    # quality remainder — incl. the r10 binned-prefix rework (8)
-    "pii_scrub",
-    "ccnet_ppl_buckets",
-    "quality_deciles",
-    "c4_line_filters",
-    "lm_doc_logprob",
-    "quality_percentile_filter",
-    "quality_threshold_sweep",
+    # never-attested remainder: dedup/corpus analytics (8)
+    "ngram_containment_pairs",
+    "corpus_snapshot_diff",
+    "dup_shingle_fraction",
+    "prototypes_prune",
+    "frequent_span_removal",
+    "segment_dedup_rebuild",
+    "soft_dedup_weights",
+    "dedup_best_canonical",
+    # never-attested remainder: embeddings/ANN (5)
+    "embedding_quantize_int8",
+    "similar_docs_topk",
+    "hard_negatives_topk",
+    "doc_embedding_pool",
+    "rendezvous_reshard",
+    # never-attested remainder: retrieval (4)
+    "tfidf_top_terms",
+    "rag_chunk_documents",
+    "bm25_more_like_this",
+    "bm25_index_search_only",
+    # never-attested remainder: corpus analytics/quality (6)
+    "corpus_language_cube",
+    "repetition_stats",
+    "source_quality_rollup",
+    "ngram_topk_per_lang",
+    "vocab_oov_rate",
+    "hashed_classifier_scores",
+    # never-attested remainder: mixtures/packing (5)
+    "mixture_sample_manifest",
+    "split_distribution_drift",
+    "training_shuffle_order",
+    "length_bucketed_batches",
+    "span_corruption_plan",
+    # fillers, core (10): reworked or tied to this round's work
+    "top_supplier_quarter",
+    "asof_entry_price_skewsafe",
+    "asof_entry_price",
+    "asof_next_quote",
+    "asof_entry_price_tolerance",
+    "hull_ma_hourly",
+    "macd_prior_session_seed",
+    "gap_fill_hourly",
+    "interpolate_hourly",
+    "max_drawdown_per_user",
+    # fillers, kernel (3): LIFO property-tested this round
+    "lifo_open_allocation",
+    "lifo_entry_credit",
+    "strategy_classification",
+    # fillers, LLM (9): reworked / probe targets / heaviest
     "corpus_filter_pipeline",
-    # mixtures (2)
-    "dsir_importance_weights",
-    "stratified_sample_perlang",
-    # chunking (1)
-    "doc_chunking",
-    # multimodal resize plumbing (1)
-    "multimodal_resize_meta",
+    "dedup_clusters",
+    "knn_graph_search_only",
+    "ann_hamming_topk",
+    "winnowing_dedup_clusters",
+    "minhash_estimate_error",
+    "quality_deciles",
+    "bm25_index_stream_search",
+    "graph_ann_search",
 ]
 
 assert len(_SAMPLE_WINDOW) == 50, len(_SAMPLE_WINDOW)
@@ -138,4 +141,4 @@ _reordered.update(QUERIES)  # existing keys keep position; rest append
 QUERIES = _reordered
 ORACLE_SQL = {k: ORACLE_SQL[k] for k in QUERIES if k in ORACLE_SQL}
 
-__all__ = ["ORACLE_BENCH_SPLIT", "ORACLE_SQL", "QUERIES"]
+__all__ = ["ORACLE_BENCH_SPLIT", "ORACLE_SQL", "QUERIES", "_WINDOW_ROUND"]

@@ -37,19 +37,29 @@ def test_connected_components_raises_on_non_convergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "doc_a int, doc_b int"
     )
-    # force the DISTRIBUTED propagation path (the driver union-find
-    # path always converges exactly, so non-convergence is a
-    # distributed-loop-only concern)
+    # force the DISTRIBUTED min-label path (the driver union-find path
+    # always converges exactly, and the r11 default big-graph path is
+    # star contraction whose round count is O(log n) by construction —
+    # non-convergence is a min-label-only concern)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iters=2, small_graph_edges=0)
+        connected_components(
+            chain, max_iters=2, small_graph_edges=0, algorithm="minlabel"
+        )
     # non-strict mode still returns (documented-partial) labels
     out = connected_components(
-        chain, max_iters=2, strict=False, small_graph_edges=0
+        chain, max_iters=2, strict=False, small_graph_edges=0,
+        algorithm="minlabel",
     )
     assert out.count() == 13
     # and enough rounds converge the same chain fully
-    ok = connected_components(chain, max_iters=20, small_graph_edges=0)
+    ok = connected_components(
+        chain, max_iters=20, small_graph_edges=0, algorithm="minlabel"
+    )
     assert {r["component"] for r in ok.collect()} == {0}
+    # the r11 default distributed path (star contraction) converges the
+    # same chain regardless of diameter
+    star = connected_components(chain, small_graph_edges=0)
+    assert {r["component"] for r in star.collect()} == {0}
     # the small-graph union-find path agrees with the converged loop
     uf = connected_components(chain)
     assert {r["component"] for r in uf.collect()} == {0}

