@@ -65,14 +65,19 @@ def test_unbounded_bnlj_detector_catches_real_cartesian(spark):
 
     from pyspark.sql import functions as F
 
-    a = spark.range(100).withColumnRenamed("id", "a")
-    b = spark.range(100).withColumnRenamed("id", "b")
+    a = spark.range(100_000).withColumnRenamed("id", "a")
+    b = spark.range(100_000).withColumnRenamed("id", "b")
     crossed = a.join(F.broadcast(b), F.col("a") % 7 > F.col("b") % 5)
     assert unbounded_bnljs(crossed), "data-sized BNLJ build side missed"
-    # while the sanctioned pattern stays clean
+    # while the sanctioned patterns stay clean: a no-key aggregate...
     thr = b.agg(F.max("b").alias("m"))
     ok = a.crossJoin(F.broadcast(thr))
     assert unbounded_bnljs(ok) == []
+    # ...and a literal one-row Range (the bm25_index_topk stats-glob
+    # shape: spark.range(1).select(lits) crossJoined as constants)
+    glob = spark.range(1).select(F.lit(7).alias("n"))
+    ok2 = a.crossJoin(F.broadcast(glob))
+    assert unbounded_bnljs(ok2) == []
 
 
 def test_no_row_at_a_time_python_udfs(plans):

@@ -161,6 +161,12 @@ def _subtree_bounded(nodes, idx) -> bool:
     depth, text, _ = nodes[idx]
     if _BOUNDING.match(text):
         return True
+    # a literal Range is bounded by its own literals — but only when
+    # the span is actually small (same cap discipline as the modulus
+    # rule: `spark.range(10**9)` proves nothing)
+    m = re.match(r"Range \((\d+), (\d+),", text)
+    if m and int(m.group(2)) - int(m.group(1)) <= MOD_LITERAL_CAP:
+        return True
     if re.match(r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(", text) and (
         _modulus_keyed_agg(nodes, idx, text) or _pid_keyed_agg(nodes, idx, text)
     ):
