@@ -143,9 +143,15 @@ def doremi_domain_weights(
     )
 
     uc, ut = train_unigram_lm(docs, text_col, id_col)
-    bc, cx, v = train_bigram_lm(docs, text_col, id_col)
+    bc, cx, _v = train_bigram_lm(docs, text_col, id_col)
     u = score_docs_unigram_lm(docs, uc, ut, text_col, id_col)
-    b = score_docs_bigram_lm(docs, bc, cx, v, text_col, id_col)
+    # vocab for the bigram scorer = distinct training tokens — exactly
+    # ut's `v` (same 80% hash split, same tokens_expr), so reuse it
+    # instead of train_bigram_lm's third tokenize+count_distinct pass
+    # over the corpus (_v is never executed; one fewer corpus scan)
+    b = score_docs_bigram_lm(
+        docs, bc, cx, ut.select("v"), text_col, id_col
+    )
 
     micro = lambda col: F.round(col * 1e6, 0).cast("long")  # noqa: E731
     per_doc = (
@@ -172,6 +178,13 @@ def doremi_domain_weights(
             "__sb"
         ),
     )
+    # K-row barrier (K = #domains): `agg` sits under BOTH crossJoined
+    # 1-row aggregates below (tot, norm), so without it the whole
+    # double-LM corpus pipeline appears 4x in one plan and re-executes
+    # whenever AQE declines to reuse the exchanges (measured bimodal
+    # 4.2s vs 10.9s on identical runs). Checkpointing K rows makes the
+    # corpus cost run exactly once at any scale.
+    agg = agg.localCheckpoint(eager=False)
     tot = agg.agg(
         F.sum("n_tokens").alias("__tt"), F.count(F.lit(1)).alias("__k")
     )

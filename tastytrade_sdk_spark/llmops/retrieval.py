@@ -148,15 +148,27 @@ def bm25_topk(
     top-k is a per-query window over candidates only.
     """
     postings = build_postings(corpus, text_col, id_col)
-    dl = doc_lengths(corpus, text_col, id_col)
+    # dl feeds the global stats agg AND the score tail's length join;
+    # qterms feeds the probe broadcast AND the tail. Checkpoint both
+    # (lazily) so each corpus tokenize / query explode runs once
+    # instead of per reference — dl is (id, long) metadata, tiny
+    # relative to the corpus at any scale; qterms is query-bounded.
+    dl = doc_lengths(corpus, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     glob = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(F.avg("dl"), 6).alias("avgdl"),
     )
-    qterms = _query_terms(query_docs, text_col, id_col)
+    qterms = _query_terms(query_docs, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    # probed (the query-relevant posting slice) feeds BOTH the df
+    # aggregate and the candidate join inside the score tail; without
+    # the barrier the postings build runs twice per search
     probed = postings.join(
         F.broadcast(qterms.select("term").distinct()), "term"
-    )
+    ).localCheckpoint(eager=False)
     return _bm25_score_tail(probed, qterms, dl, glob, k, k1, b, id_col)
 
 
@@ -187,16 +199,32 @@ def bm25_rm3_topk(
     probe passes, never corpus-squared. Both stages share one
     postings/doc-length build.
     """
-    postings = build_postings(corpus, text_col, id_col)
-    dl = doc_lengths(corpus, text_col, id_col)
+    # the docstring's "both stages share one postings/doc-length
+    # build" must hold in the PHYSICAL plan, not just the code: the
+    # postings subtree is referenced by stage 1's probe, the expansion
+    # join and stage 2's probe (3x), dl by both tails + glob (3x), and
+    # the whole stage-1 scoring pipeline rides under the expansion →
+    # qt2 → stage-2 lineage — ~2300 plan lines with zero guaranteed
+    # exchange reuse under AQE. Checkpoint the shared builds (corpus
+    # pays tokenize+aggregate once; postings/dl materialize instead of
+    # recompute — the build-once/probe-twice economics the operator
+    # declares) and the bounded frames (qterms, qt2: query-sized).
+    postings = build_postings(corpus, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    dl = doc_lengths(corpus, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     glob = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(F.avg("dl"), 6).alias("avgdl"),
     )
-    qterms = _query_terms(query_docs, text_col, id_col)
+    qterms = _query_terms(query_docs, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     probed = postings.join(
         F.broadcast(qterms.select("term").distinct()), "term"
-    )
+    ).localCheckpoint(eager=False)
     fb = _bm25_score_tail(
         probed, qterms, dl, glob, fb_k, k1, b, id_col
     ).select("query_id", id_col)
@@ -216,10 +244,17 @@ def bm25_rm3_topk(
         .filter(F.col("er") <= n_exp)
         .select("query_id", "term")
     )
-    qt2 = qterms.unionByName(expansion).distinct()
+    # qt2 is query-bounded (|q| terms + n_exp expansions) but its
+    # lineage contains the whole stage-1 scoring pipeline; the
+    # checkpoint stops stage 2 from replaying stage 1 per reference
+    qt2 = (
+        qterms.unionByName(expansion)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     probed2 = postings.join(
         F.broadcast(qt2.select("term").distinct()), "term"
-    )
+    ).localCheckpoint(eager=False)
     return _bm25_score_tail(probed2, qt2, dl, glob, k, k1, b, id_col)
 
 
@@ -406,6 +441,30 @@ def bm25_index_append(
     return stats
 
 
+def _probe_postings(
+    spark, path: str, qterms: DataFrame, n_buckets: int, id_col: str
+) -> DataFrame:
+    """The probed-buckets-only postings read: query terms' bucket ids
+    are computed first (one tiny bounded job), ONLY those bucket
+    directories are scanned (directory-level elimination — the
+    PartitionFilters the pruning tests assert on this frame's plan),
+    and the slice is narrowed to the query's exact terms."""
+    import os
+
+    buckets = sorted(
+        r["b"]
+        for r in qterms.select(_bucket_col(n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    return (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .select("term", id_col, "tf")
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+    )
+
+
 def bm25_index_topk(
     spark,
     path: str,
@@ -480,22 +539,15 @@ def bm25_index_topk(
         )
     qterms = _query_terms(query_docs, text_col, id_col)
     qterms = qterms.localCheckpoint(eager=True)  # used three times
-    buckets = sorted(
-        r["b"]
-        for r in qterms.select(
-            _bucket_col(stats["n_buckets"]).alias("b")
-        )
-        .distinct()
-        .collect()
-    )
-    postings = (
-        spark.read.parquet(os.path.join(path, "postings"))
-        .filter(F.col("bucket").isin(buckets))
-        .select("term", id_col, "tf")
-    )
-    probed = postings.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    )
+    # the fetched posting slice feeds both the df aggregate and the
+    # candidate join in the tail — checkpoint it so the index is read
+    # once per search, not once per tail consumer. The bucket-pruned
+    # scan itself is built by _probe_postings (the pruning witness the
+    # tests assert PartitionFilters on, since this checkpoint hides
+    # the scan from the result's plan).
+    probed = _probe_postings(
+        spark, path, qterms, stats["n_buckets"], id_col
+    ).localCheckpoint(eager=False)
     dl = spark.read.parquet(os.path.join(path, "doclen")).select(
         id_col, "dl"
     )
