@@ -369,15 +369,31 @@ def _write_batch_layout(
     import json
     import os
     import tempfile
+    import threading
 
-    (
-        postings.withColumn("bucket", _bucket_col(n_buckets))
-        .repartition(n_buckets, "bucket", "term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(path, "postings"))
-    )
+    # postings and doclen writes are lineage-disjoint (callers pass dl
+    # already checkpointed) — overlap them; _stats.json still commits
+    # atomically and LAST
+    errs: "list[BaseException]" = []
+
+    def _postings_write():
+        try:
+            (
+                postings.withColumn("bucket", _bucket_col(n_buckets))
+                .repartition(n_buckets, "bucket", "term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(path, "postings"))
+            )
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errs.append(e)
+
+    t_post = threading.Thread(target=_postings_write)
+    t_post.start()
     dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    t_post.join()
+    if errs:
+        raise errs[0]
     row = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     ).collect()[0]
@@ -498,31 +514,52 @@ def bm25_index_topk(
         raise FileNotFoundError(f"no BM25 index at {path}")
     path = resolved
     stats_file = os.path.join(path, _BM25_STATS)
+    empty = False
     if os.path.exists(stats_file):
         # batch layout: exact integer sidecar committed by write/append
         with open(stats_file) as fh:
             stats = json.load(fh)
+        n_buckets = stats["n_buckets"]
+        empty = stats["n_docs"] == 0
+        # avgdl rounds ENGINE-side (F.round is HALF_UP; Python's round
+        # is half-even — a silent parity break at the 6dp boundary).
+        # The division itself is exact-int-over-exact-int in double,
+        # identical to the in-memory F.avg of longs.
+        glob = spark.range(1).select(
+            F.lit(stats["n_docs"]).cast("long").alias("n_docs"),
+            F.round(
+                F.lit(stats["sum_dl"]).cast("double")
+                / F.lit(stats["n_docs"] or 1).cast("double"),
+                6,
+            ).alias("avgdl"),
+        )
     else:
         # streamed layout (bm25_index_sink): one exact stats row per
-        # epoch partition — summing them is the tiny-table aggregate
-        srow = (
-            spark.read.parquet(os.path.join(path, "stats"))
-            .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
-            .collect()[0]
-        )
+        # epoch partition. The sum stays IN-PLAN (a 1-row no-key
+        # aggregate crossJoined into the tail like the in-memory
+        # path's dl agg) instead of collecting to literals — one
+        # fewer driver job per search; same exact integer sums, same
+        # JVM HALF_UP rounding, so bit-identical avgdl.
         n_buckets = json.load(
             open(os.path.join(path, "_layout.json"))
         )["n_buckets"]
-        stats = {
-            "n_docs": int(srow["n"]),
-            "sum_dl": int(srow["s"] or 0),
-            "n_buckets": n_buckets,
-        }
-    if stats["n_docs"] == 0:
-        # streamed index whose epochs were all empty: a stats row
-        # always lands (the global agg emits one row per epoch even
-        # for an empty batch) but postings/doclen have no files —
-        # reading them would fail. Empty corpus -> empty result.
+        # all-empty streamed index: stats rows land even for empty
+        # epochs but postings/doclen have no data files — reading
+        # them would fail. Detect via the filesystem (no Spark job).
+        empty = not any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(os.path.join(path, "postings"))
+            for f in fs
+        )
+        glob = spark.read.parquet(os.path.join(path, "stats")).agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                F.coalesce(F.sum("sum_dl"), F.lit(0)).cast("double")
+                / F.sum("n_docs").cast("double"),
+                6,
+            ).alias("avgdl"),
+        )
+    if empty:
         from pyspark.sql import types as T
 
         idt = query_docs.schema[id_col].dataType
@@ -537,8 +574,13 @@ def bm25_index_topk(
                 ]
             ),
         )
-    qterms = _query_terms(query_docs, text_col, id_col)
-    qterms = qterms.localCheckpoint(eager=True)  # used three times
+    # used three times (bucket collect, probe broadcast, score tail);
+    # LAZY checkpoint — the bucket collect inside _probe_postings is
+    # the first consumer and materializes it as part of its own job,
+    # so the eager variant's extra driver job is pure overhead
+    qterms = _query_terms(query_docs, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     # the fetched posting slice feeds both the df aggregate and the
     # candidate join in the tail — checkpoint it so the index is read
     # once per search, not once per tail consumer. The bucket-pruned
@@ -546,22 +588,10 @@ def bm25_index_topk(
     # tests assert PartitionFilters on, since this checkpoint hides
     # the scan from the result's plan).
     probed = _probe_postings(
-        spark, path, qterms, stats["n_buckets"], id_col
+        spark, path, qterms, n_buckets, id_col
     ).localCheckpoint(eager=False)
     dl = spark.read.parquet(os.path.join(path, "doclen")).select(
         id_col, "dl"
-    )
-    # avgdl rounds ENGINE-side (F.round is HALF_UP; Python's round is
-    # half-even — a silent parity break at the 6dp boundary). The
-    # division itself is exact-int-over-exact-int in double, identical
-    # to the in-memory F.avg of longs.
-    glob = spark.range(1).select(
-        F.lit(stats["n_docs"]).cast("long").alias("n_docs"),
-        F.round(
-            F.lit(stats["sum_dl"]).cast("double")
-            / F.lit(stats["n_docs"]).cast("double"),
-            6,
-        ).alias("avgdl"),
     )
     return _bm25_score_tail(probed, qterms, dl, glob, k, k1, b, id_col)
 
@@ -646,8 +676,31 @@ def bm25_index_stream_batch(
     postings = build_postings(batch_df, text_col, id_col).withColumn(
         "bucket", _bucket_col(n_buckets)
     )
-    (
-        postings.withColumn("epoch", F.lit(epoch_id))
+    # the postings and doclen pipelines share no lineage and land in
+    # disjoint directories — submit the postings write in a thread so
+    # the doclen checkpoint + write run CONCURRENTLY with it and the
+    # per-trigger wall is max(postings, doclen), not their sum (the
+    # near_dup_filter_batch admit pattern). The stats row still
+    # commits LAST, preserving the existing reader window (a reader
+    # could always observe postings before their epoch's stats row;
+    # replay convergence covers the crash case either way).
+    import threading
+
+    errs: "list[BaseException]" = []
+
+    def _run(fn):
+        def wrapped():
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+
+        t = threading.Thread(target=wrapped)
+        t.start()
+        return t
+
+    t_post = _run(
+        lambda: postings.withColumn("epoch", F.lit(epoch_id))
         .repartition(n_buckets, "bucket", "term")
         .write.mode("overwrite")
         .options(**dyn)
@@ -657,13 +710,17 @@ def bm25_index_stream_batch(
     dl = doc_lengths(batch_df, text_col, id_col).localCheckpoint(
         eager=True
     )  # one materialization feeds the doclen write AND the stats row
-    (
-        dl.withColumn("epoch", F.lit(epoch_id))
+    t_dl = _run(
+        lambda: dl.withColumn("epoch", F.lit(epoch_id))
         .write.mode("overwrite")
         .options(**dyn)
         .partitionBy("epoch")
         .parquet(f"{path}/doclen")
     )
+    for t in (t_post, t_dl):
+        t.join()
+    if errs:
+        raise errs[0]
     (
         dl.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
