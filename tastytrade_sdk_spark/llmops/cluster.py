@@ -464,13 +464,39 @@ def kmeans_lloyd_step(
     # _tokenized_docs): without it the Generate re-evaluates the k*dim
     # fold expressions behind __cluster per OUTPUT row — measured ~25x
     # on the bench — and one extra row-shaped shuffle is far cheaper
-    # than dim-times recomputing the assignment at any scale
+    # than dim-times recomputing the assignment at any scale.
+    #
+    # The explode runs over the RAW vector with the norm carried as a
+    # scalar column, NOT over __unit: posexplode's inferred non-empty
+    # filter (size(e) > 0 AND isnotnull(e)) is pushed through the
+    # barrier down to the scan with the generator input SUBSTITUTED by
+    # its defining expression — over __unit that re-evaluated the full
+    # normalization fold twice more per corpus row at the scan
+    # (plan-verified, r11); over the raw column it is a cheap
+    # size()/isnotnull() pushdown. val = raw/norm is element-for-
+    # element the same double op __unit held, so sums are bit-equal.
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
     assigned = assigned.select(
-        F.col("__cluster").alias("cluster_id"), "__unit"
+        F.col("__cluster").alias("cluster_id"),
+        norm.alias("__n"),
+        F.col(vec_col).alias("__v"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     exploded = assigned.select(
         "cluster_id",
-        F.posexplode(F.col("__unit")).alias("dim", "val"),
+        "__n",
+        F.posexplode(F.col("__v")).alias("dim", "__raw"),
+    ).select(
+        "cluster_id",
+        "dim",
+        (F.col("__raw").cast("double") / F.col("__n")).alias("val"),
     )
     sums = exploded.groupBy("cluster_id", "dim").agg(
         F.sum("val").alias("s"), F.count(F.lit(1)).alias("n_members")
