@@ -58,12 +58,18 @@ def upsert_parquet_batch(
     for d in (tmp, old):
         if os.path.exists(d):
             shutil.rmtree(d)
-    new = keep_last(batch_df, keys, order_by)
+    # ONE keep-last window over (existing ∪ batch) instead of reducing
+    # the batch first and re-reducing the union: order_by is a total
+    # order per key by contract, so the winner of the union equals the
+    # winner of {winner(batch)} ∪ existing — same row, one fewer
+    # window shuffle per micro-batch (r11, guide §2.4)
     if os.path.exists(path):
         existing = spark.read.parquet(path)
-        merged = keep_last(existing.unionByName(new), keys, order_by)
+        merged = keep_last(
+            existing.unionByName(batch_df), keys, order_by
+        )
     else:
-        merged = new
+        merged = keep_last(batch_df, keys, order_by)
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.exists(path):
         os.rename(path, old)
