@@ -809,23 +809,34 @@ def nn_descent(
     if units is None:
         # callers that already materialized (id, __unit) — e.g.
         # knn_graph_index_write, which persists the same frame as the
-        # index's units table — pass it in and save a corpus scan
+        # index's units table — pass it in and save a corpus scan.
+        # LAZY checkpoint: the first round's join materializes it in
+        # its own job (one fewer driver-scheduled job; same blocks)
         units = with_unit_vector(corpus, vec_col).select(
             id_col, "__unit"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
     if init_edges is None:
-        n = units.agg(F.max(id_col).alias("m")).collect()[0]["m"] + 1
+        # ring size n stays IN-PLAN as a broadcast 1-row aggregate
+        # instead of a collect() — one fewer driver job per build
+        # (guide §5: the driver should do no data work), and an empty
+        # corpus now yields an empty graph instead of a TypeError
+        nrow = units.agg((F.max(id_col) + F.lit(1)).alias("__ringn"))
         src = F.col(id_col)
         edges = (
             units.select(id_col)
+            .crossJoin(F.broadcast(nrow))
             .select(
                 src.alias("src"),
+                F.col("__ringn"),
                 F.explode(
                     F.array(*[F.lit(j) for j in range(1, k + 1)])
                 ).alias("__j"),
             )
-            .select("src", F.pmod(F.col("src") + F.col("__j"), F.lit(n)).alias("dst"))
+            .select(
+                "src",
+                F.pmod(F.col("src") + F.col("__j"), F.col("__ringn")).alias("dst"),
+            )
             .filter(F.col("src") != F.col("dst"))
         )
     else:
@@ -845,15 +856,27 @@ def nn_descent(
         )
         adj = fwd.unionByName(rev)
         a, b = adj.alias("a"), adj.alias("b")
-        cand = (
+        pair = (
             a.join(b, F.col("a.node") == F.col("b.node"))
             .filter(F.col("a.other") != F.col("b.other"))
             .select(F.col("a.other").alias("src"), F.col("b.other").alias("dst"))
             .unionByName(edges.select("src", "dst"))
-            .distinct()
         )
+        # pair dedup as a dst-KEYED set aggregate instead of
+        # .distinct(): same (src, dst) dedup, but the exchange is
+        # keyed on dst alone so the u_dst join below reuses the
+        # aggregation's partitioning — one fewer full exchange of the
+        # candidate set per round (guide §2.4). Set size is bounded by
+        # (k + rev_cap)^2 + k per node, so collect_set state is
+        # degree-bounded at any corpus size.
+        cand = pair.groupBy("dst").agg(F.collect_set("src").alias("__srcs"))
+        # dst join FIRST (reuses the agg partitioning), src join LAST:
+        # the src-keyed join's output partitioning is exactly the
+        # top-k window's partitioning, so the window adds no exchange
         scored = (
-            cand.join(u_src, "src").join(u_dst, "dst")
+            cand.join(u_dst, "dst")
+            .select("dst", "__ud", F.explode("__srcs").alias("src"))
+            .join(u_src, "src")
             .select(
                 "src", "dst",
                 F.round(_dot(F.col("__us"), F.col("__ud")), round_dp).alias("cosine"),
@@ -863,9 +886,12 @@ def nn_descent(
             scored.withColumn("rnk", F.row_number().over(w_top))
             .filter(F.col("rnk") <= k)
             # rnk rides along in the checkpoint so the return below
-            # reuses it instead of re-shuffling one more window pass
+            # reuses it instead of re-shuffling one more window pass.
+            # LAZY: the next round's first job (or the caller's first
+            # action) materializes the blocks — lineage is cut either
+            # way, and per-round driver job launches disappear
             .select("src", "dst", "cosine", "rnk")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     if rounds == 0:
@@ -1910,6 +1936,54 @@ def knn_graph_index_write(
         rev_cap=rev_cap, units=units,
     ).select(F.col(id_col).alias("src"), F.col("nbr_id").alias("dst"))
     bucket = F.pmod(F.xxhash64(F.col("src")), F.lit(n_buckets))
+
+    # the three tables are lineage-disjoint past the units checkpoint
+    # (edges <- NN-descent rounds; units <- the checkpointed snapshot;
+    # entry <- a corpus re-scan) and land in disjoint dirs under tmp,
+    # so the units and entry writes run as CONCURRENT jobs while the
+    # main thread drives the NN-descent rounds + edges write (guide
+    # §2.6 overlap-independent-jobs; the bm25 sidecar precedent). The
+    # sidecar stamp + swap still happen strictly last, so the atomic
+    # rebuild / torn-index story is unchanged.
+    import threading
+
+    errs: list[BaseException] = []
+
+    def _bg(fn):
+        def wrapped():
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+
+        t = threading.Thread(target=wrapped)
+        t.start()
+        return t
+
+    def _write_units():
+        (
+            units.withColumn(
+                "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+            )
+            .repartition(n_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(tmp, "units"))
+        )
+
+    def _write_entry():
+        assign = _ivf_assign_udf(centroids)
+        entry = (
+            _spread(corpus.select(id_col, vec_col))
+            .select(id_col, assign(F.col(vec_col)).alias("list_id"))
+            .groupBy("list_id")
+            .agg(F.min(id_col).alias("node"))
+        )
+        entry.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "entry")
+        )
+
+    threads = [_bg(_write_units), _bg(_write_entry)]
     # repartition to EXACTLY n_buckets partitions (not the session's
     # shuffle default): one task and one file per bucket dir, so the
     # write constant scales with the layout, not with a config knob
@@ -1920,25 +1994,10 @@ def knn_graph_index_write(
         .partitionBy("bucket")
         .parquet(os.path.join(tmp, "edges"))
     )
-    (
-        units.withColumn(
-            "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
-        )
-        .repartition(n_buckets, "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(tmp, "units"))
-    )
-    assign = _ivf_assign_udf(centroids)
-    entry = (
-        _spread(corpus.select(id_col, vec_col))
-        .select(id_col, assign(F.col(vec_col)).alias("list_id"))
-        .groupBy("list_id")
-        .agg(F.min(id_col).alias("node"))
-    )
-    entry.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(tmp, "entry")
-    )
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
     with open(os.path.join(tmp, "_centroids_md5"), "w") as fh:
         fh.write(_centroid_digest(centroids))
     with open(os.path.join(tmp, "_graph_meta.json"), "w") as fh:
@@ -1996,7 +2055,10 @@ def knn_graph_index_search(
         "list_id", F.explode(_ivf_probe_udf(centroids, 1)(F.col("__qvec")))
     )
     frontier = qb.join(F.broadcast(entry), "list_id").select("__qid", "node")
-    frontier = frontier.localCheckpoint(eager=True)
+    # LAZY checkpoints throughout the walk: each hop's first consumer
+    # is its own bucket-collect job, which materializes the blocks —
+    # the eager variant paid one extra driver-scheduled job per hop
+    frontier = frontier.localCheckpoint(eager=False)
     layers = [frontier]
     # open the edges table ONCE (file listing + schema inference);
     # each hop applies its own partition filter to the same relation
@@ -2015,7 +2077,7 @@ def knn_graph_index_search(
             frontier.join(edges_h, frontier["node"] == edges_h["src"])
             .select("__qid", F.col("dst").alias("node"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         layers.append(frontier)
     cand = layers[0]
