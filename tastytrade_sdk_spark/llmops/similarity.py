@@ -508,7 +508,17 @@ def graph_expand_topk(
         .groupBy("__qid")
         .agg(F.min(id_col).alias("node"))
     )
-    frontier = entry.select("__qid", "node")
+    # lineage-cut the ENTRY layer only: entry holds the corpus-wide
+    # assign UDF + aggregate and sits under every hop AND the union —
+    # without the cut it re-ran once per reference (3 corpus-UDF scans
+    # in the committed before-plan; broadcast-exchange reuse dedupes
+    # them at runtime, but that reuse is not guaranteed under AQE —
+    # the doremi bimodality). The hop layers are NOT checkpointed:
+    # re-deriving layer h for the union costs h tiny broadcast-ish
+    # joins over the cut entry + the edge frame — cheaper than the
+    # per-layer materialization jobs (layer-wise checkpoints measured
+    # SLOWER end to end in r11, both lazy and eager).
+    frontier = entry.select("__qid", "node").localCheckpoint(eager=True)
     layers = [frontier]
     for _ in range(hops):
         frontier = (
@@ -810,32 +820,35 @@ def nn_descent(
         # callers that already materialized (id, __unit) — e.g.
         # knn_graph_index_write, which persists the same frame as the
         # index's units table — pass it in and save a corpus scan.
-        # LAZY checkpoint: the first round's join materializes it in
-        # its own job (one fewer driver-scheduled job; same blocks)
+        # EAGER: a lazily-checkpointed frame is pinned via .rdd before
+        # AQE finalizes, so every downstream stage keeps the raw
+        # shuffle-partition count — measured far slower than paying
+        # the one materialization job (r11)
         units = with_unit_vector(corpus, vec_col).select(
             id_col, "__unit"
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
 
     if init_edges is None:
-        # ring size n stays IN-PLAN as a broadcast 1-row aggregate
-        # instead of a collect() — one fewer driver job per build
-        # (guide §5: the driver should do no data work), and an empty
-        # corpus now yields an empty graph instead of a TypeError
-        nrow = units.agg((F.max(id_col) + F.lit(1)).alias("__ringn"))
+        # ring size n via ONE scalar-aggregate collect (a bounded
+        # 1-value fetch, not driver data work): the in-plan broadcast
+        # variant (crossJoin of a 1-row max aggregate) was tried in
+        # r11 and measured slower — the extra broadcast exchange +
+        # non-foldable pmod operand cost more than the tiny job it
+        # saved. Literal n also lets Catalyst constant-fold the ring.
+        mrow = units.agg(F.max(id_col).alias("m")).collect()[0]["m"]
+        n = (mrow if mrow is not None else -1) + 1  # empty corpus -> 0
         src = F.col(id_col)
         edges = (
             units.select(id_col)
-            .crossJoin(F.broadcast(nrow))
             .select(
                 src.alias("src"),
-                F.col("__ringn"),
                 F.explode(
                     F.array(*[F.lit(j) for j in range(1, k + 1)])
                 ).alias("__j"),
             )
             .select(
                 "src",
-                F.pmod(F.col("src") + F.col("__j"), F.col("__ringn")).alias("dst"),
+                F.pmod(F.col("src") + F.col("__j"), F.lit(max(n, 1))).alias("dst"),
             )
             .filter(F.col("src") != F.col("dst"))
         )
@@ -856,27 +869,20 @@ def nn_descent(
         )
         adj = fwd.unionByName(rev)
         a, b = adj.alias("a"), adj.alias("b")
-        pair = (
+        # flat-row (src, dst) dedup via .distinct(): a dst-keyed
+        # collect_set rework (dedup + join sharing one exchange) was
+        # tried in r11 and measured SLOWER end to end — the set
+        # payloads shuffle more bytes than the flat pairs, and the
+        # explode re-widens before the src join anyway. Reverted.
+        cand = (
             a.join(b, F.col("a.node") == F.col("b.node"))
             .filter(F.col("a.other") != F.col("b.other"))
             .select(F.col("a.other").alias("src"), F.col("b.other").alias("dst"))
             .unionByName(edges.select("src", "dst"))
+            .distinct()
         )
-        # pair dedup as a dst-KEYED set aggregate instead of
-        # .distinct(): same (src, dst) dedup, but the exchange is
-        # keyed on dst alone so the u_dst join below reuses the
-        # aggregation's partitioning — one fewer full exchange of the
-        # candidate set per round (guide §2.4). Set size is bounded by
-        # (k + rev_cap)^2 + k per node, so collect_set state is
-        # degree-bounded at any corpus size.
-        cand = pair.groupBy("dst").agg(F.collect_set("src").alias("__srcs"))
-        # dst join FIRST (reuses the agg partitioning), src join LAST:
-        # the src-keyed join's output partitioning is exactly the
-        # top-k window's partitioning, so the window adds no exchange
         scored = (
-            cand.join(u_dst, "dst")
-            .select("dst", "__ud", F.explode("__srcs").alias("src"))
-            .join(u_src, "src")
+            cand.join(u_src, "src").join(u_dst, "dst")
             .select(
                 "src", "dst",
                 F.round(_dot(F.col("__us"), F.col("__ud")), round_dp).alias("cosine"),
@@ -887,11 +893,12 @@ def nn_descent(
             .filter(F.col("rnk") <= k)
             # rnk rides along in the checkpoint so the return below
             # reuses it instead of re-shuffling one more window pass.
-            # LAZY: the next round's first job (or the caller's first
-            # action) materializes the blocks — lineage is cut either
-            # way, and per-round driver job launches disappear
+            # EAGER on purpose: eager materialization runs the round
+            # under AQE (coalesced post-shuffle partitions); the lazy
+            # variant pinned pre-AQE plans into the final job and ran
+            # slower end to end (r11 measurement)
             .select("src", "dst", "cosine", "rnk")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
 
     if rounds == 0:

@@ -418,6 +418,10 @@ def mg_store_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         (F.col("event_id") % _MG_BATCHES).alias("b"),
     )
+    # scan events ONCE: each of the 4 batch calls (plus its isEmpty
+    # probe) otherwise re-runs the parquet scan + key projection —
+    # 8 scans collapse to one materialization (r11, guide §1.2/§3.3)
+    base = base.localCheckpoint(eager=True)
     tmp = tempfile.mkdtemp(prefix="mg_replay_")
     store = f"{tmp}/store"
     try:
@@ -546,6 +550,9 @@ def band_store_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(
         F.col("doc_id") < _BAND_DOC_BOUND
     )
+    # scan documents ONCE across the 3 batch folds + isEmpty probes
+    # (mg_store_replay rule)
+    docs = docs.localCheckpoint(eager=True)
     tmp = tempfile.mkdtemp(prefix="band_replay_")
     store, out_path = f"{tmp}/store", f"{tmp}/out"
     try:
@@ -725,6 +732,11 @@ def hll_store_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isNotNull()
         & (F.col("event_id") < _HLL_EVENT_BOUND)
     )
+    # scan events ONCE across the 3 batch folds (mg_store_replay
+    # rule); only the columns the sketch needs ride in the blocks
+    ev = ev.select("event_type", "user_id", "event_id").localCheckpoint(
+        eager=True
+    )
     tmp = tempfile.mkdtemp(prefix="hll_replay_")
     store = f"{tmp}/store"
     try:
@@ -814,6 +826,8 @@ def decayed_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         (F.col("event_id") % _TREND_BATCHES).alias("b"),
     )
+    # scan events ONCE across the 4 batch folds (mg_store_replay rule)
+    base = base.localCheckpoint(eager=True)
     tmp = tempfile.mkdtemp(prefix="trend_replay_")
     store = f"{tmp}/store"
     try:

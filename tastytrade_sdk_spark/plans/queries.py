@@ -3387,6 +3387,12 @@ def rolling_beta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(20,0)")
         .alias("x"),
     )
+    # lineage cut: g feeds BOTH the market aggregate and the join's
+    # probe side, and AQE exchange reuse is not guaranteed — without
+    # it the events scan + user-day aggregation ran twice (one per
+    # branch, plan-verified r11). g is daily-sized (users x days), so
+    # the checkpoint blocks are tiny relative to the re-aggregation.
+    g = g.localCheckpoint(eager=False)
     m = g.groupBy("day").agg(F.sum("x").cast("decimal(38,0)").alias("y"))
     j = g.join(F.broadcast(m), "day")
     w20 = (
