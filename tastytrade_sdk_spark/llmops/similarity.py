@@ -337,20 +337,6 @@ def axis_centroids(n_lists: int = 16, dim: int = 64) -> np.ndarray:
     return m
 
 
-def _cos_udf():
-    """Pandas UDF: rowwise cosine between two vector columns (unit-
-    normalized einsum) — the ONE scoring kernel every IVF/brute path
-    shares."""
-    import pandas as pd
-
-    def _cos(a, b):
-        ma = _unit_rows(_as_matrix(a.values))
-        mb = _unit_rows(_as_matrix(b.values))
-        return pd.Series(np.einsum("ij,ij->i", ma, mb))
-
-    return F.pandas_udf(_cos, "double")
-
-
 def _score_topk(
     cands: DataFrame,
     id_col: str,
@@ -365,9 +351,14 @@ def _score_topk(
     the shared SQL oracle both depend on these exact semantics)."""
     from pyspark.sql import Window
 
+    # pure-JVM cosine (dot/(na*nb), the oracle's exact formula shape):
+    # the pandas kernel paid an Arrow round trip of BOTH embedding
+    # arrays per candidate pair; the sequential fold runs inside
+    # whole-stage codegen instead (guide §4; nn_descent precedent —
+    # oracle-verified at sf0.001/0.01/0.1)
     scored = cands.withColumn(
         "cosine",
-        F.round(_cos_udf()(F.col("__qvec"), F.col(vec_col)), round_dp),
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_dp),
     )
     w = Window.partitionBy("__qid").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -392,6 +383,44 @@ def _ivf_assign_udf(cent):
     return F.pandas_udf(_assign, "int")
 
 
+def _is_axis_centroids(cent: "np.ndarray") -> bool:
+    """Exactly the one-hot axis quantizer (centroid c = basis e_c)?"""
+    n, d = cent.shape
+    if n > d:
+        return False
+    eye = np.zeros((n, d))
+    eye[np.arange(n), np.arange(n)] = 1.0
+    return bool((cent == eye).all())
+
+
+def _ivf_assign_col(cent: "np.ndarray"):
+    """Column function: vector -> IVF list id (nearest-cosine centroid,
+    first-maximal tie rule). For the one-hot axis quantizer the whole
+    assignment collapses to a pure JVM expression — argmax of the
+    leading n_lists components, exactly the
+    ``array_position(l16, list_max(l16)) - 1`` the SQL oracle runs —
+    so the index write/append/stream-batch/search paths carry no
+    Python worker at all (the dominant per-batch cost was the
+    ArrowEvalPython round trip over the full corpus slice). The unit
+    normalization drops out: it divides every component by the same
+    positive scalar, and two distinct float32 components stay distinct
+    under one float64 division (gap >= 2^29 ulp64 vs <= 1 ulp64
+    rounding error), so raw argmax == normalized argmax, ties
+    included. Trained (non-axis) centroids keep the vectorized
+    pandas-UDF matmul."""
+    if _is_axis_centroids(cent):
+        n = int(cent.shape[0])
+
+        def _assign(vec: Column) -> Column:
+            l16 = F.transform(F.slice(vec, 1, n), lambda x: x.cast("double"))
+            return (F.array_position(l16, F.array_max(l16)) - F.lit(1)).cast(
+                "int"
+            )
+
+        return _assign
+    return _ivf_assign_udf(cent)
+
+
 def _ivf_probe_udf(cent, nprobe: int):
     """Pandas UDF returning each query's nprobe nearest list ids
     (stable sort pins score ties to ascending list id)."""
@@ -406,6 +435,42 @@ def _ivf_probe_udf(cent, nprobe: int):
         return pd.Series(list(order))
 
     return F.pandas_udf(_probe, T.ArrayType(T.IntegerType()))
+
+
+def _ivf_probe_col(cent: "np.ndarray", nprobe: int):
+    """Column function: query vector -> its nprobe nearest list ids.
+    One-hot axis quantizer: order the leading n_lists components
+    descending with ascending-index tiebreak (the oracle's
+    ``ORDER BY component DESC, i``) via an explicit array_sort
+    comparator — same stable order as the UDF's argsort, no Python
+    worker in the search plan. Trained centroids keep the UDF."""
+    if _is_axis_centroids(cent):
+        n = int(cent.shape[0])
+
+        def _probe(vec: Column) -> Column:
+            pairs = F.transform(
+                F.slice(vec, 1, n),
+                lambda x, i: F.struct(
+                    x.cast("double").alias("v"), i.alias("i")
+                ),
+            )
+
+            def _cmp(lft, rgt):
+                return (
+                    F.when(lft["v"] > rgt["v"], F.lit(-1))
+                    .when(lft["v"] < rgt["v"], F.lit(1))
+                    .when(lft["i"] < rgt["i"], F.lit(-1))
+                    .when(lft["i"] > rgt["i"], F.lit(1))
+                    .otherwise(F.lit(0))
+                )
+
+            return F.transform(
+                F.slice(F.array_sort(pairs, _cmp), 1, nprobe),
+                lambda s: s["i"].cast("int"),
+            )
+
+        return _probe
+    return _ivf_probe_udf(cent, nprobe)
 
 
 def ivf_topk(
@@ -438,14 +503,14 @@ def ivf_topk(
         else ivf_centroids(corpus, vec_col, n_lists=n_lists, seed=seed)
     )
 
-    assign_udf = _ivf_assign_udf(cent)
+    assign_col = _ivf_assign_col(cent)
 
     cb = _spread(corpus.select(id_col, vec_col)).withColumn(
-        "__list", assign_udf(F.col(vec_col))
+        "__list", assign_col(F.col(vec_col))
     )
 
     # each query probes its nprobe nearest lists
-    probe_udf = _ivf_probe_udf(cent, nprobe)
+    probe_udf = _ivf_probe_col(cent, nprobe)
     qb = (
         queries.select(
             F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
@@ -593,14 +658,14 @@ def ann_recall_curve(
     )
     max_np = max(nprobes)
     cb = _spread(corpus.select(id_col, vec_col)).withColumn(
-        "__list", _ivf_assign_udf(cent)(F.col(vec_col))
+        "__list", _ivf_assign_col(cent)(F.col(vec_col))
     )
     qb = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     ).select(
         "__qid",
         "__qvec",
-        F.posexplode(_ivf_probe_udf(cent, max_np)(F.col("__qvec"))).alias(
+        F.posexplode(_ivf_probe_col(cent, max_np)(F.col("__qvec"))).alias(
             "__r", "__list"
         ),
     ).withColumn("__r", F.col("__r") + 1)
@@ -609,7 +674,7 @@ def ann_recall_curve(
         .filter(F.col(id_col) != F.col("__qid"))
         .withColumn(
             "cosine",
-            F.round(_cos_udf()(F.col("__qvec"), F.col(vec_col)), round_dp),
+            F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_dp),
         )
         .select("__qid", id_col, "cosine", "__r")
     )
@@ -725,7 +790,6 @@ def lsh_topk(
         return pd.Series(bits @ weights)
 
     sig_udf = F.pandas_udf(_sig, "long")
-    cos_udf = _cos_udf()
 
     def banded(df: DataFrame, idc: str) -> DataFrame:
         df = _spread(df) if idc == id_col else df
@@ -754,7 +818,7 @@ def lsh_topk(
         .distinct()
     )
     scored = cands.withColumn(
-        "cosine", F.round(cos_udf(F.col("__qvec"), F.col(vec_col)), round_dp)
+        "cosine", F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_dp)
     )
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -1157,10 +1221,10 @@ def ivf_index_write(
     list directories, compact per partition."""
     import os
 
-    assign_udf = _ivf_assign_udf(centroids)
+    assign_col = _ivf_assign_col(centroids)
     (
         _spread(corpus.select(id_col, vec_col))
-        .withColumn("list_id", assign_udf(F.col(vec_col)))
+        .withColumn("list_id", assign_col(F.col(vec_col)))
         # cluster the write by (list, bounded salt): without it every
         # upstream task writes a sliver into every list directory
         # (tasks x lists tiny files — the small-file problem the
@@ -1205,10 +1269,10 @@ def ivf_index_append(
     files."""
     _check_centroid_sidecar(path, centroids, "ivf_index_append")
     _check_ivf_layout(path, "batch", "ivf_index_append")
-    assign_udf = _ivf_assign_udf(centroids)
+    assign_col = _ivf_assign_col(centroids)
     (
         _spread(new_vectors.select(id_col, vec_col))
-        .withColumn("list_id", assign_udf(F.col(vec_col)))
+        .withColumn("list_id", assign_col(F.col(vec_col)))
         # same (list, bounded salt) write clustering as the build
         .repartition(
             F.col("list_id"),
@@ -1252,7 +1316,7 @@ def ivf_index_topk(
         raise FileNotFoundError(f"no IVF index at {path}")
     path = resolved
     _check_centroid_sidecar(path, centroids, "ivf_index_topk")
-    probe_udf = _ivf_probe_udf(centroids, nprobe)
+    probe_udf = _ivf_probe_col(centroids, nprobe)
     qb = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     ).withColumn("__list", F.explode(probe_udf(F.col("__qvec"))))
@@ -1583,11 +1647,11 @@ def ivf_index_stream_batch(
         with os.fdopen(fd, "w") as fh:
             fh.write(_centroid_digest(centroids))
         os.replace(tmp, sidecar)
-    assign_udf = _ivf_assign_udf(centroids)
+    assign_col = _ivf_assign_col(centroids)
     (
         _spread(batch_df.select(id_col, vec_col))
         .withColumn("epoch", F.lit(epoch_id))
-        .withColumn("list_id", assign_udf(F.col(vec_col)))
+        .withColumn("list_id", assign_col(F.col(vec_col)))
         # same (list, bounded salt) write clustering as the build
         .repartition(
             F.col("list_id"),
@@ -1676,7 +1740,17 @@ def ivf_index_compact(
         return sorted(files)
 
     before = _listing()
-    rows = spark.read.parquet(path).select(id_col, vec_col, "list_id")
+    # row count via observe ON the rewrite itself — the separate
+    # read-back count job re-scanned the whole compacted tree just to
+    # return n (guide §1.2: one job per computation)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    rows = (
+        spark.read.parquet(path)
+        .select(id_col, vec_col, "list_id")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
     (
         rows.repartition(
             F.col("list_id"),
@@ -1686,7 +1760,7 @@ def ivf_index_compact(
         .partitionBy("list_id")
         .parquet(tmp)
     )
-    n = spark.read.parquet(tmp).count()
+    n = int(obs.get["n"])
     fd, t = tempfile.mkstemp(dir=tmp, prefix="._centroids.")
     with os.fdopen(fd, "w") as fh:
         fh.write(_centroid_digest(centroids))

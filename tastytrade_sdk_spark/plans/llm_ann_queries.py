@@ -766,19 +766,23 @@ def ivf_index_stream_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # scan embeddings ONCE across the 4 batch folds (mg_store_replay
+    # rule — a real stream's micro-batches arrive materialized);
+    # queries keep the pruned parquet scan (vec_id < 10 pushdown)
+    corpus = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
     cent = axis_centroids(16, 64)
     tmp = tempfile.mkdtemp(prefix="ivf_stream_")
     try:
         for ep in range(3):
             ivf_index_stream_batch(
-                emb.filter(F.col("vec_id") % 3 == ep),
+                corpus.filter(F.col("vec_id") % 3 == ep),
                 f"{tmp}/index",
                 ep,
                 cent,
             )
         # crash/restart: epoch 1 folds in AGAIN and must converge
         ivf_index_stream_batch(
-            emb.filter(F.col("vec_id") % 3 == 1), f"{tmp}/index", 1, cent
+            corpus.filter(F.col("vec_id") % 3 == 1), f"{tmp}/index", 1, cent
         )
         out = ivf_index_topk(
             spark, f"{tmp}/index", queries, cent, k=5, nprobe=4
@@ -815,19 +819,21 @@ def ivf_index_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # scan embeddings ONCE across the folds + append (stream rule)
+    corpus = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
     cent = axis_centroids(16, 64)
     tmp = tempfile.mkdtemp(prefix="ivf_compact_")
     try:
         for ep in range(2):
             ivf_index_stream_batch(
-                emb.filter(F.col("vec_id") % 3 == ep),
+                corpus.filter(F.col("vec_id") % 3 == ep),
                 f"{tmp}/index",
                 ep,
                 cent,
             )
         ivf_index_compact(spark, f"{tmp}/index", cent)
         ivf_index_append(
-            emb.filter(F.col("vec_id") % 3 == 2), f"{tmp}/index", cent
+            corpus.filter(F.col("vec_id") % 3 == 2), f"{tmp}/index", cent
         )
         out = ivf_index_topk(
             spark, f"{tmp}/index", queries, cent, k=5, nprobe=4
@@ -860,12 +866,16 @@ def ivf_index_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # scan embeddings ONCE across build + append (stream rule)
+    corpus = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
     cent = axis_centroids(16, 64)
     tmp = tempfile.mkdtemp(prefix="ivf_append_")
     try:
-        ivf_index_write(emb.filter(F.col("vec_id") % 2 == 0), f"{tmp}/index", cent)
+        ivf_index_write(
+            corpus.filter(F.col("vec_id") % 2 == 0), f"{tmp}/index", cent
+        )
         ivf_index_append(
-            emb.filter(F.col("vec_id") % 2 == 1), f"{tmp}/index", cent
+            corpus.filter(F.col("vec_id") % 2 == 1), f"{tmp}/index", cent
         )
         out = ivf_index_topk(
             spark, f"{tmp}/index", queries, cent, k=5, nprobe=4
