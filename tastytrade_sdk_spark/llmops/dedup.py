@@ -245,6 +245,7 @@ def winnowing_overlap_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_df: int = 50,
+    with_containment: bool = True,
 ) -> DataFrame:
     """Document pairs sharing winnowed fingerprints — the MOSS overlap
     detector (Schleimer et al. 2003) on top of
@@ -293,8 +294,11 @@ def winnowing_overlap_pairs(
         .filter(F.col("__df") <= max_df)
         .select("__fp")
     )
+    # NOT checkpointed: kept has three consumers (set sizes + both
+    # self-join sides), but its recompute is one exchange + join over
+    # the already-checkpointed fps blocks — materializing it measured
+    # SLOWER end to end (r11; the shingle-frame rule)
     kept = fps.join(rare, "__fp")
-    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     a = kept.select(F.col(id_col).alias("doc_a"), "__fp")
     b = kept.select(F.col(id_col).alias("doc_b"), "__fp")
     shared = (
@@ -304,6 +308,12 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    if not with_containment:
+        # graph consumers (winnowing_dedup_clusters) only need the
+        # pair edges; the containment denominators would ride along as
+        # two un-prunable inner joins against the sizes aggregate
+        return shared
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     return (
         shared.join(
             sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("n_a")),

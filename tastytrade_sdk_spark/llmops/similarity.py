@@ -2303,10 +2303,12 @@ def mmr_rerank(
     # pin the shortlist and its pool×pool sim matrix ONCE — every
     # selection round references both, and without the lineage cut each
     # round would re-execute the corpus scan + BNLJ (the cluster.py
-    # iterative-operator rule: localCheckpoint per converged stage)
-    sims = sims.localCheckpoint(eager=False)
+    # iterative-operator rule: localCheckpoint per converged stage).
+    # EAGER: lazy pinned the pre-AQE plan into the final unrolled job
+    # and measured slower (r11, the nn_descent finding)
+    sims = sims.localCheckpoint(eager=True)
     slim = cand.select(query_id_col, id_col, "rel8").localCheckpoint(
-        eager=False
+        eager=True
     )
     w1 = Window.partitionBy(query_id_col).orderBy(
         F.col("rel8").desc(), F.col(id_col).asc()

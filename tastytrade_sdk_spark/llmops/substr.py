@@ -510,9 +510,11 @@ def cross_snapshot_substring_spans(
     touched by ONE hash-keyed semi-join (AQE broadcast-promotes the
     batch side when it fits); nothing pairs |new| x |corpus|."""
     # the window explode is the dominant cost and has THREE consumers
-    # (local-dup agg + two semi-join branches): cut the lineage once
+    # (local-dup agg + two semi-join branches): cut the lineage once.
+    # EAGER: materializing under AQE beat the lazy pin by ~35% (r11,
+    # the nn_descent finding)
     wins = _hashed_windows(new_docs, text_col, id_col, min_len).localCheckpoint(
-        eager=False
+        eager=True
     )
     dup_local = (
         wins.groupBy("__h")

@@ -208,8 +208,11 @@ def winnowing_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tastytrade_sdk_spark.llmops.dedup import winnowing_overlap_pairs
 
     docs = load_table(spark, "documents", sf_dir)
+    # with_containment=False: the closure only consumes the edges, so
+    # the sizes joins (two un-prunable inner joins) stay out of the
+    # plan — identical pair set (r11)
     pairs = winnowing_overlap_pairs(
-        docs, k=3, w=4, min_shared=3, max_df=50
+        docs, k=3, w=4, min_shared=3, max_df=50, with_containment=False
     ).select("doc_a", "doc_b")
     return near_dup_clusters(docs, pairs)
 
@@ -1679,7 +1682,16 @@ def sa_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tastytrade_sdk_spark.llmops.substr import sa_duplicate_spans
 
     docs = load_table(spark, "documents", sf_dir)
-    return sa_duplicate_spans(docs, min_len=40, n_shards=8, routing="exact")
+    # n_shards follows the session's parallelism (floor 8): output is
+    # provably identical at ANY shard count under exact routing (see
+    # sa_duplicate_spans — oracle + equivalence keep proving it), the
+    # superlinear kernel only gets cheaper per shard, and a fixed 8
+    # left 3/4 of the cores idle in the kernel stage (guide §2.2 —
+    # scale-adaptive partitioning, not a local[32] constant)
+    shards = max(8, spark.sparkContext.defaultParallelism)
+    return sa_duplicate_spans(
+        docs, min_len=40, n_shards=shards, routing="exact"
+    )
 
 _XSNAP_SUBSTR_ORACLE = """
     WITH w AS (
