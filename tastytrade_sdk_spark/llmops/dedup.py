@@ -182,6 +182,24 @@ def band_hashes(
         df, text_col, id_col, k, shingle_n, tokens_col,
         include_missing=False,
     )
+    return band_hashes_from_sigs(sigs, id_col, k, bands)
+
+
+def band_hashes_from_sigs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band keys derived from an EXISTING signature frame
+    (id_col, sig_0..sig_{k-1}) — split out so a caller that needs the
+    signatures for its own scoring (minhash_estimate_error) can run
+    the corpus tokenize+MinHash pass ONCE and derive both the band
+    keys and the signature joins from the same checkpointed frame.
+    The frame must exclude shingle-less docs (all-NULL signatures
+    would clique on md5(\"\") — see band_hashes)."""
+    assert k % bands == 0
+    rows = k // bands
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"sig_{b * rows + r}") for r in range(rows)]

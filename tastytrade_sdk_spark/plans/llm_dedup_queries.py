@@ -310,7 +310,16 @@ def lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the corpus count, computed identically in both
     engines, so the oracle replays the sample exactly. The unsampled
     form survives only in tools/scale_probe.py as the measured
-    counterexample (39 s at 10×, unrunnable at 100×)."""
+    counterexample (39 s at 10×, unrunnable at 100×).
+
+    Plan shape (r11): three eager checkpoints on the TINY frames —
+    the ~2000-doc sample (consumed by both the truth and the LSH
+    branch, which otherwise each re-run the corpus scan + count +
+    sample filter) and the truth/cand pair frames (each consumed
+    twice: own count + the hit semi-join). All three are bounded by
+    construction (sample cap / pairs over a capped sample), so
+    materialization is cheap and cuts each doubled pipeline to one
+    execution."""
     from tastytrade_sdk_spark.llmops.dedup import (
         lsh_candidate_pairs as _lshp,
         ngram_jaccard_pairs as _njp,
@@ -332,9 +341,14 @@ def lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
         .drop("__md")
+        .localCheckpoint(eager=True)
     )
-    truth = _njp(docs, threshold=0.5).select("doc_a", "doc_b")
-    cand = _lshp(docs, k=16, bands=4)
+    truth = (
+        _njp(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = _lshp(docs, k=16, bands=4).localCheckpoint(eager=True)
     t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     h = cand.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
@@ -612,16 +626,31 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives only in tools/scale_probe.py as the measured
     counterexample. Pairs sharing no shingle (banding false
     positives) ground to exact 0.
+
+    Plan shape (r11): the corpus tokenize+MinHash pass runs ONCE — the
+    per-doc signature frame is eagerly checkpointed and feeds BOTH the
+    LSH band keys (band_hashes_from_sigs -> band_pairs) and the two
+    signature joins of the estimate; the r10 form built signatures
+    twice (once inside lsh_candidate_pairs, once for the estimate).
+    include_missing=False is equivalent here: est inner-joins on
+    candidate docs, which by construction have band keys and therefore
+    shingles. pair_exact_jaccard still re-tokenizes for the exact
+    shingle sets — checkpointing the exploded shingle frame itself
+    measured slower (the shingle-frame rule, OPTIMIZATION_r11.md).
     """
     from tastytrade_sdk_spark.llmops.dedup import (
-        lsh_candidate_pairs as _lshp,
+        band_hashes_from_sigs as _bands,
+        band_pairs as _bpairs,
         minhash_signatures as _msig,
         pair_exact_jaccard as _pxj,
     )
     from tastytrade_sdk_spark.llmops.textops import h32
 
     docs = load_table(spark, "documents", sf_dir)
-    cand0 = _lshp(docs, k=16, bands=4).localCheckpoint(eager=True)
+    sigs = _msig(docs, k=16, include_missing=False).localCheckpoint(
+        eager=True
+    )
+    cand0 = _bpairs(_bands(sigs, k=16, bands=4)).localCheckpoint(eager=True)
     cmod = cand0.agg(
         F.greatest(
             F.lit(1).cast("long"),
@@ -644,7 +673,6 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__md")
     )
-    sigs = _msig(docs, k=16)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"sig_{i}").alias(f"__a{i}") for i in range(16)],
