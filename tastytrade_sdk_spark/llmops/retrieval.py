@@ -40,9 +40,18 @@ def build_postings(
     """Inverted postings: one row per (term, doc) with the term
     frequency. One explode + one hash aggregation (map-side combined);
     the output is term-keyed — the natural bucketing/partition column
-    for a persisted index table."""
+    for a persisted index table.
+
+    The corpus is _spread first: a single small parquet file arrives
+    as one input split locally, which would run the tokenize+explode
+    serially in the scan stage (measured: every BM25 build ran its
+    tokenize single-task); at lake scale inputs are already wide and
+    the spread is a no-op."""
+    from tastytrade_sdk_spark.llmops.dedup import _spread
+
     return (
-        docs.select(id_col, F.explode(tokens_expr(F.col(text_col))).alias("term"))
+        _spread(docs, id_col)
+        .select(id_col, F.explode(tokens_expr(F.col(text_col))).alias("term"))
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -51,8 +60,12 @@ def build_postings(
 def doc_lengths(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-doc token counts (the BM25 length normalization input)."""
-    return docs.select(
+    """Per-doc token counts (the BM25 length normalization input).
+    _spread for the same reason as build_postings — the tokenize is a
+    separate corpus pass and must not run single-task locally."""
+    from tastytrade_sdk_spark.llmops.dedup import _spread
+
+    return _spread(docs, id_col).select(
         id_col, F.size(tokens_expr(F.col(text_col))).cast("long").alias("dl")
     )
 
