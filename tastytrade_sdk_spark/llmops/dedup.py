@@ -889,7 +889,11 @@ def segment_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(
+    # _spread: the tokenize + segment build + md5 all run upstream of
+    # the first exchange, i.e. inside the scan stage — serial for a
+    # one-file corpus locally, and this subtree executes once per
+    # consumer (winners agg + join-back). No-op at lake scale.
+    exploded = _spread(df, id_col).select(
         F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg")
     ).withColumn("__dig", F.md5(F.col("seg")))
     winners = exploded.groupBy("__dig").agg(

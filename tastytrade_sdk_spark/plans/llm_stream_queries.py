@@ -160,8 +160,14 @@ def multimodal_alignment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tastytrade_sdk_spark.llmops.textops import h32
 
     dim = 8
-    docs = load_table(spark, "documents", sf_dir).filter(
-        F.length("text") > 0
+    from tastytrade_sdk_spark.llmops.dedup import _spread
+
+    # _spread: both encoder branches (char posexplode + token explode)
+    # otherwise run inside the serial one-file scan stage locally;
+    # no-op at lake scale (dedup._spread guard)
+    docs = _spread(
+        load_table(spark, "documents", sf_dir).filter(F.length("text") > 0),
+        "doc_id",
     )
     # Both encoders run as posexplode + conditional-sum groupBy rather
     # than higher-order-function folds: HOF lambdas evaluate in
