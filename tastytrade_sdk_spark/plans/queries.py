@@ -3752,6 +3752,11 @@ def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderdate"
     )
+    # eager checkpoint: ls feeds BOTH the per-order rollup and the
+    # final blame join — without the cut the scan+join+agg pipeline
+    # executes twice (exchange reuse is not contractual under AQE).
+    # The frame is one row per (order, supplier) — bounded well below
+    # the fact table at any scale.
     ls = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
@@ -3764,6 +3769,7 @@ def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("is_late")
         )
+        .localCheckpoint(eager=True)
     )
     per_order = ls.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
@@ -3927,9 +3933,17 @@ def _partsupp_standin(spark: SparkSession, sf_dir: str) -> DataFrame:
     else is a projection."""
     from tastytrade_sdk_spark.llmops.textops import h32
 
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_partkey", "l_suppkey"
-    ).distinct()
+    # explicit-N keyed repartition: distinct reuses the partitioning
+    # (same keys, same count — no second exchange) and the explicit
+    # count stops AQE coalescing the tiny-byte exchange to ~1
+    # partition, which would run the two h32 projections serially.
+    target = spark.sparkContext.defaultParallelism
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_partkey", "l_suppkey")
+        .repartition(target, F.col("l_partkey"), F.col("l_suppkey"))
+        .distinct()
+    )
     key = lambda salt: F.concat(  # noqa: E731
         F.lit(salt + ":"),
         F.col("l_partkey").cast("string"),
@@ -4064,8 +4078,16 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 2-group aggregate. All-integer counts — exact."""
     from tastytrade_sdk_spark.llmops.textops import h32
 
-    li = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_linenumber", "l_shipdate"
+    from tastytrade_sdk_spark.llmops.dedup import _spread
+
+    # _spread: the three per-row h32 stand-ins otherwise evaluate in
+    # the serial one-file scan stage locally (measured (2+1)/3-task
+    # straggler); no-op at lake scale where the scan is already wide
+    li = _spread(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_linenumber", "l_shipdate"
+        ),
+        "l_orderkey",
     )
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
