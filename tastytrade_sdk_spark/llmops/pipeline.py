@@ -1321,7 +1321,12 @@ def hashed_linear_scores(
         bucket = h32(F.concat_ws(":", F.lit(salt), feat)) % n_buckets
         return F.element_at(weights, (bucket + 1).cast("int"))
 
-    scored = df.select(
+    # _spread: the whole score is scan-fused (zero shuffles), which is
+    # exactly why it runs single-task on a one-file corpus locally —
+    # the per-feature md5 fold must run wide. No-op at lake scale.
+    from tastytrade_sdk_spark.llmops.dedup import _spread
+
+    scored = _spread(df, id_col).select(
         F.col(id_col),
         toks.alias("__t"),
     ).select(

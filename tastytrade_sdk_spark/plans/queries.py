@@ -3392,7 +3392,10 @@ def rolling_beta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it the events scan + user-day aggregation ran twice (one per
     # branch, plan-verified r11). g is daily-sized (users x days), so
     # the checkpoint blocks are tiny relative to the re-aggregation.
-    g = g.localCheckpoint(eager=False)
+    # EAGER: a lazy checkpoint pins the pre-AQE partition count into
+    # both consumers (the nn_descent/mmr finding; measured here
+    # 1.83 -> 1.54 same-window when flipped to eager).
+    g = g.localCheckpoint(eager=True)
     m = g.groupBy("day").agg(F.sum("x").cast("decimal(38,0)").alias("y"))
     j = g.join(F.broadcast(m), "day")
     w20 = (
