@@ -839,10 +839,21 @@ def _hourly_close(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) series. ONE explicit user-keyed exchange serves
+    the whole consumer chain: partitioning by user_id satisfies the
+    (user_id, day) groupBy clustering AND every downstream
+    Window.partitionBy(user_id) (bollinger/beta/autocorr/drawdown...),
+    so the plan has a single exchange instead of two. The explicit
+    count pins it against AQE byte-based coalescing, which folded the
+    tiny-byte daily frame onto one task and ran the window chains
+    serially (measured: bollinger 1.14 -> 0.54 s with the pin)."""
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.round(F.avg("value"), 6).alias("day_value"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return (
+        ev.repartition(n_parts, F.col("user_id"))
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.avg("value"), 6).alias("day_value"))
+    )
 
 
 @_q(
