@@ -35,7 +35,10 @@ BM25_B = 0.75
 
 
 def build_postings(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spread: bool = True,
 ) -> DataFrame:
     """Inverted postings: one row per (term, doc) with the term
     frequency. One explode + one hash aggregation (map-side combined);
@@ -49,23 +52,29 @@ def build_postings(
     the spread is a no-op."""
     from tastytrade_sdk_spark.llmops.dedup import _spread
 
+    base = _spread(docs, id_col) if spread else docs
     return (
-        _spread(docs, id_col)
-        .select(id_col, F.explode(tokens_expr(F.col(text_col))).alias("term"))
+        base.select(
+            id_col, F.explode(tokens_expr(F.col(text_col))).alias("term")
+        )
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
 
 def doc_lengths(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spread: bool = True,
 ) -> DataFrame:
     """Per-doc token counts (the BM25 length normalization input).
     _spread for the same reason as build_postings — the tokenize is a
     separate corpus pass and must not run single-task locally."""
     from tastytrade_sdk_spark.llmops.dedup import _spread
 
-    return _spread(docs, id_col).select(
+    base = _spread(docs, id_col) if spread else docs
+    return base.select(
         id_col, F.size(tokens_expr(F.col(text_col))).cast("long").alias("dl")
     )
 
@@ -364,11 +373,17 @@ def bm25_index_write(
     (bucket, term) so no single task serializes a heavy bucket —
     same skew story as the IVF clustered writes.
     """
-    postings = build_postings(docs, text_col, id_col)
+    # spread=False: the write path repartitions by (bucket, term)
+    # immediately and streamed triggers call this per micro-batch —
+    # the extra exchange plus the _spread partition-count probe
+    # measured ~3 s across a 4-trigger lifecycle (r11 session 2)
+    postings = build_postings(docs, text_col, id_col, spread=False)
     # materialize doc lengths ONCE: the parquet write and the stats
     # aggregate both consume the checkpointed blocks instead of
     # re-tokenizing the corpus a third time
-    dl = doc_lengths(docs, text_col, id_col).localCheckpoint(eager=True)
+    dl = doc_lengths(docs, text_col, id_col, spread=False).localCheckpoint(
+        eager=True
+    )
     return _write_batch_layout(postings, dl, n_buckets, path)
 
 
@@ -446,9 +461,9 @@ def bm25_index_append(
     with open(os.path.join(path, _BM25_STATS)) as fh:
         stats = json.load(fh)
     n_buckets = stats["n_buckets"]
-    postings = build_postings(new_docs, text_col, id_col).withColumn(
-        "bucket", _bucket_col(n_buckets)
-    )
+    postings = build_postings(
+        new_docs, text_col, id_col, spread=False
+    ).withColumn("bucket", _bucket_col(n_buckets))
     (
         postings.repartition(n_buckets, "bucket", "term")
         .write.mode("append")
@@ -456,7 +471,9 @@ def bm25_index_append(
         .parquet(os.path.join(path, "postings"))
     )
     # one materialization feeds both the append and the stats delta
-    dl = doc_lengths(new_docs, text_col, id_col).localCheckpoint(eager=True)
+    dl = doc_lengths(
+        new_docs, text_col, id_col, spread=False
+    ).localCheckpoint(eager=True)
     dl.write.mode("append").parquet(os.path.join(path, "doclen"))
     row = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
