@@ -713,19 +713,14 @@ def semdedup_prune_scaled(
     # the fold order is part of the cross-engine contract, and the
     # rounding keeps 1e-16 fold noise from flipping a sign at the
     # hyperplane boundary
+    # one parsed expression per plane (the kmeans_assign rule) instead
+    # of b*dim F.lit round-trips; identical fold/round shape
     bits = []
     for i, row in enumerate(planes):
-        dot = F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("__unit"),
-                    F.array(*[F.lit(float(c)) for c in row]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-            8,
+        arr = ", ".join(f"{float(c)!r}D" for c in row)
+        dot = F.expr(
+            f"round(aggregate(zip_with(`__unit`, array({arr}), "
+            "(x, y) -> x * y), 0.0D, (a, x) -> a + x), 8)"
         )
         bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     cluster = sum(bits[1:], bits[0]).cast("int")
