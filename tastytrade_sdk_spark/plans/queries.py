@@ -708,7 +708,14 @@ def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_clustered,
     )
 
-    li = load_table(spark, "lineitem", sf_dir)
+    # project to the query's columns BEFORE the clustered write (guide
+    # §2.3): the range sort and the 16 files carry 5 columns instead of
+    # 16 — the pruning/stats machinery is unchanged and the aggregate
+    # is byte-identical
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount",
+        "l_shipdate",
+    )
     lo = datetime(1995, 1, 1, 0, 0, 0)
     hi = datetime(1995, 3, 31, 23, 59, 59)
     tmp = tempfile.mkdtemp(prefix="skipping_")
