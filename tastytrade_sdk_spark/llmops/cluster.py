@@ -416,7 +416,9 @@ def kmeans_assign(
     # measured ~1.6 s driver chatter per 1024 literals) — value-
     # identical: same zip_with multiply, same left fold, same round
     def _dot_row(row) -> Column:
-        arr = ", ".join(f"{float(c)!r}D" for c in row)
+        from tastytrade_sdk_spark.llmops.similarity import _f64_lit
+
+        arr = ", ".join(_f64_lit(c) for c in row)
         return F.expr(
             f"round(aggregate(zip_with(`__unit`, array({arr}), "
             "(x, y) -> x * y), 0.0D, (a, x) -> a + x), "
@@ -715,9 +717,11 @@ def semdedup_prune_scaled(
     # hyperplane boundary
     # one parsed expression per plane (the kmeans_assign rule) instead
     # of b*dim F.lit round-trips; identical fold/round shape
+    from tastytrade_sdk_spark.llmops.similarity import _f64_lit
+
     bits = []
     for i, row in enumerate(planes):
-        arr = ", ".join(f"{float(c)!r}D" for c in row)
+        arr = ", ".join(_f64_lit(c) for c in row)
         dot = F.expr(
             f"round(aggregate(zip_with(`__unit`, array({arr}), "
             "(x, y) -> x * y), 0.0D, (a, x) -> a + x), 8)"

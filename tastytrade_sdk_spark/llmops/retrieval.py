@@ -703,9 +703,14 @@ def bm25_index_stream_batch(
         with os.fdopen(fd, "w") as fh:
             json.dump({"n_buckets": n_buckets}, fh)
         os.replace(tmp, layout_path)
-    postings = build_postings(batch_df, text_col, id_col).withColumn(
-        "bucket", _bucket_col(n_buckets)
-    )
+    # spread=False: per-trigger index builds amortize nothing — the
+    # (bucket, term) repartition follows immediately, so the _spread
+    # partition-count probe plus its extra exchange would be paid on
+    # EVERY trigger (the bm25_index_write/append rationale, commit
+    # 2225984, applied to the streaming sink it missed)
+    postings = build_postings(
+        batch_df, text_col, id_col, spread=False
+    ).withColumn("bucket", _bucket_col(n_buckets))
     # the postings and doclen pipelines share no lineage and land in
     # disjoint directories — submit the postings write in a thread so
     # the doclen checkpoint + write run CONCURRENTLY with it and the
@@ -737,7 +742,7 @@ def bm25_index_stream_batch(
         .partitionBy("epoch", "bucket")
         .parquet(f"{path}/postings")
     )
-    dl = doc_lengths(batch_df, text_col, id_col).localCheckpoint(
+    dl = doc_lengths(batch_df, text_col, id_col, spread=False).localCheckpoint(
         eager=True
     )  # one materialization feeds the doclen write AND the stats row
     t_dl = _run(

@@ -33,6 +33,22 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _f64_lit(x) -> str:
+    """SQL text for one double literal. ``repr(float)+'D'`` round-trips
+    every FINITE double exactly, but produces unparseable ``nanD`` /
+    ``infD`` for non-finite values — where the F.lit path this idiom
+    replaced emitted a valid literal (r11 advisor). Map those to the
+    CAST forms Spark parses to the identical IEEE values."""
+    import math
+
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{x!r}D"
+
+
 def _dot_lit_sql(vec_sql: str, values) -> Column:
     """_dot against a LITERAL plane, built as ONE parsed SQL expression
     instead of len(values) F.lit py4j round-trips plus a DSL fold —
@@ -41,7 +57,7 @@ def _dot_lit_sql(vec_sql: str, values) -> Column:
     plan build). Value-identical to
     ``_dot(F.col(vec_sql), F.array(*map(F.lit, values)))``: same
     zip_with multiply (cast to double), same left fold from 0.0."""
-    arr = ", ".join(f"{float(x)!r}D" for x in values)
+    arr = ", ".join(_f64_lit(x) for x in values)
     return F.expr(
         f"aggregate(zip_with(`{vec_sql}`, array({arr}), "
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "

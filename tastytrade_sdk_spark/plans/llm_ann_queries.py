@@ -896,10 +896,11 @@ def ivf_index_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v
     )
     SELECT vec_id, scale,
-           CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
-                ELSE list_transform(
-                  v, x -> floor(x / scale * 127.0 + 0.5)::BIGINT)
-           END AS qvec,
+           array_to_string(
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+                  ELSE list_transform(
+                    v, x -> floor(x / scale * 127.0 + 0.5)::BIGINT)
+             END, ',') AS qvec,
            CASE WHEN scale = 0 THEN 0.0
                 ELSE list_reduce(list_prepend(0.0,
                        list_transform(v, x ->
@@ -914,12 +915,25 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization with reconstruction MSE.
     Every output is produced by bit-identical operations on both
     engines (order-free max, left folds, floor(x+0.5) rounding), so
-    scale/mse are emitted RAW — no tolerance, no rounding site."""
+    scale/mse are emitted RAW — no tolerance, no rounding site.
+
+    The quantized vector is DECLARED as a comma-joined string digest,
+    not array<long>: the driver's comparator canonicalizes by a pandas
+    sort over all columns and cannot factorize list-typed cells (r11
+    gate failure), and int64 -> decimal string is bit-identical on
+    both engines. The library operator (quantize_int8) still returns
+    the real array for in-engine consumers (sq8/ADC rescoring)."""
     from tastytrade_sdk_spark.llmops.similarity import quantize_int8
 
     emb = load_table(spark, "embeddings", sf_dir)
     target = spark.sparkContext.defaultParallelism
-    return quantize_int8(emb.repartition(target))
+    out = quantize_int8(emb.repartition(target))
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec"),
+        "mse",
+    )
 
 @_q(
     "similar_docs_topk",

@@ -855,7 +855,12 @@ def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny-byte daily frame onto one task and ran the window chains
     serially (measured: bollinger 1.14 -> 0.54 s with the pin)."""
     ev = load_table(spark, "events", sf_dir)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        # non-numeric on some platforms (e.g. "auto") — fall back to
+        # defaultParallelism, the _partsupp_standin pattern
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        n_parts = spark.sparkContext.defaultParallelism
     return (
         ev.repartition(n_parts, F.col("user_id"))
         .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
@@ -3773,13 +3778,20 @@ def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderdate"
     )
-    # eager checkpoint: ls feeds BOTH the per-order rollup and the
-    # final blame join — without the cut the scan+join+agg pipeline
-    # executes twice (exchange reuse is not contractual under AQE).
-    # The frame is one row per (order, supplier) — bounded well below
-    # the fact table at any scale.
+    # ONE pass over the fact table: the per-order supplier/late counts
+    # come from a window over the (order, supplier) aggregate instead
+    # of a groupBy + join-back, so no intermediate needs two consumers
+    # — which removes the r11 eager localCheckpoint of a frame that is
+    # proportional to the fact table (near-lineitem-cardinality
+    # non-resilient RDD blocks at lake scale; r11 advisor, medium).
+    # The explicit order-key repartition lets the (order, supplier)
+    # groupBy AND the order-key window share a single exchange
+    # (HashPartitioning on a subset of the grouping keys satisfies the
+    # groupBy's clustering — the _daily_series idiom).
+    w_order = Window.partitionBy("l_orderkey")
     ls = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(
@@ -3790,18 +3802,14 @@ def sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("is_late")
         )
-        .localCheckpoint(eager=True)
+        .withColumn("n_supp", F.count(F.lit(1)).over(w_order))
+        .withColumn("n_late", F.sum("is_late").over(w_order))
     )
-    per_order = ls.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("is_late").alias("n_late"),
-    ).withColumnRenamed("l_orderkey", "ok")
     supp = load_table(spark, "supplier", sf_dir).select(
         "s_suppkey", "s_name"
     )
     return (
-        ls.join(per_order, F.col("ok") == F.col("l_orderkey"))
-        .filter(
+        ls.filter(
             (F.col("is_late") == 1)
             & (F.col("n_late") == 1)
             & (F.col("n_supp") >= 2)

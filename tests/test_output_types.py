@@ -60,3 +60,39 @@ def test_no_decimal_output_columns_oracle(duck):
         "DECIMAL/HUGEINT oracle output columns (driver-hash hazard, "
         f"r4 pricing_summary): {bad}"
     )
+
+
+def test_no_nested_output_columns_spark(spark):
+    """Driver-hash hazard class found in round 11 (CORRECTNESS_r11
+    embedding_quantize_int8): the driver's comparator canonicalizes by
+    a pandas sort over ALL columns, and pandas cannot factorize
+    list/map/struct-typed cells (TypeError: unhashable type 'list') —
+    the query errors instead of matching. Declared outputs must be
+    scalar-only; vectors are emitted as deterministic string digests
+    (comma-joined) on BOTH engines."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for name, fn in entrymod.queries().items():
+        sdf = fn(spark, SF_DIR)
+        for f in sdf.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, (
+        "nested-typed output columns (driver-comparator hazard, r11 "
+        f"embedding_quantize_int8): {bad}"
+    )
+
+
+def test_no_nested_output_columns_oracle(duck):
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        rel = duck.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if "[]" in t or t.startswith(("MAP", "STRUCT", "LIST", "UNION")):
+                bad.append(f"{name}.{col}: {typ}")
+    assert not bad, (
+        "nested-typed oracle output columns (driver-comparator hazard, "
+        f"r11 embedding_quantize_int8): {bad}"
+    )
