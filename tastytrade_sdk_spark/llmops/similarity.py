@@ -592,13 +592,17 @@ def graph_expand_topk(
     edges = graph.select(
         F.col(graph.columns[0]).alias("__s"), F.col(graph.columns[1]).alias("__d")
     )
+    # _col dispatchers: pure-JVM assign/probe for the axis quantizer
+    # (every declared [Q] passes axis_centroids — the corpus-wide
+    # entry assignment was the last ArrowEvalPython pass in this
+    # path); trained centroids keep the vectorized UDFs
     asg = corpus.select(
-        id_col, _ivf_assign_udf(centroids)(F.col(vec_col)).alias("__list")
+        id_col, _ivf_assign_col(centroids)(F.col(vec_col)).alias("__list")
     )
     qb = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     ).withColumn(
-        "__list", F.explode(_ivf_probe_udf(centroids, 1)(F.col("__qvec")))
+        "__list", F.explode(_ivf_probe_col(centroids, 1)(F.col("__qvec")))
     )
     entry = (
         qb.join(asg, "__list")
@@ -1610,7 +1614,7 @@ def ivf_pq_topk(
     join bounds candidates (corpus never shuffles — the probed-list
     join is broadcast on the query side) and the ADC scan reads codes,
     not vectors. Routing is the exact ivf_topk assignment (shared
-    _ivf_assign_udf / probe udf); scoring is the exact pq_adc_topk
+    _ivf_assign_col / probe col dispatchers); scoring is the exact pq_adc_topk
     tail — the [Q] oracle composes the same two replays."""
     m = codebooks.shape[0]
     enc = (
@@ -1618,13 +1622,13 @@ def ivf_pq_topk(
         if use_kernel
         else pq_encode_expr(vec_col, codebooks)
     )
-    assign = _ivf_assign_udf(centroids)
+    assign = _ivf_assign_col(centroids)
     lists = corpus.select(
         F.col(id_col),
         assign(F.col(vec_col)).alias("__list"),
         enc.alias("__codes"),
     )
-    probe = _ivf_probe_udf(centroids, nprobe)
+    probe = _ivf_probe_col(centroids, nprobe)
     qt = queries.select(
         F.col(query_id_col),
         F.explode(probe(F.col(vec_col))).alias("__list"),
@@ -2087,7 +2091,7 @@ def knn_graph_index_write(
         )
 
     def _write_entry():
-        assign = _ivf_assign_udf(centroids)
+        assign = _ivf_assign_col(centroids)
         entry = (
             _spread(corpus.select(id_col, vec_col))
             .select(id_col, assign(F.col(vec_col)).alias("list_id"))
@@ -2167,7 +2171,7 @@ def knn_graph_index_search(
     qb = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     ).withColumn(
-        "list_id", F.explode(_ivf_probe_udf(centroids, 1)(F.col("__qvec")))
+        "list_id", F.explode(_ivf_probe_col(centroids, 1)(F.col("__qvec")))
     )
     frontier = qb.join(F.broadcast(entry), "list_id").select("__qid", "node")
     # LAZY checkpoints throughout the walk: each hop's first consumer
