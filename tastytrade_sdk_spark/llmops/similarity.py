@@ -1687,7 +1687,11 @@ def ivf_index_stream_batch(
         os.replace(tmp, sidecar)
     assign_col = _ivf_assign_col(centroids)
     (
-        _spread(batch_df.select(id_col, vec_col))
+        # no _spread: per-trigger folds amortize nothing — the
+        # (list, salt) repartition follows immediately, so the spread
+        # probe + extra exchange would be paid on EVERY trigger (the
+        # bm25_index_stream_batch rule, r11 commit 2225984)
+        batch_df.select(id_col, vec_col)
         .withColumn("epoch", F.lit(epoch_id))
         .withColumn("list_id", assign_col(F.col(vec_col)))
         # same (list, bounded salt) write clustering as the build

@@ -773,13 +773,37 @@ def ivf_index_stream_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = axis_centroids(16, 64)
     tmp = tempfile.mkdtemp(prefix="ivf_stream_")
     try:
-        for ep in range(3):
-            ivf_index_stream_batch(
-                corpus.filter(F.col("vec_id") % 3 == ep),
-                f"{tmp}/index",
-                ep,
-                cent,
-            )
+        # concurrent epoch folds (guide §2.6, the bm25 stream twin):
+        # each epoch's dynamic overwrite touches only its own
+        # (epoch=N, list_id=*) partitions with a per-job staging dir,
+        # and the centroid sidecar stamp is atomic + idempotent —
+        # cross-epoch ordering was never part of the convergence
+        # contract. The epoch-1 REPLAY stays strictly after: that
+        # ordering IS the crash/restart case under test.
+        import threading
+
+        errs: list[BaseException] = []
+
+        def _fold(ep: int):
+            try:
+                ivf_index_stream_batch(
+                    corpus.filter(F.col("vec_id") % 3 == ep),
+                    f"{tmp}/index",
+                    ep,
+                    cent,
+                )
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=_fold, args=(ep,)) for ep in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
         # crash/restart: epoch 1 folds in AGAIN and must converge
         ivf_index_stream_batch(
             corpus.filter(F.col("vec_id") % 3 == 1), f"{tmp}/index", 1, cent
@@ -824,13 +848,33 @@ def ivf_index_compact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = axis_centroids(16, 64)
     tmp = tempfile.mkdtemp(prefix="ivf_compact_")
     try:
-        for ep in range(2):
-            ivf_index_stream_batch(
-                corpus.filter(F.col("vec_id") % 3 == ep),
-                f"{tmp}/index",
-                ep,
-                cent,
-            )
+        # concurrent epoch folds (disjoint partition trees, atomic +
+        # idempotent sidecar stamp — the ivf_index_stream_search
+        # rationale); compaction runs strictly after both
+        import threading
+
+        errs: list[BaseException] = []
+
+        def _fold(ep: int):
+            try:
+                ivf_index_stream_batch(
+                    corpus.filter(F.col("vec_id") % 3 == ep),
+                    f"{tmp}/index",
+                    ep,
+                    cent,
+                )
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=_fold, args=(ep,)) for ep in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
         ivf_index_compact(spark, f"{tmp}/index", cent)
         ivf_index_append(
             corpus.filter(F.col("vec_id") % 3 == 2), f"{tmp}/index", cent

@@ -714,14 +714,43 @@ def bm25_index_stream_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_index_topk,
     )
 
+    import threading
+
     docs = load_table(spark, "documents", sf_dir)
     queries = docs.filter(F.col("doc_id") < 5)
     tmp = tempfile.mkdtemp(prefix="bm25_stream_")
     try:
-        for ep in range(3):
-            bm25_index_stream_batch(
-                docs.filter(F.col("doc_id") % 3 == ep), f"{tmp}/index", ep
-            )
+        # The three epochs land in fully DISJOINT partition trees
+        # (postings/epoch=N, doclen/epoch=N, stats/epoch=N — dynamic
+        # overwrite is per-partition, staging dirs are per-job) and
+        # the layout stamp is atomic + idempotent, so their writes can
+        # run as concurrent driver jobs (guide §2.6 overlap): the
+        # reader window is per-epoch (postings before that epoch's
+        # stats row, preserved inside each call), and convergence
+        # never depended on cross-epoch ordering. The epoch-1 REPLAY
+        # below still runs strictly after — that ordering is the
+        # crash/restart story under test.
+        errs: list[BaseException] = []
+
+        def _fold(ep: int):
+            try:
+                bm25_index_stream_batch(
+                    docs.filter(F.col("doc_id") % 3 == ep),
+                    f"{tmp}/index",
+                    ep,
+                )
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=_fold, args=(ep,)) for ep in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errs:
+            raise errs[0]
         # crash/restart: epoch 1 folds in AGAIN and must converge
         bm25_index_stream_batch(
             docs.filter(F.col("doc_id") % 3 == 1), f"{tmp}/index", 1
