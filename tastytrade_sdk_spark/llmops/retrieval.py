@@ -378,12 +378,7 @@ def bm25_index_write(
     # the extra exchange plus the _spread partition-count probe
     # measured ~3 s across a 4-trigger lifecycle (r11 session 2)
     postings = build_postings(docs, text_col, id_col, spread=False)
-    # materialize doc lengths ONCE: the parquet write and the stats
-    # aggregate both consume the checkpointed blocks instead of
-    # re-tokenizing the corpus a third time
-    dl = doc_lengths(docs, text_col, id_col, spread=False).localCheckpoint(
-        eager=True
-    )
+    dl = doc_lengths(docs, text_col, id_col, spread=False)
     return _write_batch_layout(postings, dl, n_buckets, path)
 
 
@@ -393,15 +388,21 @@ def _write_batch_layout(
     """The ONE batch-layout writer (bm25_index_write and
     bm25_index_compact share it, so the written and compacted layouts
     cannot drift): bucket-partitioned skew-spread postings, flat
-    doclen, exact integer _stats.json committed atomically and LAST."""
+    doclen, exact integer _stats.json committed atomically and LAST.
+
+    ``dl`` may arrive LAZY: it is checkpointed HERE, after the
+    postings write has been submitted, so the doc-length
+    materialization (one corpus tokenize) runs concurrently with the
+    postings write instead of serializing ahead of it (guide §2.6);
+    the one materialization still feeds the doclen write AND the
+    stats aggregate."""
     import json
     import os
     import tempfile
     import threading
 
-    # postings and doclen writes are lineage-disjoint (callers pass dl
-    # already checkpointed) — overlap them; _stats.json still commits
-    # atomically and LAST
+    # postings and doclen writes are lineage-disjoint — overlap them;
+    # _stats.json still commits atomically and LAST
     errs: "list[BaseException]" = []
 
     def _postings_write():
@@ -418,6 +419,7 @@ def _write_batch_layout(
 
     t_post = threading.Thread(target=_postings_write)
     t_post.start()
+    dl = dl.localCheckpoint(eager=True)
     dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
     t_post.join()
     if errs:
@@ -458,23 +460,40 @@ def bm25_index_append(
     import os
     import tempfile
 
+    import threading
+
     with open(os.path.join(path, _BM25_STATS)) as fh:
         stats = json.load(fh)
     n_buckets = stats["n_buckets"]
     postings = build_postings(
         new_docs, text_col, id_col, spread=False
     ).withColumn("bucket", _bucket_col(n_buckets))
-    (
-        postings.repartition(n_buckets, "bucket", "term")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(os.path.join(path, "postings"))
-    )
+    # postings and doclen appends are lineage-disjoint and land in
+    # disjoint dirs — overlap them (the _write_batch_layout /
+    # stream-batch pattern); stats still commits atomically and LAST
+    errs: "list[BaseException]" = []
+
+    def _postings_append():
+        try:
+            (
+                postings.repartition(n_buckets, "bucket", "term")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(os.path.join(path, "postings"))
+            )
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errs.append(e)
+
+    t_post = threading.Thread(target=_postings_append)
+    t_post.start()
     # one materialization feeds both the append and the stats delta
     dl = doc_lengths(
         new_docs, text_col, id_col, spread=False
     ).localCheckpoint(eager=True)
     dl.write.mode("append").parquet(os.path.join(path, "doclen"))
+    t_post.join()
+    if errs:
+        raise errs[0]
     row = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     ).collect()[0]
@@ -850,10 +869,10 @@ def bm25_index_compact(spark, path: str, id_col: str = "doc_id") -> dict:
         .groupBy("term", id_col)
         .agg(F.sum("tf").alias("tf"))
     )
-    dl = (
-        spark.read.parquet(os.path.join(path, "doclen"))
-        .select(id_col, "dl")
-        .localCheckpoint(eager=True)
+    # dl stays lazy — _write_batch_layout checkpoints it after the
+    # postings write is submitted (overlap)
+    dl = spark.read.parquet(os.path.join(path, "doclen")).select(
+        id_col, "dl"
     )
     stats = _write_batch_layout(postings, dl, n_buckets, tmp)
     # keep _layout.json so a RE-compaction and the stream-batch guard
