@@ -402,19 +402,6 @@ def _score_topk(
     )
 
 
-def _ivf_assign_udf(cent):
-    """Pandas UDF assigning each vector to its nearest (cosine)
-    centroid list — np.argmax first-maximal tie rule, the same
-    first-occurrence rule the SQL oracle's array_position uses."""
-    import pandas as pd
-
-    def _assign(vecs):
-        m = _unit_rows(_as_matrix(vecs.values))
-        return pd.Series(np.argmax(m @ cent.T, axis=1).astype("int32"))
-
-    return F.pandas_udf(_assign, "int")
-
-
 def _is_axis_centroids(cent: "np.ndarray") -> bool:
     """Exactly the one-hot axis quantizer (centroid c = basis e_c)?"""
     n, d = cent.shape
@@ -438,8 +425,16 @@ def _ivf_assign_col(cent: "np.ndarray"):
     positive scalar, and two distinct float32 components stay distinct
     under one float64 division (gap >= 2^29 ulp64 vs <= 1 ulp64
     rounding error), so raw argmax == normalized argmax, ties
-    included. Trained (non-axis) centroids keep the vectorized
-    pandas-UDF matmul."""
+    included. Trained (non-axis) centroids go through a JVM fold per
+    centroid (one parsed literal array each — the kmeans_assign
+    one-expression rule, never per-component F.lit round-trips):
+    argmax of the k dot folds with array_position's first-maximal tie
+    rule, the same rule np.argmax applies. The query-side unit
+    normalization drops out of argmax exactly as above; summation
+    order (sequential fold vs numpy's blocked matmul) can differ at
+    ~1 ulp, which is inside the routing's approximation contract (no
+    declared query uses trained centroids — equality with truth is
+    never asserted, recall and self-determinism are)."""
     if _is_axis_centroids(cent):
         n = int(cent.shape[0])
 
@@ -450,23 +445,37 @@ def _ivf_assign_col(cent: "np.ndarray"):
             )
 
         return _assign
-    return _ivf_assign_udf(cent)
+
+    def _assign_trained(vec: Column) -> Column:
+        arr = F.array(*_centroid_dots(vec, cent))
+        return (F.array_position(arr, F.array_max(arr)) - F.lit(1)).cast(
+            "int"
+        )
+
+    return _assign_trained
 
 
-def _ivf_probe_udf(cent, nprobe: int):
-    """Pandas UDF returning each query's nprobe nearest list ids
-    (stable sort pins score ties to ascending list id)."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    def _probe(vecs):
-        m = _unit_rows(_as_matrix(vecs.values))
-        order = np.argsort(
-            -(m @ cent.T), axis=1, kind="stable"
-        )[:, :nprobe].astype("int32")
-        return pd.Series(list(order))
-
-    return F.pandas_udf(_probe, T.ArrayType(T.IntegerType()))
+def _centroid_dots(vec: Column, cent: "np.ndarray") -> "list[Column]":
+    """One JVM dot fold per centroid row against a LITERAL array built
+    as a single parsed expression (guide §4 / the _dot_lit_sql idiom —
+    per-component F.lit costs ~1.6 s of py4j chatter per 1024
+    literals). Works on an arbitrary vector Column, so the dispatchers
+    can wrap any input expression."""
+    dots = []
+    for row in cent:
+        lit_arr = F.expr(
+            "array(" + ", ".join(_f64_lit(c) for c in row) + ")"
+        )
+        dots.append(
+            F.aggregate(
+                F.zip_with(
+                    vec, lit_arr, lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+    return dots
 
 
 def _ivf_probe_col(cent: "np.ndarray", nprobe: int):
@@ -475,7 +484,19 @@ def _ivf_probe_col(cent: "np.ndarray", nprobe: int):
     descending with ascending-index tiebreak (the oracle's
     ``ORDER BY component DESC, i``) via an explicit array_sort
     comparator — same stable order as the UDF's argsort, no Python
-    worker in the search plan. Trained centroids keep the UDF."""
+    worker in the search plan. Trained centroids: the same sort over
+    the k JVM dot folds (_centroid_dots) — descending score,
+    ascending-index tiebreak, exactly np.argsort(-dots, stable)."""
+
+    def _cmp(lft, rgt):
+        return (
+            F.when(lft["v"] > rgt["v"], F.lit(-1))
+            .when(lft["v"] < rgt["v"], F.lit(1))
+            .when(lft["i"] < rgt["i"], F.lit(-1))
+            .when(lft["i"] > rgt["i"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
     if _is_axis_centroids(cent):
         n = int(cent.shape[0])
 
@@ -486,23 +507,27 @@ def _ivf_probe_col(cent: "np.ndarray", nprobe: int):
                     x.cast("double").alias("v"), i.alias("i")
                 ),
             )
-
-            def _cmp(lft, rgt):
-                return (
-                    F.when(lft["v"] > rgt["v"], F.lit(-1))
-                    .when(lft["v"] < rgt["v"], F.lit(1))
-                    .when(lft["i"] < rgt["i"], F.lit(-1))
-                    .when(lft["i"] > rgt["i"], F.lit(1))
-                    .otherwise(F.lit(0))
-                )
-
             return F.transform(
                 F.slice(F.array_sort(pairs, _cmp), 1, nprobe),
                 lambda s: s["i"].cast("int"),
             )
 
         return _probe
-    return _ivf_probe_udf(cent, nprobe)
+
+    def _probe_trained(vec: Column) -> Column:
+        dots = _centroid_dots(vec, cent)
+        pairs = F.array(
+            *[
+                F.struct(d.alias("v"), F.lit(i).alias("i"))
+                for i, d in enumerate(dots)
+            ]
+        )
+        return F.transform(
+            F.slice(F.array_sort(pairs, _cmp), 1, nprobe),
+            lambda s: s["i"].cast("int"),
+        )
+
+    return _probe_trained
 
 
 def ivf_topk(
