@@ -1286,7 +1286,11 @@ def ivf_index_write(
 
     assign_col = _ivf_assign_col(centroids)
     (
-        _spread(corpus.select(id_col, vec_col))
+        # no _spread: the (list, salt) repartition follows immediately
+        # and the JVM assign is cheap per row — the spread's probe +
+        # extra vector exchange bought nothing once routing left the
+        # Python boundary (r12 A/B; the stream-batch rule)
+        corpus.select(id_col, vec_col)
         .withColumn("list_id", assign_col(F.col(vec_col)))
         # cluster the write by (list, bounded salt): without it every
         # upstream task writes a sliver into every list directory
@@ -1334,7 +1338,8 @@ def ivf_index_append(
     _check_ivf_layout(path, "batch", "ivf_index_append")
     assign_col = _ivf_assign_col(centroids)
     (
-        _spread(new_vectors.select(id_col, vec_col))
+        # no _spread: keyed repartition follows (the index_write rule)
+        new_vectors.select(id_col, vec_col)
         .withColumn("list_id", assign_col(F.col(vec_col)))
         # same (list, bounded salt) write clustering as the build
         .repartition(
@@ -2121,8 +2126,12 @@ def knn_graph_index_write(
 
     def _write_entry():
         assign = _ivf_assign_col(centroids)
+        # no _spread: the assign is a cheap JVM expression since the
+        # dispatcher change and the groupBy's partial aggregation
+        # follows immediately — the spread's probe + extra vector
+        # exchange measured as pure overhead (r12 A/B)
         entry = (
-            _spread(corpus.select(id_col, vec_col))
+            corpus.select(id_col, vec_col)
             .select(id_col, assign(F.col(vec_col)).alias("list_id"))
             .groupBy("list_id")
             .agg(F.min(id_col).alias("node"))
